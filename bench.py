@@ -1,0 +1,58 @@
+"""Benchmark harness: runs the headline (bench=True) queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall seconds.
+
+Results are materialized through the noop sink (full execution, no write
+cost), so timings reflect the actual distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mapreduce_paradigm_spark.registry import all_specs
+    from mapreduce_paradigm_spark.session import get_spark
+
+    spark = get_spark(app_name="mapreduce-paradigm-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        df = spec.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT + cache file listing)
+        t0 = time.perf_counter()
+        df = spec.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Scalar/array function library — Catalyst-native column expressions only.
+
+Every function here returns a Column built from ``pyspark.sql.functions``
+primitives, so whole-stage codegen fuses them and pushdown/pruning survive.
+The reference's one scalar function is ``filterWord``
+(``src/main.cpp:191-208``): strip every char outside [A-Za-z], lowercase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NON_ALPHA_RE = "[^A-Za-z]"
+WHITESPACE_RE = r"\s+"
+
+
+def normalized_word(col: Column | str) -> Column:
+    """Reference ``filterWord`` (src/main.cpp:191-208): keep [A-Za-z] only,
+    lowercase. ``don't``→``dont``, ``45abc``→``abc``, ``émigré``→``migr``."""
+    return F.lower(F.regexp_replace(col, NON_ALPHA_RE, ""))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (reference ``istringstream >>``,
+    src/main.cpp:239-242) as an array column."""
+    return F.split(col, WHITESPACE_RE)
+
+
+def first_letter(col: Column | str) -> Column:
+    """Partition key of the reference's 26-way output split
+    (src/main.cpp:55-79)."""
+    return F.substring(col, 1, 1)
+
+
+def doc_words(df: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id") -> DataFrame:
+    """O2→O5 pipeline: explode whitespace tokens, normalize, drop empties.
+
+    Returns ``(doc_id, word)`` with duplicates retained (term frequency
+    preserved); apply ``.distinct()`` for the reference's per-doc dedup (O6,
+    src/main.cpp:247-249). All narrow ops — one codegen stage, no shuffle.
+    """
+    return (
+        df.select(F.col(doc_id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token"))
+        .select("doc_id", normalized_word(F.col("token")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+
+
+def word_shingles(arr_expr: str, k: int = 3) -> Column:
+    """k-gram word shingles from an array-of-words column expression.
+
+    ``transform(sequence(...))`` stays JVM-side (no UDF). Empty result when
+    the doc has fewer than k tokens.
+    """
+    return F.expr(
+        f"transform(sequence(1, greatest(size({arr_expr}) - {k - 1}, 0)), "
+        f"i -> concat_ws(' ', slice({arr_expr}, i, {k})))"
+    )
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Sequential double-precision dot product of two array<double> columns.
+
+    ``zip_with`` + ``aggregate`` run inside codegen; summation is
+    left-to-right, which keeps results bit-stable across engines.
+    """
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,9 @@
+"""Query library — importing this package registers every QuerySpec."""
+
+from mapreduce_paradigm_spark.queries import (  # noqa: F401
+    flagship,
+    llm,
+    relational,
+    streaming_q,
+    windows,
+)

@@ -1,0 +1,141 @@
+"""Flagship inverted-index query family (SURVEY.md §2.A, O1–O11).
+
+The DuckDB oracles mirror the reference semantics exactly:
+tokenize on whitespace → strip non-alpha + lowercase → drop empties →
+per-doc distinct → group by word.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_paradigm_spark.functions import doc_words
+from mapreduce_paradigm_spark.operators.index import (
+    inverted_index,
+    letter_ranked,
+)
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+# Shared oracle CTE: the reference's O2–O5 word pipeline in DuckDB SQL.
+DUCK_WORDS = """
+WITH words AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, lower(regexp_replace(token, '[^A-Za-z]', '', 'g')) AS word
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+          FROM documents)
+  ) WHERE length(word) > 0
+)
+"""
+
+
+def _index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "inverted_index",
+    oracle=DUCK_WORDS
+    + """
+SELECT word,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids,
+       count(DISTINCT doc_id) AS df
+FROM words
+GROUP BY word
+""",
+    description="Flagship: case-folded alphabetic distinct-per-doc inverted index "
+    "(reference src/main.cpp end-to-end pipeline).",
+    bench=True,
+    tags=("flagship", "aggregation", "text"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _index_df(spark, sf_dir).select(
+        "word", F.array_join("doc_ids", " ").alias("doc_ids"), "df"
+    )
+
+
+@register(
+    "inverted_index_letter_rank",
+    oracle=DUCK_WORDS
+    + """
+SELECT substring(word, 1, 1) AS letter, word, df,
+       row_number() OVER (PARTITION BY substring(word, 1, 1)
+                          ORDER BY df DESC, word ASC) AS rank_in_letter
+FROM (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word)
+""",
+    description="Per-letter df-desc/word-asc ranking — the reference's output "
+    "order (src/main.cpp:83-91) as a window function.",
+    bench=True,
+    tags=("flagship", "window", "text"),
+)
+def q_inverted_index_letter_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return letter_ranked(_index_df(spark, sf_dir)).select(
+        "letter", "word", "df", "rank_in_letter"
+    )
+
+
+@register(
+    "top5_words_per_letter",
+    oracle=DUCK_WORDS
+    + """
+SELECT letter, word, df FROM (
+  SELECT substring(word, 1, 1) AS letter, word, df,
+         row_number() OVER (PARTITION BY substring(word, 1, 1)
+                            ORDER BY df DESC, word ASC) AS rnk
+  FROM (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word)
+) WHERE rnk <= 5
+""",
+    description="Per-group top-k via window row_number (SURVEY.md §2.B limit/top-k).",
+    tags=("window", "topk", "text"),
+)
+def q_top5_words_per_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        letter_ranked(_index_df(spark, sf_dir))
+        .filter(F.col("rank_in_letter") <= 5)
+        .select("letter", "word", "df")
+    )
+
+
+@register(
+    "word_frequency",
+    oracle=DUCK_WORDS
+    + """
+SELECT word, count(*) AS tf
+FROM words
+GROUP BY word
+""",
+    description="Corpus term frequency (non-distinct counterpart of the index).",
+    bench=True,
+    tags=("aggregation", "text"),
+)
+def q_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_words(docs).groupBy("word").agg(F.count("*").alias("tf"))
+
+
+@register(
+    "doc_token_stats",
+    oracle=DUCK_WORDS
+    + """
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(DISTINCT word) AS n_distinct_words,
+       round(avg(length(word)), 4) AS avg_word_len
+FROM words
+GROUP BY doc_id
+""",
+    description="Per-document token statistics over the normalized word stream.",
+    tags=("aggregation", "text"),
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        doc_words(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("word").alias("n_distinct_words"),
+            F.round(F.avg(F.length("word")), 4).alias("avg_word_len"),
+        )
+    )
