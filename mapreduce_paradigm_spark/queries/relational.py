@@ -1,1 +1,588 @@
-"""Placeholder — populated in this round."""
+"""Relational operator library over the TPC-H-style testdata (SURVEY.md §2.B).
+
+The reference has no joins/general aggregates (single-input pipeline,
+/root/reference/src/main.cpp); these generalize its group-agg core
+(src/main.cpp:104-142) into the full relational surface, Spark-first:
+declarative plans so Catalyst keeps pushdown/pruning/join planning, explicit
+``broadcast()`` hints on dimension tables, AQE for skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_paradigm_spark.functions import davg, dsum
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import load_table, register_views
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- projection / filter -----------------------------------------------------
+
+
+@register(
+    "filter_projection",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_discount > 0.05 AND l_quantity >= 10
+""",
+    description="Predicate + derived-column projection; both filters push to "
+    "the parquet scan (PushedFilters).",
+    tags=("filter", "projection"),
+)
+def q_filter_projection(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_discount") > 0.05) & (F.col("l_quantity") >= 10))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+# --- aggregation -------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1-style pricing summary: multi-aggregate groupBy with "
+    "map-side partial aggregation (the reference's combiner, src/main.cpp:234-258, "
+    "done by HashAggregate).",
+    bench=True,
+    tags=("aggregation",),
+)
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dsum(F.col("l_extendedprice"), "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+        davg(F.col("l_quantity"), "avg_qty"),
+        davg(F.col("l_extendedprice"), "avg_price"),
+        davg(F.col("l_discount"), "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "segment_acctbal_stats",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       min(c_acctbal) AS min_bal,
+       max(c_acctbal) AS max_bal,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_bal,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer
+GROUP BY c_mktsegment
+""",
+    description="count/min/max/avg/count-distinct in one grouped pass.",
+    tags=("aggregation",),
+)
+def q_segment_acctbal_stats(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        davg(F.col("c_acctbal"), "avg_bal"),
+        F.count_distinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@register(
+    "distinct_status_priority",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    description="Multi-column distinct (generalizes per-doc dedup O6).",
+    tags=("distinct",),
+)
+def q_distinct_status_priority(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "rollup_qty",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    description="Hierarchical rollup aggregate (SURVEY.md §2.B grouping sets).",
+    tags=("aggregation", "rollup"),
+)
+def q_rollup_qty(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    description="Full cube over two dimensions.",
+    tags=("aggregation", "cube"),
+)
+def q_cube_status_priority(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice"), "total"),
+    )
+
+
+@register(
+    "grouping_sets_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+    description="Explicit grouping sets via spark.sql (same Catalyst plan as "
+    "the DataFrame form).",
+    tags=("aggregation", "grouping-sets"),
+)
+def q_grouping_sets_priority(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # approximate by construction — HLL++ vs DuckDB's sketch differ
+    description="approx_count_distinct (HyperLogLog++) per brand; rows-only "
+    "check (exactness is the exact-count query's job).",
+    tags=("aggregation", "approx"),
+)
+def q_approx_distinct_parts(spark, sf_dir):
+    return _t(spark, sf_dir, "part").groupBy("p_brand").agg(
+        F.approx_count_distinct("p_partkey").alias("approx_parts"),
+    )
+
+
+# --- joins -------------------------------------------------------------------
+
+
+@register(
+    "customer_order_totals",
+    oracle="""
+SELECT c_custkey, c_name,
+       count(*) AS order_cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_spent
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+    description="Equi inner join + grouped aggregate; AQE picks broadcast when "
+    "the dim side is small.",
+    bench=True,
+    tags=("join", "aggregation"),
+)
+def q_customer_order_totals(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            dsum(F.col("o_totalprice"), "total_spent"),
+        )
+    )
+
+
+@register(
+    "customer_order_counts_left",
+    oracle="""
+SELECT c_custkey, count(o_orderkey) AS order_cnt
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+    description="Left outer join preserving order-less customers (count=0).",
+    tags=("join",),
+)
+def q_customer_order_counts_left(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "customers_with_orders_semi",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    description="Left-semi join (EXISTS).",
+    tags=("join", "semi"),
+)
+def q_customers_with_orders_semi(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "customers_without_orders_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    description="Left-anti join (NOT EXISTS).",
+    tags=("join", "anti"),
+)
+def q_customers_without_orders_anti(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "revenue_by_region",
+    oracle="""
+SELECT r_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    description="5-way star join rolled up to region; all dims broadcast "
+    "(one shuffle total, for the final group).",
+    bench=True,
+    tags=("join", "broadcast", "aggregation"),
+)
+def q_revenue_by_region(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    # dims broadcast explicitly: at 100 TB lineitem dominates; orders→region
+    # chain stays map-side, the only exchange is the final 5-group agg.
+    joined = (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("r_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@register(
+    "supplier_nation_broadcast",
+    oracle="""
+SELECT n_name, count(*) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    description="Broadcast-hash join of a fact against a tiny dim.",
+    tags=("join", "broadcast"),
+)
+def q_supplier_nation_broadcast(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            dsum(F.col("s_acctbal"), "total_bal"),
+        )
+    )
+
+
+# --- sort / limit / top-k ----------------------------------------------------
+
+
+@register(
+    "top10_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+    description="Global top-k: Spark plans TakeOrderedAndProject (per-partition "
+    "heap + driver merge), no full sort.",
+    tags=("sort", "topk"),
+)
+def q_top10_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "orders_multikey_sort",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+    description="Multi-key sort (asc, desc) with deterministic tie-break — the "
+    "reference's df-desc/word-asc comparator generalized (src/main.cpp:83-91).",
+    tags=("sort",),
+)
+def q_orders_multikey_sort(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+        .orderBy(F.asc("o_orderpriority"), F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+# --- set operations ----------------------------------------------------------
+
+
+@register(
+    "union_building_or_bigspender",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+""",
+    description="UNION (distinct) of two key sets.",
+    tags=("setop",),
+)
+def q_union_building_or_bigspender(spark, sf_dir):
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "intersect_f_and_o_customers",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    description="INTERSECT of customer key sets.",
+    tags=("setop",),
+)
+def q_intersect_f_and_o_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "except_no_f_orders",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    description="EXCEPT (set difference).",
+    tags=("setop",),
+)
+def q_except_no_f_orders(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.exceptAll(b).distinct()
+
+
+# --- scalar function suites --------------------------------------------------
+
+
+@register(
+    "order_month_summary",
+    oracle="""
+SELECT date_trunc('month', o_orderdate) AS order_month,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1, 2
+""",
+    description="Date functions: truncation + extraction feeding an aggregate.",
+    bench=True,
+    tags=("functions", "date", "aggregation"),
+)
+def q_order_month_summary(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total"),
+        )
+    )
+
+
+@register(
+    "part_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       substring(p_type, 1, 5) AS type_prefix,
+       p_name || '/' || p_brand AS name_brand,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       replace(p_type, ' ', '_') AS type_snake
+FROM part
+""",
+    description="String function suite: case, substring, concat, length, replace.",
+    tags=("functions", "string"),
+)
+def q_part_string_funcs(spark, sf_dir):
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("/", "p_name", "p_brand").alias("name_brand"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@register(
+    "lineitem_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+       sqrt(l_quantity) AS qty_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+       abs(l_extendedprice - l_quantity * 1000.0) AS price_gap
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+    description="Arithmetic/math function suite over a pushed-down filter.",
+    tags=("functions", "math"),
+)
+def q_lineitem_math_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("charge"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000.0).alias("price_gap"),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+    description="JSON extraction from the events.props payload column.",
+    tags=("functions", "json"),
+)
+def q_events_json_extract(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.get_json_object("props", "$.k").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "embedding_array_funcs",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_component,
+       round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS component_sum,
+       CAST(list_max(embedding) AS DOUBLE) AS max_component
+FROM embeddings
+""",
+    description="Array function suite: size, element access, fold-sum, max.",
+    tags=("functions", "array"),
+)
+def q_embedding_array_funcs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn("emb_d", F.col("embedding").cast("array<double>"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.col("emb_d")[0].alias("first_component"),
+        F.round(
+            F.aggregate("emb_d", F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("component_sum"),
+        F.array_max("emb_d").alias("max_component"),
+    )
