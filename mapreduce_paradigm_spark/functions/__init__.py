@@ -51,11 +51,14 @@ def word_shingles(arr_expr: str, k: int = 3) -> Column:
     """k-gram word shingles from an array-of-words column expression.
 
     ``transform(sequence(...))`` stays JVM-side (no UDF). Empty result when
-    the doc has fewer than k tokens.
+    the doc has fewer than k tokens (guarded: Spark's ``sequence(1, 0)``
+    counts DOWN, so the short case must not reach ``sequence``).
     """
     return F.expr(
-        f"transform(sequence(1, greatest(size({arr_expr}) - {k - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({arr_expr}, i, {k})))"
+        f"CASE WHEN size({arr_expr}) >= {k} THEN "
+        f"transform(sequence(1, size({arr_expr}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({arr_expr}, i, {k}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
 
 

@@ -1,0 +1,63 @@
+"""As-of join — an operator Spark lacks natively, composed from built-ins.
+
+Semantics: for each left row, attach the most recent right row with
+``right.ts < left.ts`` (strict) within the same partition key — the standard
+time-series "last known value" join (cf. the reference's absence of any join,
+SURVEY.md §2.B, and the DuckDB/kdb ASOF JOIN).
+
+Spark-first realization: union the two tagged streams, then one window pass
+per partition key ordered by (ts, tag) with ``last(value, ignorenulls=True)``
+over an unbounded-preceding frame. This is a single shuffle on the partition
+key — no nested-loop range join, no per-row subquery — and scales to
+arbitrarily large sides (state is one row per window position).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Return ``left`` plus, for each value column ``v`` of ``right``,
+    ``asof_<v>`` = value from the latest strictly-earlier right row.
+
+    Strictness: left rows sort before right rows at equal timestamps
+    (tag 0 < 1), so a right row at exactly ``left.ts`` is NOT visible.
+    """
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}") for v in value_cols],
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+    ).select(*lcols, "__ts", "__tag", *[f"__v_{v}" for v in value_cols])
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc("__ts"), F.asc("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Note: at a left row (tag 0), the frame holds all right rows with
+    # ts < left.ts, plus same-ts left rows — never same-ts right rows.
+    picked = l.unionByName(r)
+    for v in value_cols:
+        picked = picked.withColumn(f"asof_{v}", F.last(f"__v_{v}", ignorenulls=True).over(w))
+    return picked.filter(F.col("__tag") == 0).select(
+        *lcols, *[f"asof_{v}" for v in value_cols]
+    )

@@ -1,0 +1,88 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas functions.
+
+The decode step itself is STUBBED: the image/audio libraries are not in this
+container, so ``decode_image``/``decode_audio`` raise NotImplementedError
+unless the optional dependency imports. What IS real and tested:
+
+- the schema convention (``payload BINARY`` + metadata struct columns),
+- the ``mapInPandas`` plumbing (Arrow batch shape, schema declaration,
+  partition-preserving execution),
+- a deterministic fallback featurizer (byte stats + crc32) so pipelines are
+  exercisable end-to-end without the heavy deps.
+
+At 100 TB the binary column rides the normal parquet path (vectorized reader,
+column pruning skips payloads when untouched); feature extraction is the one
+legitimately Python stage, so it is Arrow-batched and stateless.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, crc32 BIGINT, head_hex STRING, byte_mean DOUBLE"
+)
+
+try:  # optional heavy dependency — absent in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test/bench stand-in for a real media table: treat the UTF-8 bytes of
+    ``text`` as the opaque payload, exactly as an image byte column would
+    arrive from parquet."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.col(text_col)).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real decode path — requires PIL, absent here by design."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; container ships without it — "
+            "use extract_features() which falls back to byte-level features"
+        )
+    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) when available")
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched featurizer: deterministic byte-level features.
+
+    Stateless per batch → safe under speculative execution and retries.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "crc32": payloads.map(lambda b: zlib.crc32(bytes(b))).astype("int64"),
+                "head_hex": payloads.map(lambda b: bytes(b)[:8].hex()),
+                "byte_mean": payloads.map(
+                    lambda b: float(sum(bytes(b))) / len(b) if len(b) else 0.0
+                ),
+            }
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, payload) rows."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _feature_batches, schema=FEATURE_SCHEMA
+    )

@@ -1,1 +1,299 @@
-"""Placeholder — populated in this round."""
+"""LLM-data-pipeline query surface: dedup, similarity search, text analysis,
+multimodal plumbing (BASELINE.json north star; SURVEY.md §2.B extensions).
+
+Exact tiers carry full DuckDB oracles; approximate tiers (MinHash-LSH,
+SimHash, hyperplane-LSH ANN) are rows-only by design — their PRECISION is
+anchored by verification against the exact tiers inside the operators
+themselves, and pytest asserts recall against the exact pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_paradigm_spark.operators.dedup import (
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from mapreduce_paradigm_spark.operators.multimodal import (
+    extract_features,
+    with_binary_payload,
+)
+from mapreduce_paradigm_spark.operators.similarity import lsh_topk_cosine, topk_cosine
+from mapreduce_paradigm_spark.operators.textstats import (
+    fingerprints,
+    language_id,
+    quality_features,
+)
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+# Shared DuckDB fragments mirroring the operators' tokenization.
+_DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_DUCK_SHINGLES = f"""
+arr AS (SELECT doc_id, {_DUCK_TOKS} AS a FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(a[1:len(a)-2],
+                               (x, i) -> x || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+  FROM arr WHERE len(a) >= 3
+)
+"""
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    description="Exact dedup: hash-groupBy on whitespace-normalized text; "
+    "shuffle carries (hash, id) only.",
+    tags=("dedup", "llm"),
+)
+def q_dedup_exact(spark, sf_dir):
+    return exact_duplicate_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, c / (s1.sz + s2.sz - c) AS jaccard
+FROM common
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE c / (s1.sz + s2.sz - c) >= 0.5
+""",
+    description="Exact 3-gram shingle Jaccard near-dup pairs (inverted-list "
+    "self-join; ground truth for the approximate tiers).",
+    bench=True,
+    tags=("dedup", "llm"),
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=None,  # banding recall is probabilistic (≈0.9998 at j≥0.9); precision exact
+    description="MinHash(32)+LSH(8 bands) near-dup candidates verified "
+    "against exact Jaccard — the linear-cost scale path for 100 TB dedup.",
+    bench=True,
+    tags=("dedup", "llm", "approx"),
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=None,  # fingerprint bit-threshold has no SQL-exact counterpart
+    description="63-bit SimHash pairs within Hamming distance 3 via pigeonhole "
+    "chunk joins (no quadratic pass).",
+    tags=("dedup", "llm", "approx"),
+)
+def q_simhash_near_pairs(spark, sf_dir):
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --- similarity search -------------------------------------------------------
+
+
+@register(
+    "embedding_topk_cosine",
+    oracle="""
+SELECT q_id, neighbor_id, rnk FROM (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         CAST(row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) DESC,
+                      b.vec_id ASC) AS BIGINT) AS rnk
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id % 25 = 0 AND b.vec_id <> a.vec_id
+) WHERE rnk <= 5
+""",
+    description="Brute-force cosine top-5 neighbors for a 4% query sample "
+    "(query side broadcast; corpus never shuffles). Exact ANN baseline.",
+    bench=True,
+    tags=("similarity", "llm"),
+)
+def q_embedding_topk_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return topk_cosine(emb, queries, k=5).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rnk")
+    )
+
+
+@register(
+    "embedding_lsh_topk",
+    oracle=None,  # approximate by construction (bucket recall < 1)
+    description="Hyperplane-LSH bucketed ANN with exact in-bucket rerank — "
+    "the 2^nbits-fold candidate reduction scale path.",
+    tags=("similarity", "llm", "approx"),
+)
+def q_embedding_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return lsh_topk_cosine(emb, queries, dim=64, k=5, nbits=8)
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+@register(
+    "doc_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    description="Whitespace + BPE-ish token counting (pretraining size "
+    "accounting).",
+    tags=("textstats", "llm"),
+)
+def q_doc_token_counts(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.textstats import (
+        bpe_ish_token_count,
+        ws_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+       CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       CAST(length(text) AS DOUBLE) / len({_DUCK_TOKS}) AS chars_per_token,
+       CAST(len(list_filter({_DUCK_TOKS},
+                t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+           / len({_DUCK_TOKS}) AS stopword_ratio
+FROM documents
+""",
+    description="Quality-filter signals: alpha/punct ratios, token shape, "
+    "stopword density.",
+    tags=("textstats", "llm"),
+)
+def q_text_quality_scores(spark, sf_dir):
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "language_id",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+    CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is','a'))) AS BIGINT) AS hits_en,
+    CAST(len(list_filter(toks, t -> t IN ('der','die','und','ist','das','ein'))) AS BIGINT) AS hits_de,
+    CAST(len(list_filter(toks, t -> t IN ('le','la','et','les','des','une'))) AS BIGINT) AS hits_fr,
+    CAST(len(list_filter(toks, t -> t IN ('el','los','que','una','por','con'))) AS BIGINT) AS hits_es
+  FROM t
+)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+            WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+            WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+            WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM h
+""",
+    description="Marker-stopword language ID with deterministic argmax "
+    "tie-break.",
+    tags=("textstats", "llm"),
+)
+def q_language_id(spark, sf_dir):
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n
+  FROM documents
+)
+SELECT doc_id,
+       md5(n) AS md5_hex,
+       sha256(n) AS sha256_hex,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(n, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+         (acc, c) -> (acc * 257 + c) % 9007199254740881
+       ) AS rolling_hash
+FROM norm
+""",
+    description="Content fingerprints: md5/sha256 + 53-bit polynomial rolling "
+    "hash (Horner fold, JVM-side aggregate).",
+    tags=("textstats", "llm"),
+)
+def q_doc_fingerprints(spark, sf_dir):
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+@register(
+    "multimodal_bytes_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+""",
+    description="Binary-payload metadata path: byte length + content hash "
+    "of the opaque payload column.",
+    tags=("multimodal", "llm"),
+)
+def q_multimodal_bytes_meta(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.sha2("text", 256).alias("payload_sha256"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # crc32/byte features via mapInPandas — not SQL-expressible
+    description="Arrow-batched mapInPandas feature extraction over binary "
+    "payloads (deterministic byte featurizer standing in for the stubbed "
+    "image decoder, operators/multimodal.py).",
+    tags=("multimodal", "llm", "pandas"),
+)
+def q_multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(with_binary_payload(docs))

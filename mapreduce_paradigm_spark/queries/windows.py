@@ -1,1 +1,236 @@
-"""Placeholder — populated in this round."""
+"""Window functions, sessionization, range join, as-of join (SURVEY.md §2.B).
+
+The reference's only ordering construct is the global df-desc/word-asc sort
+(src/main.cpp:83-91); these generalize it to rank/lag/frames/sessionization
+over the ``events`` stream table, plus the two time-join shapes Spark lacks
+as named operators (range join, as-of join) composed from built-ins.
+
+Hash-stability: window sums go through DECIMAL casts (see registry notes);
+timestamps compare as naive values on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_paradigm_spark.functions import dsum
+from mapreduce_paradigm_spark.operators.asof import asof_join
+from mapreduce_paradigm_spark.operators.sessionize import sessionize
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+
+@register(
+    "orders_rank_per_customer",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(rank() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_rank
+FROM orders
+""",
+    description="rank() per customer by order value, deterministic tie-break.",
+    bench=True,
+    tags=("window",),
+)
+def q_orders_rank_per_customer(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).cast("long").alias("price_rank"),
+    )
+
+
+@register(
+    "events_running_sum",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(30,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_value
+FROM events
+""",
+    description="Running per-user sum (unbounded-preceding frame); decimal "
+    "accumulation keeps it engine-exact.",
+    tags=("window", "events"),
+)
+def q_events_running_sum(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "events_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(30,6)))
+            OVER w AS DOUBLE) / count(*) OVER w AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    description="Sliding 3-row mean per user (bounded frame).",
+    tags=("window", "events"),
+)
+def q_events_moving_avg(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "events_lag_lead",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       lag(event_type) OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       value - lag(value) OVER w AS value_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    description="lag/lead navigation within the per-user timeline.",
+    tags=("window", "events"),
+)
+def q_events_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
+@register(
+    "sessionize_30min",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_id
+  FROM tagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+""",
+    description="Gap-based sessionization (30 min) — custom stateful operator "
+    "composed from two window passes + aggregate; one shuffle on user_id.",
+    bench=True,
+    tags=("window", "sessionize", "events"),
+)
+def q_sessionize_30min(spark, sf_dir):
+    ev = sessionize(load_table(spark, sf_dir, "events"))
+    return ev.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum(F.col("value"), "session_value"),
+    )
+
+
+@register(
+    "click_purchase_within_hour",
+    oracle="""
+SELECT a.event_id AS click_id,
+       count(b.event_id) AS n_purchases,
+       CAST(sum(CAST(b.value AS DECIMAL(30,6))) AS DOUBLE) AS purchase_value
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_type = 'purchase'
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'click'
+GROUP BY a.event_id
+""",
+    description="Range (interval) join: purchases within 1h after each click. "
+    "Planned as an equi-join on user_id with the time range as residual "
+    "filter — no cartesian blowup; AQE handles per-user skew.",
+    bench=True,
+    tags=("join", "range", "events"),
+)
+def q_click_purchase_within_hour(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("a_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("a_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"), F.col("value").alias("b_value"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("click_id").agg(
+        F.count("b_id").alias("n_purchases"),
+        dsum(F.col("b_value"), "purchase_value"),
+    )
+
+
+@register(
+    "last_click_before_view",
+    oracle="""
+SELECT a.event_id, a.user_id,
+       (SELECT max(b.ts) FROM events b
+        WHERE b.user_id = a.user_id AND b.event_type = 'click' AND b.ts < a.ts)
+       AS asof_ts
+FROM events a
+WHERE a.event_type = 'view'
+""",
+    description="As-of join (strictly earlier) composed as union-tag + window "
+    "last(ignorenulls) — single shuffle, no per-row subquery "
+    "(operators/asof.py).",
+    tags=("join", "asof", "events"),
+)
+def q_last_click_before_view(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .withColumn("click_ts", F.col("ts"))
+    )
+    out = asof_join(
+        views, clicks, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["click_ts"]
+    )
+    return out.select("event_id", "user_id", F.col("asof_click_ts").alias("asof_ts"))

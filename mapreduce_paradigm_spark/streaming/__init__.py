@@ -1,0 +1,147 @@
+"""Structured Streaming: incremental index maintenance + windowed analytics.
+
+The reference is strictly batch with barrier-synchronized phases
+(/root/reference/src/main.cpp:102,142,268); streaming generalizes its
+merge step: the posting-list union (src/main.cpp:119-128) is commutative and
+associative, which the reference itself relies on for order-independent
+pairwise merging — exactly the property that makes the index maintainable
+incrementally per micro-batch.
+
+Local parquet file-sources here; at scale the same plans run unchanged on
+Kafka/object-store sources — only ``readStream.format`` changes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_paradigm_spark.functions import doc_words
+from mapreduce_paradigm_spark.sources.tables import load_table, table_path
+
+
+def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over one parquet table (schema from a batch read;
+    events' ns→NTZ conversion reused from the batch loader)."""
+    # file-stream sources take a directory; scope to one table via glob
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(table_path(sf_dir, name)).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
+    schema = load_table(spark, sf_dir, name).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming aggregation with availableNow (process everything,
+    then stop) into a memory sink; return the result as a batch DataFrame.
+
+    availableNow preserves incremental semantics (micro-batched state
+    updates) while terminating — the right harness for batch-parity checks.
+    """
+    qname = name or f"mem_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(qname)
+
+
+def streaming_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship index maintained as streaming state: per-word distinct
+    doc set + df, updated per micro-batch (complete output)."""
+    docs = _stream_table(spark, sf_dir, "documents")
+    words = doc_words(docs)
+    # count_distinct is unsupported on streams; collect_set IS the distinct
+    # state, so df derives from its size.
+    return words.groupBy("word").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
+    ).withColumn("df", F.size("doc_ids").cast("long"))
+
+
+def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts over the event stream; complete mode
+    emits every window. (Watermarks require TIMESTAMP-with-timezone event
+    time; this table is NTZ for cross-engine stability, so the
+    watermark/append variant lives in ``windowed_counts_with_watermark`` and
+    is exercised by tests.)"""
+    ev = _stream_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("hour_start"), "event_type", "n")
+    )
+
+
+def windowed_counts_with_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode variant with a real watermark: event time converted to an
+    instant (LTZ) as watermarks require; only windows the watermark has
+    passed are emitted — the late-data-bounded production shape."""
+    ev = _stream_table(spark, sf_dir, "events").withColumn(
+        "ts_ltz", F.to_utc_timestamp(F.col("ts").cast("timestamp"), "UTC")
+    )
+    return (
+        ev.withWatermark("ts_ltz", "1 hour")
+        .groupBy(F.window("ts_ltz", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("hour_start"), "event_type", "n")
+    )
+
+
+def incremental_index_foreachbatch(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> None:
+    """foreachBatch variant: merge each micro-batch's partial index into a
+    parquet state table — the pattern for sinks without native streaming
+    upsert. The merge is the reference's commutative posting-union
+    (src/main.cpp:119-128) expressed as read-union-regroup-overwrite."""
+    docs = _stream_table(spark, sf_dir, "documents")
+    partial = doc_words(docs).distinct()
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            existing = s.read.parquet(state_dir)
+        except Exception:
+            existing = None
+        merged = batch_df if existing is None else existing.unionByName(batch_df)
+        (
+            merged.distinct()
+            .write.mode("overwrite")
+            .parquet(state_dir + "_next")
+        )
+        # atomic-ish swap: state written to _next, then promoted
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.move(state_dir + "_next", state_dir)
+
+    q = (
+        partial.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_fb_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,101 @@
+"""Dedup + similarity operator tests: planted cases and approximate-tier
+recall against the exact tiers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_paradigm_spark.operators.dedup import (
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from mapreduce_paradigm_spark.operators.similarity import lsh_topk_cosine, topk_cosine
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_exact_dedup_groups_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),  # same after normalization
+            (3, "HELLO  WORLD "),
+            (4, "different entirely"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    groups = {r["keep_doc_id"]: r["n_copies"] for r in exact_duplicate_groups(docs).collect()}
+    assert groups == {1: 3, 4: 1}
+
+
+def test_jaccard_pairs_identical_docs(spark):
+    text = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "x y z w v u t s r q")], "doc_id BIGINT, text STRING"
+    )
+    rows = jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    assert [(r["d1"], r["d2"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    exact = {(r["d1"], r["d2"]) for r in jaccard_pairs(docs, 3, 0.5).collect()}
+    approx = {(r["d1"], r["d2"]) for r in minhash_lsh_pairs(docs, 3, 32, 8, 0.5).collect()}
+    assert approx <= exact  # precision exact (verified candidates)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall}: {exact - approx}"
+
+
+def test_simhash_identical_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz yy xx ww")],
+        "doc_id BIGINT, text STRING",
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fp[1] == fp[2] != fp[3]
+    pairs = {(r["d1"], r["d2"]): r["hamming"] for r in simhash_near_pairs(docs, 3).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_topk_cosine_against_numpy(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = topk_cosine(emb, queries, k=3).collect()
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r["q_id"], r["rank"])):
+        by_q.setdefault(r["q_id"], []).append(r["neighbor_id"])
+    for q_id, neighbors in by_q.items():
+        qvec = mat[ids == q_id][0]
+        sims = mat @ qvec / (norms * np.linalg.norm(qvec))
+        sims[ids == q_id] = -np.inf
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:3]
+        assert neighbors == [int(ids[i]) for i in order], f"q={q_id}"
+
+
+def test_lsh_topk_is_subset_of_bucket_exact(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    rows = lsh_topk_cosine(emb, queries, dim=64, k=5, nbits=8).collect()
+    # shape sanity: ranks dense from 1, per-query ≤ 5, no self matches
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["q_id"], r["rank"])):
+        assert r["q_id"] != r["neighbor_id"]
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+@pytest.mark.parametrize("short_text", ["", "one", "one two"])
+def test_shingles_short_docs_no_error(spark, short_text):
+    docs = spark.createDataFrame([(1, short_text)], "doc_id BIGINT, text STRING")
+    assert jaccard_pairs(docs, k=3, threshold=0.1).count() == 0

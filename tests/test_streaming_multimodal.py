@@ -1,0 +1,69 @@
+"""Streaming parity + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_paradigm_spark.operators.index import postings
+from mapreduce_paradigm_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    with_binary_payload,
+)
+from mapreduce_paradigm_spark.sources.tables import load_table
+from mapreduce_paradigm_spark.streaming import (
+    incremental_index_foreachbatch,
+    run_to_memory,
+    windowed_counts_with_watermark,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_incremental_foreachbatch_matches_batch(spark, tmp_path):
+    state = str(tmp_path / "index_state")
+    incremental_index_foreachbatch(spark, SF_SMOKE, state)
+    streamed = spark.read.parquet(state)
+    batch = postings(load_table(spark, SF_SMOKE, "documents"))
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_watermark_append_subset_of_complete(spark):
+    appended = run_to_memory(
+        windowed_counts_with_watermark(spark, SF_SMOKE), output_mode="append"
+    )
+    # append emits only watermark-closed windows: subset of all hourly counts
+    ev = load_table(spark, SF_SMOKE, "events")
+    complete = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    extra = appended.withColumn(
+        "hour_start", F.col("hour_start").cast("timestamp_ntz")
+    ).exceptAll(complete)
+    assert extra.count() == 0
+    assert appended.count() > 0
+
+
+def test_multimodal_features_deterministic(spark):
+    import zlib
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "börek")], "doc_id BIGINT, text STRING"
+    )
+    rows = {r["doc_id"]: r for r in extract_features(with_binary_payload(docs)).collect()}
+    payload = "hello".encode()
+    assert rows[1]["n_bytes"] == 5
+    assert rows[1]["crc32"] == zlib.crc32(payload)
+    assert rows[1]["head_hex"] == payload[:8].hex()
+    assert rows[1]["byte_mean"] == pytest.approx(sum(payload) / 5)
+    assert rows[2]["n_bytes"] == 0 and rows[2]["byte_mean"] == 0.0
+    assert rows[3]["n_bytes"] == len("börek".encode())  # utf-8 bytes, not chars
+
+
+def test_decode_image_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n")
