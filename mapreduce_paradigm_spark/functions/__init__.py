@@ -62,7 +62,7 @@ def word_shingles(arr_expr: str, k: int = 3) -> Column:
     )
 
 
-def dsum(col: Column, alias: str, precision: int = 30, scale: int = 6) -> Column:
+def dsum(col: Column, alias: str, precision: int = 18, scale: int = 6) -> Column:
     """Hash-stable sum of a double expression: cast each value to an exact
     DECIMAL first, so the sum is order-independent and engine-independent
     (a double→decimal cast is deterministic per bit pattern; decimal addition
@@ -72,12 +72,12 @@ def dsum(col: Column, alias: str, precision: int = 30, scale: int = 6) -> Column
     Plain ``sum(double)`` differs across engines in the last ulp (summation
     order), and ``round(sum(..), 2)`` flips at half-cent boundaries —
     this form is exact. Scale 6 keeps money expressions (2dp × 2dp × 2dp)
-    lossless; precision 30 leaves 24 integer digits of headroom.
+    lossless; precision 18 (long-backed, fast) leaves 12 integer digits of headroom.
     """
     return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double").alias(alias)
 
 
-def davg(col: Column, alias: str, precision: int = 30, scale: int = 6) -> Column:
+def davg(col: Column, alias: str, precision: int = 18, scale: int = 6) -> Column:
     """Hash-stable mean: exact decimal sum cast to double, divided by the
     group count — a single double division, bit-identical across engines.
     DuckDB mirror: ``CAST(sum(CAST(x AS DECIMAL(p,s))) AS DOUBLE) / count(*)``."""

@@ -47,15 +47,19 @@ def inverted_index(
 
     ``df`` (document frequency) is the reference's posting-list size used for
     output ordering (src/main.cpp:83-91). ``max_postings`` bounds per-word
-    array state for web-scale corpora (df stays exact).
+    array state for web-scale corpora (df stays exact: computed pre-slice).
+
+    Single-shuffle plan: ``collect_set`` already deduplicates — map-side in
+    the partial aggregate (the reference's per-doc maps, src/main.cpp:234-258)
+    and again in the final merge — so neither a pre-``distinct()`` nor
+    ``count_distinct`` (which would add a second Exchange via the
+    distinct-aggregate rewrite) is needed; df is the set size.
     """
     idx = (
-        postings(docs, text_col, doc_id_col)
+        doc_words(docs, text_col, doc_id_col)
         .groupBy("word")
-        .agg(
-            F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
-            F.count_distinct("doc_id").alias("df"),
-        )
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
+        .withColumn("df", F.size("doc_ids").cast("long"))
     )
     if max_postings is not None:
         idx = idx.withColumn("doc_ids", F.slice("doc_ids", 1, max_postings))

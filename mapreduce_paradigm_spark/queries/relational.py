@@ -55,13 +55,13 @@ def q_filter_projection(spark, sf_dir):
     "pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_price,
-       CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_disc,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -95,7 +95,7 @@ SELECT c_mktsegment,
        count(*) AS n_customers,
        min(c_acctbal) AS min_bal,
        max(c_acctbal) AS max_bal,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_bal,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_bal,
        count(DISTINCT c_nationkey) AS n_nations
 FROM customer
 GROUP BY c_mktsegment
@@ -127,7 +127,7 @@ def q_distinct_status_priority(spark, sf_dir):
     "rollup_qty",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -147,7 +147,7 @@ def q_rollup_qty(spark, sf_dir):
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -204,7 +204,7 @@ def q_approx_distinct_parts(spark, sf_dir):
     oracle="""
 SELECT c_custkey, c_name,
        count(*) AS order_cnt,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_spent
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 """,
@@ -282,7 +282,7 @@ def q_customers_without_orders_anti(spark, sf_dir):
     "revenue_by_region",
     oracle="""
 SELECT r_name,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -320,7 +320,7 @@ def q_revenue_by_region(spark, sf_dir):
     "supplier_nation_broadcast",
     oracle="""
 SELECT n_name, count(*) AS n_suppliers,
-       CAST(sum(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """,
@@ -459,7 +459,7 @@ def q_except_no_f_orders(spark, sf_dir):
 SELECT date_trunc('month', o_orderdate) AS order_month,
        CAST(year(o_orderdate) AS INTEGER) AS order_year,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
 FROM orders
 GROUP BY 1, 2
 """,

@@ -47,7 +47,7 @@ def q_orders_rank_per_customer(spark, sf_dir):
     "events_running_sum",
     oracle="""
 SELECT event_id, user_id,
-       CAST(sum(CAST(value AS DECIMAL(30,6)))
+       CAST(sum(CAST(value AS DECIMAL(18,6)))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
        AS running_value
@@ -66,7 +66,7 @@ def q_events_running_sum(spark, sf_dir):
     return load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("running_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
     )
 
 
@@ -74,7 +74,7 @@ def q_events_running_sum(spark, sf_dir):
     "events_moving_avg",
     oracle="""
 SELECT event_id, user_id,
-       CAST(sum(CAST(value AS DECIMAL(30,6)))
+       CAST(sum(CAST(value AS DECIMAL(18,6)))
             OVER w AS DOUBLE) / count(*) OVER w AS moving_avg
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -93,7 +93,7 @@ def q_events_moving_avg(spark, sf_dir):
         "event_id",
         "user_id",
         (
-            F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
             / F.count(F.lit(1)).over(w)
         ).alias("moving_avg"),
     )
@@ -145,7 +145,7 @@ SELECT user_id, session_id,
        count(*) AS n_events,
        min(ts) AS session_start,
        max(ts) AS session_end,
-       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
 FROM sessioned
 GROUP BY user_id, session_id
 """,
@@ -169,7 +169,7 @@ def q_sessionize_30min(spark, sf_dir):
     oracle="""
 SELECT a.event_id AS click_id,
        count(b.event_id) AS n_purchases,
-       CAST(sum(CAST(b.value AS DECIMAL(30,6))) AS DOUBLE) AS purchase_value
+       CAST(sum(CAST(b.value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
 FROM events a
 LEFT JOIN events b
   ON a.user_id = b.user_id

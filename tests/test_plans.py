@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the scale posture is part of correctness.
+
+Each test pins a plan property that must survive refactors: pushdown,
+pruning, broadcast, partial aggregation, codegen fusion, top-k without
+global sort.
+"""
+
+from __future__ import annotations
+
+from mapreduce_paradigm_spark.plans import (
+    count_occurrences,
+    formatted_plan,
+    has_pushed_filters,
+)
+from mapreduce_paradigm_spark.registry import all_specs
+
+from .conftest import SF_CORRECT
+
+
+def _df(spark, name):
+    return all_specs()[name].builder(spark, SF_CORRECT)
+
+
+def test_filters_push_to_parquet_scan(spark):
+    df = _df(spark, "filter_projection")
+    assert has_pushed_filters(df, "l_discount", "l_quantity")
+
+
+def test_column_pruning_reads_narrow_schema(spark):
+    plan = formatted_plan(_df(spark, "filter_projection"))
+    # lineitem has 11 columns; this projection must scan only 5
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read.split("struct<", 1)[1].count(":") <= 5, read
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = _df(spark, "revenue_by_region")
+    # formatted plans mention each node in tree + details: 4 joins → ≥4 hits
+    assert count_occurrences(df, "BroadcastHashJoin") >= 4
+    assert count_occurrences(df, "SortMergeJoin") == 0
+
+
+def test_aggregate_is_partial_then_final(spark):
+    plan = formatted_plan(_df(spark, "pricing_summary"))
+    # map-side combine (the reference's per-doc maps, src/main.cpp:234-258)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = formatted_plan(_df(spark, "top10_orders"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_flagship_single_wide_shuffle(spark):
+    import re
+
+    plan = formatted_plan(_df(spark, "inverted_index"))
+    # one exchange for the word groupBy; partial agg before it
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(word" in plan
+    assert plan.count("ObjectHashAggregate") >= 2  # partial + final collect_set
+
+
+def test_date_filter_pushdown(spark):
+    df = _df(spark, "pricing_summary")
+    assert has_pushed_filters(df, "l_shipdate")
