@@ -179,6 +179,45 @@ def minhash_lsh_pairs(
     )
 
 
+# --- embedding-cosine near-dup ----------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: all (d1 < d2) with
+    cosine ≥ threshold. The semantic-dedup tier — catches paraphrases
+    that defeat the lexical tiers (Jaccard/MinHash/SimHash).
+
+    Exact all-pairs form (oracle-checkable): broadcast self-join, cosine in
+    codegen via ``zip_with``/``aggregate``. At 100 TB the identical verify
+    step runs over LSH candidates instead of all pairs: normalize each
+    vector ONCE scan-side (cosine → dot product), bucket with
+    ``similarity.hyperplane_buckets``, equi-join on bucket, rerank exact —
+    candidates drop 2^nbits-fold while this function's filter semantics
+    stay the verification step.
+    """
+    d = emb.select(
+        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("e")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    from mapreduce_paradigm_spark.functions import cosine_similarity
+
+    return (
+        a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", cosine_similarity("a.e", "b.e"))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("d1"),
+            F.col("b.id").alias("d2"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 _SIMHASH_BITS = 63  # bit 63 would overflow signed long reassembly

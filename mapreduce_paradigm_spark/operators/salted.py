@@ -1,0 +1,56 @@
+"""Skew-salted aggregation: the two-phase pattern for hot keys.
+
+The reference's per-letter output split (/root/reference/src/main.cpp:55-94)
+is itself a hand-rolled skew mitigation — fan one huge sorted map out into 26
+independently-processed chunks. The general Spark form is salting: append a
+salt to the group key, aggregate (key, salt) — spreading a hot key's partial
+states over ``buckets`` reducers — then aggregate away the salt.
+
+When it pays: aggregates with heavy per-group state (``collect_set``,
+``collect_list``, big sketches) under Zipfian keys — stop words in the
+inverted index hold postings for nearly every document, so a single reducer
+would otherwise receive almost the whole corpus for those few keys. For tiny
+states (counts/sums) AQE's skew handling usually suffices; the pattern is
+registered on term frequency because the result is oracle-checkable while
+the mechanics are identical for the heavy case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame,
+    key_cols: list[str],
+    buckets: int = 16,
+    alias: str = "n",
+) -> DataFrame:
+    """Two-phase count: ``groupBy(keys, salt).count`` → ``groupBy(keys).sum``.
+
+    Salt = input partition id mod ``buckets``: deterministic per task (safe
+    under retries/speculation), no per-row randomness, and rows of a hot key
+    land on up to ``buckets`` distinct reducers in phase 1. Phase 2 moves
+    only ``buckets`` partial rows per key. Result is exactly ``groupBy(
+    keys).count()`` — counts are associative, the split is invisible.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(buckets)))
+    partial = salted.groupBy(*key_cols, "_salt").agg(F.count("*").alias("_pc"))
+    return partial.groupBy(*key_cols).agg(F.sum("_pc").alias(alias))
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    buckets: int = 16,
+) -> DataFrame:
+    """General form for any algebraic aggregate: caller supplies the partial
+    aggregates (over ``(keys, salt)``) and the matching final re-aggregates
+    (over ``keys``); e.g. sum→sum, count→sum, min→min, collect_set→
+    flatten+array_distinct."""
+    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(buckets)))
+    partial = salted.groupBy(*key_cols, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*key_cols).agg(*final_aggs)

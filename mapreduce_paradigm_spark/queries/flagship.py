@@ -115,6 +115,26 @@ def q_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "word_frequency_salted",
+    oracle=DUCK_WORDS
+    + """
+SELECT word, count(*) AS tf
+FROM words
+GROUP BY word
+""",
+    description="Skew-salted two-phase term frequency: groupBy(word, salt) "
+    "then groupBy(word) — hot Zipfian keys (stop words) spread over 16 "
+    "reducers; exact same result as the direct aggregate.",
+    tags=("aggregation", "text", "skew"),
+)
+def q_word_frequency_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paradigm_spark.operators.salted import salted_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return salted_count(doc_words(docs), ["word"], buckets=16, alias="tf")
+
+
+@register(
     "doc_token_stats",
     oracle=DUCK_WORDS
     + """

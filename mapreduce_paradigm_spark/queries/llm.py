@@ -113,6 +113,27 @@ def q_simhash_near_pairs(spark, sf_dir):
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+@register(
+    "embedding_near_dup",
+    oracle="""
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.42
+""",
+    description="Semantic near-dup pairs: embedding cosine >= threshold "
+    "(exact verify tier; LSH-bucketed candidate generation is the scale "
+    "path, operators/dedup.py docstring).",
+    tags=("dedup", "similarity", "llm"),
+)
+def q_embedding_near_dup(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.42)
+
+
 # --- similarity search -------------------------------------------------------
 
 

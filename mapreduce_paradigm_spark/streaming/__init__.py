@@ -110,6 +110,50 @@ def windowed_counts_with_watermark(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value total) kept as explicit group state,
+    re-emitted after every micro-batch that touches the user.
+
+    This is the escape hatch for stateful logic Spark's built-in streaming
+    aggregates can't express (per-key custom accumulators / decision logic);
+    state lives in the state store (checkpointed, partitioned by key) so it
+    scales horizontally with executors.
+
+    The value total is accumulated in integer micro-units (value × 10⁶,
+    exact for 2-dp inputs) so the result is order- and batching-independent —
+    the same commutativity argument the reference's merge relies on
+    (src/main.cpp:119-128) — and bit-matches the batch DECIMAL(18,6) oracle.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _stream_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            micros += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [micros / 1_000_000],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        stateStructType="n BIGINT, micros BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def incremental_index_foreachbatch(
     spark: SparkSession, sf_dir: str, state_dir: str
 ) -> None:
