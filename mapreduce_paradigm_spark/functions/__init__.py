@@ -62,28 +62,47 @@ def word_shingles(arr_expr: str, k: int = 3) -> Column:
     )
 
 
-def dsum(col: Column, alias: str, precision: int = 18, scale: int = 6) -> Column:
-    """Hash-stable sum of a double expression: cast each value to an exact
-    DECIMAL first, so the sum is order-independent and engine-independent
-    (a double→decimal cast is deterministic per bit pattern; decimal addition
-    is exact). Result cast back to DOUBLE. The DuckDB mirror is
-    ``CAST(sum(CAST(x AS DECIMAL(p,s))) AS DOUBLE)``.
+def _micros_sum(col: Column) -> Column:
+    """Exact 6dp sum as a DOUBLE, accumulated in LONG micro-units.
 
-    Plain ``sum(double)`` differs across engines in the last ulp (summation
-    order), and ``round(sum(..), 2)`` flips at half-cent boundaries —
-    this form is exact. Scale 6 keeps money expressions (2dp × 2dp × 2dp)
-    lossless; precision 18 (long-backed, fast) leaves 12 integer digits of headroom.
+    Per row: ``round(x·10⁶) → long`` (cheap integer path, no per-row
+    BigDecimal); per GROUP: one exact long→decimal conversion and a
+    scale-shift division, then a correctly-rounded cast to double. Value-
+    identical to ``CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`` — both
+    compute the exact rational Σ round₆(x) / 10⁶ — which stays the DuckDB
+    oracle form. Order- and engine-independent (integer addition commutes;
+    plain ``sum(double)`` is neither).
+
+    The per-group decimal hop (not ``(double)k / 1e6``) avoids double-
+    rounding once Σmicros exceeds 2⁵³. Long overflow bound: |Σx| < 9.2·10¹²
+    — fine for benchmark SFs; a 100 TB deployment flips to ``decimal(30,6)``
+    accumulation (128-bit, same semantics) via the classic cast form.
     """
-    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double").alias(alias)
-
-
-def davg(col: Column, alias: str, precision: int = 18, scale: int = 6) -> Column:
-    """Hash-stable mean: exact decimal sum cast to double, divided by the
-    group count — a single double division, bit-identical across engines.
-    DuckDB mirror: ``CAST(sum(CAST(x AS DECIMAL(p,s))) AS DOUBLE) / count(*)``."""
     return (
-        F.sum(col.cast(f"decimal({precision},{scale})")).cast("double") / F.count(F.lit(1))
-    ).alias(alias)
+        F.sum(F.round(col * F.lit(1e6), 0).cast("long")).cast("decimal(24,6)")
+        / F.lit(1000000)
+    ).cast("double")
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Hash-stable sum of a double expression (see ``_micros_sum``).
+    DuckDB mirror: ``CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)``."""
+    return _micros_sum(col).alias(alias)
+
+
+def davg(col: Column, alias: str) -> Column:
+    """Hash-stable mean: exact 6dp sum divided by the group count — one
+    double division, bit-identical across engines. DuckDB mirror:
+    ``CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*)``."""
+    return (_micros_sum(col) / F.count(F.lit(1))).alias(alias)
+
+
+def dsum_over(col: Column, window) -> Column:
+    """Windowed form of the exact 6dp sum (``sum(...) OVER w``)."""
+    return (
+        F.sum(F.round(col * F.lit(1e6), 0).cast("long")).over(window).cast("decimal(24,6)")
+        / F.lit(1000000)
+    ).cast("double")
 
 
 def dot_product(a: Column | str, b: Column | str) -> Column:

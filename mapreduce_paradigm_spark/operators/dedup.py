@@ -60,6 +60,41 @@ def shingle_sets(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFra
     )
 
 
+def shingle_postings(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Shingle → sorted distinct posting list + df, in ONE shuffle: the
+    ``collect_set`` partial aggregate dedups map-side (no separate
+    ``distinct`` exchange) — the same single-shuffle shape as the flagship
+    inverted index (reference src/main.cpp:234-258)."""
+    arr = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    raw = arr.select("doc_id", F.explode(word_shingles("toks", k)).alias("shingle"))
+    return (
+        raw.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .withColumn("df", F.size("ds"))
+    )
+
+
+def _pairs_from_postings(postings: DataFrame) -> DataFrame:
+    """(d1 < d2, n_common) by exploding in-array combinations of each posting
+    list — pair generation WITHOUT a self-join: no second scan of the corpus,
+    no join of the full (doc, shingle) stream against itself. Cost is
+    Σ df·(df−1)/2 rows into one pair-count shuffle; singleton shingles
+    (df=1, the majority in natural text) vanish in the filter."""
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+    )
+    return (
+        postings.filter(F.col("df") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     k: int = 3,
@@ -69,25 +104,26 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs ≥ threshold.
 
-    Inverted-list self-join: pairs are only generated for docs sharing a
-    shingle, so cost is Σ df(shingle)² — at scale, cap ``max_shingle_df``
-    to drop stop-shingles (standard candidate pruning; slightly lowers
-    recall for pathological templates, exact for everything else).
+    Inverted-list design: shingle posting lists (one shuffle), pairs by
+    in-array combination explode (one shuffle), set sizes recovered from the
+    postings themselves (size-based join strategy left to AQE: broadcast at
+    bench scale, sort-merge once |docs| outgrows executor memory). At scale,
+    cap ``max_shingle_df`` to drop stop-shingles before pair explosion —
+    Σ df²-bounded work becomes corpus-linear (standard candidate pruning;
+    slightly lowers recall for pathological templates, exact otherwise).
     """
-    sh = shingle_sets(docs, k, text_col)
+    postings = shingle_postings(docs, k, text_col)
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("n_common"))
+        postings = postings.filter(F.col("df") <= max_shingle_df)
+    # feeds two branches (sizes + pairs): persist instead of recomputing the
+    # corpus scan + shuffle per branch. MEMORY_AND_DISK → spills, never OOMs.
+    postings = postings.persist()
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
     )
+    common = _pairs_from_postings(postings)
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     jac = F.col("n_common") / (F.col("s1.sz") + F.col("s2.sz") - F.col("n_common"))
@@ -105,17 +141,27 @@ def jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, k: int = 3, num_hashes: int = 32, text_col: str = "text"
 ) -> DataFrame:
-    """Per-doc MinHash signature: hash each shingle once to a 64-bit base,
-    then derive ``num_hashes`` independent hash families as
-    ``xxhash64(base, i)`` (seed-mixed, overflow-free under ANSI mode)
-    reduced by min. One aggregation, no UDFs; signature width is a column
-    count, not state."""
-    sh = shingle_sets(docs, k, text_col).withColumn("h", F.xxhash64("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """Per-doc one-permutation MinHash (Li/Owen/Zhang 2012): hash each
+    shingle once, route it to bin ``h mod num_hashes``, keep the min per
+    (doc, bin). One narrow-state aggregation — versus the classic K-hash
+    scheme whose K-wide min-aggregate generates a giant (JIT-hostile)
+    update method and K hash evaluations per shingle.
+
+    Returns long format ``(doc_id, bin, mh)``; empty bins are simply absent
+    (the banding step hashes whatever bins a band has — equal shingle sets
+    still collide, sparse docs get marginally lower collision rates).
+    No pre-``distinct``: min over repeated shingles equals min over the
+    distinct set, and the map-side partial aggregate collapses repeats."""
+    arr = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    sh = arr.select(
+        "doc_id", F.explode(word_shingles("toks", k)).alias("shingle")
+    ).withColumn("h", F.xxhash64("shingle"))
+    return sh.groupBy("doc_id", F.pmod("h", F.lit(num_hashes)).alias("bin")).agg(
+        F.min("h").alias("mh")
+    )
 
 
 def minhash_lsh_pairs(
@@ -136,40 +182,39 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signatures(docs, k, num_hashes, text_col)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.bh")
-    a = stacked.alias("a")
-    b = stacked.alias("b")
+    # band hash from the sorted (bin, mh) pairs of each band — a second
+    # aggregate over the SAME doc_id-prefixed key, so AQE reuses the
+    # partitioning; equal shingle sets → equal bins → equal band hash
+    stacked = (
+        sig.groupBy("doc_id", (F.col("bin") / rows).cast("int").alias("band_idx"))
+        .agg(F.xxhash64(F.array_sort(F.collect_list(F.struct("bin", "mh")))).alias("bh"))
+    )
+    # candidates per bucket WITHOUT a self-join: group each (band, hash)
+    # bucket into a sorted doc list, explode in-array combinations —
+    # Σ bucket² work, one shuffle, identical pair set.
+    buckets = (
+        stacked.groupBy("band_idx", "bh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
-    # verify candidates against exact Jaccard (computed only for candidates)
-    sh = shingle_sets(docs, k, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    common = (
-        candidates.join(sa, F.col("d1") == F.col("sa.doc_id"))
-        .join(sb, (F.col("d2") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("n_common"))
+    # verify candidates against exact Jaccard: intersect with the
+    # postings-explode pair counts (no per-candidate re-scan of the corpus)
+    postings = shingle_postings(docs, k, text_col).persist()
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
     )
+    common = _pairs_from_postings(postings).join(candidates, ["d1", "d2"])
     jac = F.col("n_common") / (F.col("s1.sz") + F.col("s2.sz") - F.col("n_common"))
     return (
         common.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
@@ -254,25 +299,26 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "t
     agree exactly on ≥1 chunk → equi-join per chunk (linear candidates),
     then verify with bit_count(xor). No quadratic pass.
     """
-    sh = simhash(docs, text_col)
+    # fingerprints feed 4 bucket branches: persist the (tiny) result rather
+    # than recomputing the 63-aggregate pipeline per chunk
+    sh = simhash(docs, text_col).persist()
     chunks = [(0, 16), (16, 16), (32, 16), (48, 15)]
-    chunk_cols = [
-        (F.shiftright("simhash", lo).bitwiseAND(F.lit((1 << width) - 1))).alias(f"c{i}")
-        for i, (lo, width) in enumerate(chunks)
-    ]
-    tagged = sh.select("doc_id", "simhash", *chunk_cols)
+    # bucket per chunk value, pairs by in-array combination explode (the
+    # same no-self-join shape as the shingle/band pair generation); the
+    # struct carries both fingerprints so no lookup join is needed after
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x.doc_id AS d1, y.doc_id AS d2, x.simhash AS h1, y.simhash AS h2))))"
+    )
     pairs = None
-    for i in range(len(chunks)):
-        a = tagged.alias("a")
-        b = tagged.alias("b")
-        p = a.join(
-            b,
-            (F.col(f"a.c{i}") == F.col(f"b.c{i}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.simhash").alias("h1"),
-            F.col("b.simhash").alias("h2"),
+    for i, (lo, width) in enumerate(chunks):
+        bucket = F.shiftright("simhash", lo).bitwiseAND(F.lit((1 << width) - 1))
+        p = (
+            sh.groupBy(bucket.alias("c"))
+            .agg(F.sort_array(F.collect_set(F.struct("doc_id", "simhash"))).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(F.explode(pair_expr).alias("p"))
+            .select("p.d1", "p.d2", "p.h1", "p.h2")
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     return (

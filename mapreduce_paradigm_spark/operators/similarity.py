@@ -19,11 +19,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreduce_paradigm_spark.functions import cosine_similarity, dot_product
+from mapreduce_paradigm_spark.functions import dot_product
 
 
 def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn("emb_d", F.col(col).cast("array<double>"))
+
+
+def _unit_normalized(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Scale each vector by 1/‖v‖ ONCE scan-side, so every pairwise cosine
+    downstream is a single dot product — O(n+m) norm work instead of O(n·m)."""
+    from mapreduce_paradigm_spark.functions import l2_norm
+
+    d = _as_double(df, col)
+    inv = 1.0 / l2_norm(F.col("emb_d"))
+    return d.withColumn("emb_d", F.transform(F.col("emb_d"), lambda x: x * inv))
 
 
 def topk_cosine(
@@ -35,23 +45,71 @@ def topk_cosine(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Returns (q_id, neighbor_id, rank, cosine). Self-matches excluded.
-    The query side is broadcast (no corpus shuffle); ranking ties broken by
-    neighbor id for determinism.
+    Returns (q_id, neighbor_id, rank, cosine). Self-matches excluded; ties
+    broken by neighbor id. The 100 TB shape: the (small) query side is
+    collected and broadcast as one numpy matrix; executors scan the corpus
+    with ``mapInPandas``, score each Arrow batch against ALL queries at once
+    (vectorized across rows, but accumulated dimension-by-dimension so every
+    cosine is the same left-to-right fold a scalar loop produces), and emit
+    only their LOCAL top-k per query. The global merge then ranks
+    ``partitions × queries × k`` candidate rows — the corpus itself never
+    shuffles and no pair matrix is ever materialized. (The total order
+    (cosine desc, id asc) is tie-free, so per-partition top-k + merge is
+    exact.) Right up to ~10⁴ queries; beyond that, batch the query set.
     """
-    q = _as_double(queries, emb_col).select(
-        F.col(id_col).alias("q_id"), F.col("emb_d").alias("q_emb")
+    import numpy as np
+
+    spark = corpus.sparkSession
+    qrows = (
+        _unit_normalized(queries, emb_col).select(F.col(id_col), F.col("emb_d")).collect()
     )
-    c = _as_double(corpus, emb_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("emb_d").alias("c_emb")
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (nq, dim)
+    bq = spark.sparkContext.broadcast((q_ids, qmat))
+
+    c = _unit_normalized(corpus, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("emb_d")
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity("q_emb", "c_emb"))
+
+    def local_topk(batches):
+        import pandas as pd
+
+        ids, Q = bq.value
+        nq, dim = Q.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.vstack(pdf["emb_d"].to_numpy())  # (B, dim)
+            n_ids = pdf["neighbor_id"].to_numpy()
+            # sequential fold over dimensions → bit-identical to a scalar
+            # left-to-right dot product, vectorized over (B, nq) at once
+            acc = C[:, 0][:, None] * Q[:, 0][None, :]
+            for i in range(1, dim):
+                acc = acc + C[:, i][:, None] * Q[:, i][None, :]
+            out_q, out_n, out_c = [], [], []
+            take = min(k, len(n_ids))
+            for j in range(nq):
+                col = acc[:, j].copy()
+                col[n_ids == ids[j]] = -np.inf  # exclude self-match
+                order = np.lexsort((n_ids, -col))[:take]
+                keep = col[order] > -np.inf
+                out_q.append(np.full(keep.sum(), ids[j]))
+                out_n.append(n_ids[order][keep])
+                out_c.append(col[order][keep])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    candidates = c.mapInPandas(
+        local_topk, schema="q_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        candidates.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine")
     )
@@ -91,15 +149,23 @@ def lsh_topk_cosine(
     """Approximate top-k: candidates = same-bucket vectors, exact cosine
     rerank inside the bucket. Trades recall for a 2^nbits candidate
     reduction; returns the same shape as ``topk_cosine``."""
-    cb = hyperplane_buckets(corpus, dim, nbits, seed, emb_col).select(
+    from mapreduce_paradigm_spark.functions import l2_norm
+
+    def _norm(df: DataFrame) -> DataFrame:
+        # cosine → dot: normalize once per vector (bucket signs are
+        # scale-invariant, so this composes freely with the hashing)
+        inv = 1.0 / l2_norm(F.col("emb_d"))
+        return df.withColumn("emb_d", F.transform(F.col("emb_d"), lambda x: x * inv))
+
+    cb = _norm(hyperplane_buckets(corpus, dim, nbits, seed, emb_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col("emb_d").alias("c_emb"), "bucket"
     )
-    qb = hyperplane_buckets(queries, dim, nbits, seed, emb_col).select(
+    qb = _norm(hyperplane_buckets(queries, dim, nbits, seed, emb_col)).select(
         F.col(id_col).alias("q_id"), F.col("emb_d").alias("q_emb"), F.col("bucket").alias("q_bucket")
     )
     scored = (
         cb.join(F.broadcast(qb), (F.col("bucket") == F.col("q_bucket")) & (F.col("q_id") != F.col("neighbor_id")))
-        .withColumn("cosine", cosine_similarity("q_emb", "c_emb"))
+        .withColumn("cosine", dot_product("q_emb", "c_emb"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

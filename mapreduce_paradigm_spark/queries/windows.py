@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreduce_paradigm_spark.functions import dsum
+from mapreduce_paradigm_spark.functions import dsum, dsum_over
 from mapreduce_paradigm_spark.operators.asof import asof_join
 from mapreduce_paradigm_spark.operators.sessionize import sessionize
 from mapreduce_paradigm_spark.registry import register
@@ -66,7 +66,7 @@ def q_events_running_sum(spark, sf_dir):
     return load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+        dsum_over(F.col("value"), w).alias("running_value"),
     )
 
 
@@ -92,10 +92,7 @@ def q_events_moving_avg(spark, sf_dir):
     return load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
-            / F.count(F.lit(1)).over(w)
-        ).alias("moving_avg"),
+        (dsum_over(F.col("value"), w) / F.count(F.lit(1)).over(w)).alias("moving_avg"),
     )
 
 

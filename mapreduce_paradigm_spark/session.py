@@ -23,6 +23,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.files.maxPartitionBytes": "128m",
+    # low open-cost so SMALL inputs still split across all cores (split size
+    # = max(openCost, bytes/cores) capped at maxPartitionBytes); at 100 TB
+    # bytes/core dominates and this knob is inert.
+    "spark.sql.files.openCostInBytes": "131072",
     "spark.sql.parquet.filterPushdown": "true",
     # dims (region/nation/customer/supplier/part) are broadcast-able well past
     # the 10m default at bench scale; joins also carry explicit broadcast()
