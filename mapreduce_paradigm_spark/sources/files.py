@@ -1,0 +1,92 @@
+"""Delimited / JSON file sources and sinks.
+
+The reference reads only raw text files (src/main.cpp:232-242); the
+generalized engine adds the standard columnar-adjacent interchange formats.
+Design rules for 100 TB:
+
+- ALWAYS pass an explicit schema: ``inferSchema``/sampling re-reads the
+  input and produces drifting types — a schema is part of the contract.
+- CSV/JSON are ingest/egress formats, not processing formats: land them,
+  convert to parquet early, keep plans on the columnar path (pushdown,
+  vectorized reads, stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Schema-explicit CSV scan (PERMISSIVE mode: malformed rows become
+    nulls rather than failing the 100 TB job; route them to a quarantine
+    column with ``columnNameOfCorruptRecord`` if auditing is needed)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite").option("header", str(header).lower())
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """Schema-explicit JSON-lines scan (one object per line — the only JSON
+    layout that splits across executors; multiline documents serialize the
+    whole file through one task)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink; ``partition_by`` yields hive-style directories that
+    Catalyst partition-prunes (the scale form of the reference's 26
+    per-letter files, src/main.cpp:156-162)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffles data into ``num_buckets`` by
+    ``bucket_col`` at WRITE time, so every later equi-join or aggregation
+    on that key runs with NO exchange — the amortize-one-shuffle-forever
+    strategy for hot join keys (fact tables joined every query). Both join
+    sides must agree on (col, num_buckets)."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
