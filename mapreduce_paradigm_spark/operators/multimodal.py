@@ -86,3 +86,47 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         _feature_batches, schema=FEATURE_SCHEMA
     )
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize path — requires PIL, absent in this container by design."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image resize requires PIL; container ships without it — the "
+            "Spark-side plumbing (mapInPandas over binary payloads) is "
+            "identical to sample_frames(), which uses a deterministic fake"
+        )
+    raise NotImplementedError("wire PIL Image.resize((width, height)) when available")
+
+
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, frame_len BIGINT, frame_md5 STRING"
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 256, stride: int = 4
+) -> DataFrame:
+    """Video-style frame sampling over opaque payloads: split each payload
+    into fixed-size frames, keep every ``stride``-th, fingerprint each.
+
+    The frame DECODE is the stubbed step (a real pipeline would demux with
+    pyav/ffmpeg here); the Spark-side shape is the real thing — one
+    ``mapInPandas`` pass, rows fan out per sampled frame, partitioning
+    preserved, output schema typed. Deterministic, so it is oracle-checkable.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = max(1, -(-len(data) // frame_size)) if data else 0
+                for i in range(0, n_frames, stride):
+                    frame = data[i * frame_size : (i + 1) * frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -5,5 +5,6 @@ from mapreduce_paradigm_spark.queries import (  # noqa: F401
     llm,
     relational,
     streaming_q,
+    subqueries,
     windows,
 )

@@ -318,3 +318,29 @@ def q_multimodal_bytes_meta(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(ceil(strlen(text) / 256.0) - 1 AS BIGINT))) AS i
+  FROM documents WHERE strlen(text) > 0
+)
+SELECT doc_id, i AS frame_idx,
+       CAST(strlen(substr(text, 1 + i * 256, 256)) AS BIGINT) AS frame_len,
+       md5(substr(text, 1 + i * 256, 256)) AS frame_md5
+FROM f WHERE i % 4 = 0
+""",
+    description="Video-style frame sampling plumbing: mapInPandas splits "
+    "each binary payload into 256-byte frames, keeps every 4th, fingerprints "
+    "each (operators/multimodal.py; decode step stubbed, Spark shape real). "
+    "Corpus is ASCII so the byte-frame oracle is expressible over text.",
+    tags=("multimodal", "llm", "pandas"),
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs), frame_size=256, stride=4)

@@ -16,6 +16,7 @@ from mapreduce_paradigm_spark.streaming import (
     stateful_user_totals,
     streaming_hourly_event_counts,
     streaming_inverted_index,
+    streaming_session_windows,
 )
 
 
@@ -52,6 +53,40 @@ GROUP BY 1, 2
 )
 def q_streaming_hourly_event_counts(spark, sf_dir):
     return run_to_memory(streaming_hourly_event_counts(spark, sf_dir))
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_id
+  FROM tagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+""",
+    description="session_window streaming aggregation (30-min gap) run via "
+    "availableNow; must hash-match the batch gap-sessionization oracle "
+    "(half-open interval => new session at gap >= 30 min; end = last+gap).",
+    tags=("streaming", "window", "events"),
+)
+def q_streaming_session_windows(spark, sf_dir):
+    return run_to_memory(streaming_session_windows(spark, sf_dir))
 
 
 @register(

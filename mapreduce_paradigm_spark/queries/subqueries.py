@@ -1,0 +1,152 @@
+"""Subquery shapes: EXISTS / NOT EXISTS, IN, scalar and correlated
+subqueries — the query surface where staying declarative pays most, because
+Catalyst DECORRELATES these into joins/aggregates (RewriteCorrelatedScalarSubquery,
+RewritePredicateSubquery) instead of executing a per-row nested loop the way
+a naive engine would. Built via ``spark.sql`` over registered views so the
+SQL text itself exercises the analyzer path.
+
+The reference has no subqueries (single-input pipeline,
+/root/reference/src/main.cpp); these extend its capability matrix per
+SURVEY.md §2.B.
+"""
+
+from __future__ import annotations
+
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import register_views
+
+
+@register(
+    "orders_priority_count_exists",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_discount > 0.08
+)
+GROUP BY o_orderpriority
+""",
+    description="TPC-H Q4 shape: correlated EXISTS decorrelated by Catalyst "
+    "into a left-semi join (RewritePredicateSubquery) — no per-row probing.",
+    tags=("subquery", "join"),
+)
+def q_orders_priority_count_exists(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_discount > 0.08
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "parts_never_ordered_not_exists",
+    oracle="""
+SELECT p_partkey, p_name
+FROM part
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+)
+""",
+    description="NOT EXISTS → left-anti join under decorrelation.",
+    tags=("subquery", "join"),
+)
+def q_parts_never_ordered_not_exists(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE NOT EXISTS (
+          SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+        )
+        """
+    )
+
+
+@register(
+    "customers_above_avg_balance",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                          / count(*) FROM customer)
+""",
+    description="Uncorrelated scalar subquery (global mean) — one aggregate "
+    "broadcast into the filter, engine-exact via the decimal-stable mean.",
+    tags=("subquery",),
+)
+def q_customers_above_avg_balance(spark, sf_dir):
+    register_views(spark, sf_dir)
+    # identical SQL text to the oracle: the decimal cast is exact for 2dp
+    # money, so both engines compute the same threshold double bit-for-bit
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                                  / count(*) FROM customer)
+        """
+    )
+
+
+@register(
+    "suppliers_above_nation_avg",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier s
+WHERE s_acctbal > (
+  SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+  FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
+)
+""",
+    description="CORRELATED scalar subquery (per-nation mean) — Catalyst "
+    "rewrites to aggregate-then-join (RewriteCorrelatedScalarSubquery); the "
+    "nested loop a row-engine would run never exists.",
+    tags=("subquery", "join"),
+)
+def q_suppliers_above_nation_avg(spark, sf_dir):
+    register_views(spark, sf_dir)
+    # identical SQL text to the oracle (see customers_above_avg_balance)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier s
+        WHERE s_acctbal > (
+          SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+          FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
+        )
+        """
+    )
+
+
+@register(
+    "orders_in_top_segment_customers",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+""",
+    description="IN-subquery → left-semi join.",
+    tags=("subquery", "join"),
+)
+def q_orders_in_top_segment_customers(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        """
+    )

@@ -122,6 +122,70 @@ def q_events_lag_lead(spark, sf_dir):
 
 
 @register(
+    "orders_ranking_suite",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(dense_rank()   OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4)       OVER w AS BIGINT) AS quartile,
+       percent_rank()      OVER w AS prnk,
+       first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS first_ok,
+       last_value(o_orderkey)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS last_ok
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    description="Full ranking-function suite per customer: dense_rank, "
+    "ntile, percent_rank, first/last value with explicit frames (unique "
+    "order key → deterministic across engines).",
+    tags=("window",),
+)
+def q_orders_ranking_suite(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.first("o_orderkey").over(wfull).alias("first_ok"),
+        F.last("o_orderkey").over(wfull).alias("last_ok"),
+    )
+
+
+@register(
+    "quantity_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5)  AS median_qty,
+       quantile_cont(l_quantity, 0.95) AS p95_qty,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description="Exact linear-interpolation percentiles (Spark `percentile` "
+    "== DuckDB `quantile_cont`); the approx_percentile sketch is the scale "
+    "path when exactness isn't required.",
+    tags=("aggregation", "percentile"),
+)
+def q_quantity_percentiles(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("median_qty"),
+            F.percentile("l_quantity", 0.95).alias("p95_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+
+
+@register(
     "sessionize_30min",
     oracle="""
 WITH tagged AS (

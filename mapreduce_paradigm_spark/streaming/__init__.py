@@ -110,6 +110,33 @@ def windowed_counts_with_watermark(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) maintained as streaming state via
+    ``session_window`` — Spark merges/extends window state per micro-batch.
+    Complete output mode (no watermark) so availableNow processing yields
+    exactly the batch answer; production sets a watermark + append to bound
+    state. Session end is last-event + gap (half-open interval), so the
+    batch equivalent starts a new session when the inter-event gap is
+    >= 30 min."""
+    ev = _stream_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * F.lit(1e6), 0).cast("long")).alias("_micros"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            (F.col("_micros").cast("decimal(24,6)") / F.lit(1000000))
+            .cast("double")
+            .alias("session_value"),
+        )
+    )
+
+
 def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running (event count, value total) kept as explicit group state,
