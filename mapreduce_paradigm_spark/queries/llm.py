@@ -165,6 +165,23 @@ def q_embedding_topk_cosine(spark, sf_dir):
 
 
 @register(
+    "embedding_ivf_topk",
+    oracle=None,  # approximate by construction (probe recall < 1)
+    description="IVF-style ANN: coarse-quantizer inverted lists, nprobe "
+    "nearest lists per query, exact in-list rerank — one mapInPandas corpus "
+    "pass; at scale the lists are parquet partitions and probing becomes "
+    "partition pruning (operators/similarity.py).",
+    tags=("similarity", "llm", "approx"),
+)
+def q_embedding_ivf_topk(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.similarity import ivf_topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk_cosine(emb, queries, k=5, nlist=8, nprobe=4)
+
+
+@register(
     "embedding_lsh_topk",
     oracle=None,  # approximate by construction (bucket recall < 1)
     description="Hyperplane-LSH bucketed ANN with exact in-bucket rerank — "

@@ -95,6 +95,25 @@ def test_lsh_topk_is_subset_of_bucket_exact(spark):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_ivf_topk_recall_against_exact(spark):
+    from mapreduce_paradigm_spark.operators.similarity import ivf_topk_cosine
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["q_id"], r["neighbor_id"]) for r in topk_cosine(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ivf_topk_cosine(emb, queries, k=5, nlist=8, nprobe=4).collect()
+    }
+    # probing half the lists on near-uniform vectors: expect moderate recall,
+    # and every returned pair must be a real corpus vector (no fabrication)
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.3, f"recall {recall}"
+    assert all(q != n for q, n in ivf)
+
+
 @pytest.mark.parametrize("short_text", ["", "one", "one two"])
 def test_shingles_short_docs_no_error(spark, short_text):
     docs = spark.createDataFrame([(1, short_text)], "doc_id BIGINT, text STRING")
