@@ -67,3 +67,42 @@ def test_flagship_single_wide_shuffle(spark):
 def test_date_filter_pushdown(spark):
     df = _df(spark, "pricing_summary")
     assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_exists_decorrelates_to_semi_join(spark):
+    plan = formatted_plan(_df(spark, "orders_priority_count_exists"))
+    assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_not_exists_decorrelates_to_anti_join(spark):
+    plan = formatted_plan(_df(spark, "parts_never_ordered_not_exists"))
+    assert "LeftAnti" in plan or "left_anti" in plan.lower(), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_correlated_scalar_subquery_becomes_aggregate_join(spark):
+    # per-nation mean: one aggregate joined back — NOT a per-row nested loop
+    plan = formatted_plan(_df(spark, "suppliers_above_nation_avg"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final of the decorrelated agg
+
+
+def test_minhash_no_join_in_candidate_generation(spark):
+    # candidates come from bucket groupBy + in-array explode; the only joins
+    # are the final verify joins against sizes/candidates
+    plan = formatted_plan(_df(spark, "minhash_lsh_pairs"))
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_corpus_never_shuffles(spark):
+    import re
+
+    # exact ANN: scan → normalize → MapInPandas (local top-k) and then ONE
+    # exchange of candidate rows only, hash-partitioned by query id, with a
+    # partial WindowGroupLimit before it — the corpus itself never shuffles
+    plan = formatted_plan(_df(spark, "embedding_topk_cosine"))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(q_id" in plan
+    assert "row_number(), 5, Partial" in plan  # pre-shuffle top-k pruning
