@@ -586,3 +586,62 @@ def q_embedding_array_funcs(spark, sf_dir):
         ).alias("component_sum"),
         F.array_max("emb_d").alias("max_component"),
     )
+
+
+@register(
+    "orders_status_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS cnt_f,
+       count(*) FILTER (o_orderstatus = 'O') AS cnt_o,
+       count(*) FILTER (o_orderstatus = 'P') AS cnt_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+    description="Pivot (long -> wide): order counts by status column; "
+    "explicit value list keeps the plan a single pass (no distinct-values "
+    "pre-query).",
+    tags=("pivot", "aggregation"),
+)
+def q_orders_status_pivot(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
+@register(
+    "lineitem_unpivot_metrics",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+FROM lineitem WHERE l_linenumber = 1
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_linenumber = 1
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+FROM lineitem WHERE l_linenumber = 1
+""",
+    description="Unpivot/melt (wide -> long): three measure columns into "
+    "(metric, val) rows — the Spark `unpivot` relational operator.",
+    tags=("pivot", "projection"),
+)
+def q_lineitem_unpivot_metrics(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "val",
+        )
+    )

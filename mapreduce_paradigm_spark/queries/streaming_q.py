@@ -14,6 +14,8 @@ from mapreduce_paradigm_spark.registry import register
 from mapreduce_paradigm_spark.streaming import (
     run_to_memory,
     stateful_user_totals,
+    streaming_click_purchase_join,
+    streaming_distinct_doc_hashes,
     streaming_hourly_event_counts,
     streaming_inverted_index,
     streaming_session_windows,
@@ -87,6 +89,39 @@ GROUP BY user_id, session_id
 )
 def q_streaming_session_windows(spark, sf_dir):
     return run_to_memory(streaming_session_windows(spark, sf_dir))
+
+
+@register(
+    "streaming_dedup_hashes",
+    oracle="""
+SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash
+FROM documents
+""",
+    description="Streaming exact dedup via dropDuplicates state; the "
+    "surviving hash set must equal the batch DISTINCT.",
+    tags=("streaming", "dedup"),
+)
+def q_streaming_dedup_hashes(spark, sf_dir):
+    return run_to_memory(streaming_distinct_doc_hashes(spark, sf_dir), output_mode="append")
+
+
+@register(
+    "streaming_click_purchase_join",
+    oracle="""
+SELECT a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+""",
+    description="Stream-stream inner join (same-user purchase within 1h of "
+    "a click); matches emitted per micro-batch must equal the batch range "
+    "join.",
+    tags=("streaming", "join", "events"),
+)
+def q_streaming_click_purchase_join(spark, sf_dir):
+    return run_to_memory(streaming_click_purchase_join(spark, sf_dir), output_mode="append")
 
 
 @register(

@@ -181,6 +181,45 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_distinct_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on the normalized content
+    hash — Spark keeps the seen-key set as streaming state, emitting only
+    first occurrences. Output is the hash set itself (which doc survives is
+    arrival-order dependent, the set of hashes is not). Production bounds
+    the state with ``dropDuplicatesWithinWatermark``."""
+    docs = _stream_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("text_hash")
+        )
+        .dropDuplicates(["text_hash"])
+    )
+
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join: clicks matched to same-user purchases
+    within the following hour. Inner joins emit on match (no watermark
+    needed for correctness; production adds watermarks on both sides so the
+    join state can be evicted — without them state grows unboundedly)."""
+    ev = _stream_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id")
+
+
 def incremental_index_foreachbatch(
     spark: SparkSession, sf_dir: str, state_dir: str
 ) -> None:
