@@ -98,6 +98,29 @@ def q_top5_words_per_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inverted_index_formatted",
+    oracle=DUCK_WORDS
+    + """
+SELECT substring(word, 1, 1) AS letter,
+       word || ':[' || array_to_string(list_sort(list(DISTINCT doc_id)), ' ') || ']'
+         AS record
+FROM words
+GROUP BY word
+""",
+    description="Reference sink format parity (src/main.cpp:167-176): "
+    "`word:[i1 i2 ... ik]` records keyed by output-partition letter — the "
+    "exact bytes the 26-file text sink writes.",
+    tags=("flagship", "sink", "text"),
+)
+def q_inverted_index_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paradigm_spark.sinks import format_index_records
+
+    return format_index_records(_index_df(spark, sf_dir)).select(
+        "letter", F.col("value").alias("record")
+    )
+
+
+@register(
     "word_frequency",
     oracle=DUCK_WORDS
     + """

@@ -186,6 +186,31 @@ def q_quantity_percentiles(spark, sf_dir):
 
 
 @register(
+    "user_value_trend",
+    oracle="""
+WITH t AS (
+  SELECT user_id, value,
+         (epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id)) / 3600.0 AS xh
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       round(regr_slope(value, xh), 6) AS slope
+FROM t
+GROUP BY user_id
+HAVING count(*) >= 2 AND var_pop(xh) > 0
+""",
+    description="Grouped-map applyInPandas: per-user least-squares value "
+    "trend (cov/var with centered x == SQL regr_slope); each user group is "
+    "one Arrow batch on an executor (operators/grouped.py).",
+    tags=("pandas", "events", "regression"),
+)
+def q_user_value_trend(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.grouped import user_value_trend
+
+    return user_value_trend(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "sessionize_30min",
     oracle="""
 WITH tagged AS (
