@@ -302,10 +302,12 @@ def q_revenue_by_region(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    # dims broadcast explicitly: at 100 TB lineitem dominates; orders→region
-    # chain stays map-side, the only exchange is the final 5-group agg.
+    # genuine dims (customer/nation/region) broadcast explicitly; orders is
+    # SF-proportional — NOT broadcastable at 100 TB — so its join strategy is
+    # left to size-based planning/AQE: broadcast at bench scale, shuffle (or
+    # bucketed co-location, sources/files.save_bucketed) at cluster scale.
     joined = (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -643,5 +645,38 @@ def q_lineitem_unpivot_metrics(spark, sf_dir):
             ["l_quantity", "l_discount", "l_tax"],
             "metric",
             "val",
+        )
+    )
+
+
+@register(
+    "lineitem_map_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       2 AS n_keys,
+       l_quantity AS qty_from_map,
+       'qty,tax' AS keys_csv
+FROM lineitem
+WHERE l_linenumber <= 2
+""",
+    description="Map function suite: map_from_arrays, size, element_at, "
+    "map_keys — the oracle checks the extracted VALUES (DuckDB needs no map "
+    "detour to validate them).",
+    tags=("functions", "map"),
+)
+def q_lineitem_map_funcs(spark, sf_dir):
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("tax")),
+        F.array(F.col("l_quantity"), F.col("l_tax")),
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") <= 2)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.size(m).alias("n_keys"),
+            F.element_at(m, F.lit("qty")).alias("qty_from_map"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
         )
     )
