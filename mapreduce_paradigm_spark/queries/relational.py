@@ -680,3 +680,140 @@ def q_lineitem_map_funcs(spark, sf_dir):
             F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
         )
     )
+
+
+@register(
+    "shipmode_priority_counts",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+GROUP BY l_returnflag
+""",
+    description="TPC-H Q12 shape: conditional CASE aggregation over a "
+    "fact-fact join with a pushed date filter.",
+    tags=("join", "aggregation", "case"),
+)
+def q_shipmode_priority_counts(spark, sf_dir):
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_ratio",
+    oracle="""
+SELECT 100.0
+       * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+    description="TPC-H Q14 shape: conditional-revenue ratio (single global "
+    "aggregate, broadcastable part dim); exact decimal accumulation on both "
+    "branches.",
+    tags=("join", "aggregation", "case"),
+)
+def q_promo_revenue_ratio(spark, sf_dir):
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6), 0).cast("long")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("long"))
+    den = F.sum(rev).cast("decimal(24,6)") / F.lit(1000000)
+    num = F.sum(promo).cast("decimal(24,6)") / F.lit(1000000)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * num.cast("double") / den.cast("double")).alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "disjunctive_filter_join",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_size >= 40 AND l_quantity >= 25)
+""",
+    description="TPC-H Q19 shape: disjunctive multi-table predicates — "
+    "Catalyst pushes the single-table residuals below the join and keeps "
+    "the cross-table OR as the join filter.",
+    tags=("join", "filter"),
+)
+def q_disjunctive_filter_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_size") >= 40) & (F.col("l_quantity") >= 25))
+    )
+    return j.filter(cond).agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_extendedprice"), "total_price"),
+    )
+
+
+@register(
+    "nation_pair_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY 1, 2, 3
+""",
+    description="TPC-H Q7 shape: supplier-nation x customer-nation trade "
+    "volume by year — the same dim (nation) joined twice under different "
+    "roles.",
+    tags=("join", "aggregation"),
+)
+def q_nation_pair_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year")
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"))
