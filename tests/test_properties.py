@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis): the word pipeline against a direct
+Python transliteration of the REFERENCE semantics, and the decimal-stable
+sum against exact rational arithmetic.
+
+Reference semantics under test (/root/reference/src/main.cpp):
+- tokens split on whitespace (istringstream >>, :239-242)
+- filterWord keeps [A-Za-z] only and lowercases (:191-208)
+- empty results dropped (:247)
+- per-doc distinct (:247-249)
+
+Each property batches all generated rows through ONE Spark job, so the
+suite stays fast while hypothesis explores unicode/digit/punctuation
+edges.
+"""
+
+from __future__ import annotations
+
+import re
+from fractions import Fraction
+
+from hypothesis import given, settings, strategies as st
+
+from mapreduce_paradigm_spark.functions import doc_words, dsum
+
+# Java's \s (used by Spark split) is ASCII-only; mirror with re.ASCII.
+_WS = re.compile(r"\s+", re.ASCII)
+_NON_ALPHA = re.compile(r"[^A-Za-z]")
+
+
+def _reference_words(text: str) -> set[str]:
+    out = set()
+    for tok in _WS.split(text):
+        w = _NON_ALPHA.sub("", tok).lower()
+        if w:
+            out.add(w)
+    return out
+
+
+texts = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    max_size=60,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_doc_words_matches_reference_semantics(spark, docs_texts):
+    docs = spark.createDataFrame(
+        list(enumerate(docs_texts, start=1)), "doc_id BIGINT, text STRING"
+    )
+    got: dict[int, set[str]] = {}
+    for r in doc_words(docs).distinct().collect():
+        got.setdefault(r["doc_id"], set()).add(r["word"])
+    want = {
+        i: _reference_words(t)
+        for i, t in enumerate(docs_texts, start=1)
+        if _reference_words(t)
+    }
+    assert got == want
+
+
+money = st.integers(min_value=-(10**8), max_value=10**8).map(lambda c: c / 100.0)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(money, min_size=1, max_size=50))
+def test_dsum_is_exact_over_2dp_values(spark, values):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in values], "x DOUBLE")
+    got = df.agg(dsum(F.col("x"), "s")).collect()[0]["s"]
+    # exact rational sum of round6(x) — what both engines must produce
+    exact = sum(Fraction(round(v * 100)) for v in values) / 100
+    assert got == float(exact)
