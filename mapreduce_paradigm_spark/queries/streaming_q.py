@@ -124,6 +124,13 @@ def q_streaming_click_purchase_join(spark, sf_dir):
     return run_to_memory(streaming_click_purchase_join(spark, sf_dir), output_mode="append")
 
 
+# NOTE: transform_with_state_user_types (the Spark 4 processor-based
+# stateful API) is implemented in streaming/__init__.py but NOT registered:
+# transformWithStateInPandas requires a working google.protobuf, absent in
+# this container. applyInPandasWithState below is the registered stateful
+# surface; the TWS operator is import-gated for environments that have it.
+
+
 @register(
     "streaming_user_totals_stateful",
     oracle="""

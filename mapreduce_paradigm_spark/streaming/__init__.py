@@ -220,6 +220,57 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("click_id", "purchase_id")
 
 
+def transform_with_state_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas``: the processor-based stateful
+    API (successor to applyInPandasWithState — explicit state variables,
+    timers, TTL). Here a ValueState holds each user's sorted distinct
+    event-type set; every micro-batch that touches the user re-emits the
+    updated summary. Set-union state is commutative/idempotent — the same
+    merge-order independence the reference's posting-list union relies on
+    (src/main.cpp:119-128) — so the final state equals the batch answer.
+
+    NOT registered as a query: the TWS runner needs a working
+    ``google.protobuf`` (absent in this container — importing the processor
+    crashes the streaming Python runner). Kept for environments that ship
+    it; ``stateful_user_totals`` is the registered stateful surface."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._types = handle.getValueState("types", "types STRING")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = set()
+            if self._types.exists():
+                cur.update(self._types.get()[0].split(","))
+            for pdf in rows:
+                cur.update(pdf["event_type"])
+            csv = ",".join(sorted(cur))
+            self._types.update((csv,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_types": [len(cur)],
+                    "types_csv": [csv],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _stream_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        DistinctTypes(),
+        outputStructType="user_id BIGINT, n_types BIGINT, types_csv STRING",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def incremental_index_foreachbatch(
     spark: SparkSession, sf_dir: str, state_dir: str
 ) -> None:
