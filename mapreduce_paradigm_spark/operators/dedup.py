@@ -47,19 +47,6 @@ def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame
 # --- shingles + exact Jaccard ------------------------------------------------
 
 
-def shingle_sets(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct (doc_id, shingle) pairs; shingles are k-gram word windows
-    over the lowercased whitespace tokenization."""
-    arr = docs.select(
-        "doc_id",
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
-    )
-    return (
-        arr.select("doc_id", F.explode(word_shingles("toks", k)).alias("shingle"))
-        .distinct()
-    )
-
-
 def shingle_postings(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Shingle → sorted distinct posting list + df, in ONE shuffle: the
     ``collect_set`` partial aggregate dedups map-side (no separate

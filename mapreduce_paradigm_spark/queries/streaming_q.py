@@ -124,6 +124,42 @@ def q_streaming_click_purchase_join(spark, sf_dir):
     return run_to_memory(streaming_click_purchase_join(spark, sf_dir), output_mode="append")
 
 
+@register(
+    "streaming_incremental_index_fb",
+    oracle=DUCK_WORDS
+    + """
+SELECT word,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids,
+       count(DISTINCT doc_id) AS df
+FROM words
+GROUP BY word
+""",
+    description="foreachBatch incremental index maintenance: each "
+    "micro-batch's partial (doc, word) pairs merge into a parquet state "
+    "table (the reference's commutative posting union, src/main.cpp:119-128, "
+    "as read-union-regroup-swap); the index rebuilt FROM STATE must "
+    "hash-match the flagship oracle.",
+    tags=("streaming", "text", "flagship"),
+)
+def q_streaming_incremental_index_fb(spark, sf_dir):
+    import tempfile
+
+    from mapreduce_paradigm_spark.streaming import incremental_index_foreachbatch
+
+    state_dir = tempfile.mkdtemp(prefix="incr_index_state_") + "/state"
+    incremental_index_foreachbatch(spark, sf_dir, state_dir)
+    pairs = spark.read.parquet(state_dir)
+    return (
+        pairs.groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .select(
+            "word",
+            F.array_join("ids", " ").alias("doc_ids"),
+            F.size("ids").cast("long").alias("df"),
+        )
+    )
+
+
 # NOTE: transform_with_state_user_types (the Spark 4 processor-based
 # stateful API) is implemented in streaming/__init__.py but NOT registered:
 # transformWithStateInPandas requires a working google.protobuf, absent in
