@@ -817,3 +817,34 @@ def q_nation_pair_volume(spark, sf_dir):
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year")
     ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"))
+
+
+@register(
+    "lineitem_stats_suite",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_pop(l_quantity), 4) AS sd_qty,
+       round(var_pop(l_discount), 6) AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       bool_and(l_discount <= 0.1) AS all_small_disc,
+       bool_or(l_tax > 0.07) AS any_high_tax
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description="Statistical aggregate suite: population stddev/variance, "
+    "Pearson correlation, bool_and/bool_or — rounded so single-pass vs "
+    "two-pass engine algorithms agree.",
+    tags=("aggregation", "statistics"),
+)
+def q_lineitem_stats_suite(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_pop("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_pop("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.bool_and(F.col("l_discount") <= 0.1).alias("all_small_disc"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        )
+    )
