@@ -848,3 +848,76 @@ def q_lineitem_stats_suite(spark, sf_dir):
             F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
         )
     )
+
+
+@register(
+    "orders_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow_sun1,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER)
+         AS days_to_1999,
+       strftime(CAST(date_add(CAST(o_orderdate AS DATE), INTERVAL 3 MONTH) AS DATE), '%Y-%m-%d') AS plus3m,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+FROM orders
+""",
+    description="Date/time function suite: day-of-week (aligned to Spark's "
+    "Sunday=1 numbering), last_day, datediff, month-end-clamped add_months, "
+    "quarter.",
+    tags=("functions", "datetime"),
+)
+def q_orders_date_funcs(spark, sf_dir):
+    d = F.col("o_orderdate").cast("date")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d).alias("days_to_1999"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+        F.quarter(d).alias("qtr"),
+    )
+
+
+@register(
+    "null_semantics_suite",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         nullif(o_orderstatus, 'P') AS status_np,
+         nullif(o_orderpriority, '3-MEDIUM') AS prio_nm
+  FROM orders
+)
+SELECT o_orderkey,
+       coalesce(status_np, 'PENDING') AS status_filled,
+       (status_np IS NOT DISTINCT FROM prio_nm) AS nullsafe_eq,
+       (status_np IS NULL) AS status_is_null
+FROM t
+ORDER BY status_np NULLS LAST, o_orderkey
+LIMIT 500
+""",
+    description="Null semantics: nullif/coalesce, null-safe equality "
+    "(<=> / IS NOT DISTINCT FROM), IS NULL, explicit NULLS LAST ordering "
+    "(engines disagree on the default — always say it).",
+    tags=("functions", "null"),
+)
+def q_null_semantics_suite(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_np"),
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("prio_nm"),
+    )
+    return (
+        t.select(
+            "o_orderkey",
+            F.coalesce(F.col("status_np"), F.lit("PENDING")).alias("status_filled"),
+            F.col("status_np").eqNullSafe(F.col("prio_nm")).alias("nullsafe_eq"),
+            F.col("status_np").isNull().alias("status_is_null"),
+            "status_np",
+        )
+        .orderBy(F.col("status_np").asc_nulls_last(), F.col("o_orderkey").asc())
+        .limit(500)
+        .drop("status_np")
+    )
