@@ -47,26 +47,35 @@ def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame
 # --- shingles + exact Jaccard ------------------------------------------------
 
 
-def shingle_postings(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """Shingle → sorted distinct posting list + df, in ONE shuffle: the
-    ``collect_set`` partial aggregate dedups map-side (no separate
-    ``distinct`` exchange) — the same single-shuffle shape as the flagship
-    inverted index (reference src/main.cpp:234-258).
-
-    Shingles are keyed by their 64-bit xxhash, not the string: the exchange
-    carries 8-byte keys (~30% faster here, far more at 100 TB where shuffle
-    volume is the bill). A hash collision merges two shingles' postings —
-    P ≈ n²/2⁶⁵, immaterial for near-dup *semantics* even at 10¹⁰ shingles
-    (perturbs one Jaccard by ~1/|set|); flip back to string keys if an
-    application needs collision-free shingle identity."""
+def hashed_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """``(doc_id, sid)`` stream: k-gram word shingles keyed by their 64-bit
+    xxhash, not the string — exchanges carry 8-byte keys (~30% faster here,
+    far more at 100 TB where shuffle volume is the bill). A hash collision
+    merges two shingles — P ≈ n²/2⁶⁵, immaterial for near-dup *semantics*
+    even at 10¹⁰ shingles (perturbs one Jaccard by ~1/|set|); flip to string
+    keys if an application needs collision-free shingle identity."""
     arr = docs.select(
         "doc_id",
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
     )
-    raw = arr.select(
+    return arr.select(
         "doc_id",
         F.explode(F.transform(word_shingles("toks", k), lambda s: F.xxhash64(s))).alias("sid"),
     )
+
+
+def shingle_postings(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Shingle → sorted distinct posting list + df, in ONE shuffle: the
+    ``collect_set`` partial aggregate dedups map-side (no separate
+    ``distinct`` exchange) — the same single-shuffle shape as the flagship
+    inverted index (reference src/main.cpp:234-258). Pass a (persisted)
+    ``hashed_shingles`` stream to share the corpus scan across consumers."""
+    raw = shingles if shingles is not None else hashed_shingles(docs, k, text_col)
     return (
         raw.groupBy("sid")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
@@ -136,7 +145,11 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 3, num_hashes: int = 32, text_col: str = "text"
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc one-permutation MinHash (Li/Owen/Zhang 2012): hash each
     shingle once, route it to bin ``h mod num_hashes``, keep the min per
@@ -149,15 +162,9 @@ def minhash_signatures(
     still collide, sparse docs get marginally lower collision rates).
     No pre-``distinct``: min over repeated shingles equals min over the
     distinct set, and the map-side partial aggregate collapses repeats."""
-    arr = docs.select(
-        "doc_id",
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
-    )
-    sh = arr.select(
-        "doc_id", F.explode(word_shingles("toks", k)).alias("shingle")
-    ).withColumn("h", F.xxhash64("shingle"))
-    return sh.groupBy("doc_id", F.pmod("h", F.lit(num_hashes)).alias("bin")).agg(
-        F.min("h").alias("mh")
+    sh = shingles if shingles is not None else hashed_shingles(docs, k, text_col)
+    return sh.groupBy("doc_id", F.pmod("sid", F.lit(num_hashes)).alias("bin")).agg(
+        F.min("sid").alias("mh")
     )
 
 
@@ -178,7 +185,11 @@ def minhash_lsh_pairs(
     pairs is ≈0.9998.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, k, num_hashes, text_col)
+    # ONE corpus scan: the hashed shingle stream feeds both the signature
+    # path (candidates) and the postings path (verify); persisted because
+    # the two subtrees materialize independently.
+    sh = hashed_shingles(docs, k, text_col).persist()
+    sig = minhash_signatures(docs, k, num_hashes, text_col, shingles=sh)
     # band hash from the sorted (bin, mh) pairs of each band — a second
     # aggregate over the SAME doc_id-prefixed key, so AQE reuses the
     # partitioning; equal shingle sets → equal bins → equal band hash
@@ -205,7 +216,7 @@ def minhash_lsh_pairs(
     )
     # verify candidates against exact Jaccard: intersect with the
     # postings-explode pair counts (no per-candidate re-scan of the corpus)
-    postings = shingle_postings(docs, k, text_col).persist()
+    postings = shingle_postings(docs, k, text_col, shingles=sh).persist()
     sizes = (
         postings.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")

@@ -793,6 +793,7 @@ GROUP BY 1, 2, 3
     description="TPC-H Q7 shape: supplier-nation x customer-nation trade "
     "volume by year — the same dim (nation) joined twice under different "
     "roles.",
+    bench=True,
     tags=("join", "aggregation"),
 )
 def q_nation_pair_volume(spark, sf_dir):

@@ -29,6 +29,7 @@ GROUP BY o_orderpriority
 """,
     description="TPC-H Q4 shape: correlated EXISTS decorrelated by Catalyst "
     "into a left-semi join (RewritePredicateSubquery) — no per-row probing.",
+    bench=True,
     tags=("subquery", "join"),
 )
 def q_orders_priority_count_exists(spark, sf_dir):

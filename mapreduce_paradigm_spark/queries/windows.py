@@ -170,6 +170,7 @@ GROUP BY l_returnflag
     description="Exact linear-interpolation percentiles (Spark `percentile` "
     "== DuckDB `quantile_cont`); the approx_percentile sketch is the scale "
     "path when exactness isn't required.",
+    bench=True,
     tags=("aggregation", "percentile"),
 )
 def q_quantity_percentiles(spark, sf_dir):
