@@ -134,6 +134,22 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.42)
 
 
+@register(
+    "dedup_clusters",
+    oracle=None,  # iterative fixpoint — validated by a union-find oracle in pytest
+    description="Near-dup CLUSTERS: connected components (min-label "
+    "propagation, driver convergence loop over pure DataFrame rounds) over "
+    "the exact Jaccard pair graph — the keep-one-per-group step of a dedup "
+    "pipeline (operators/components.py).",
+    tags=("dedup", "llm", "iterative"),
+)
+def q_dedup_clusters(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.components import connected_components
+
+    pairs = jaccard_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    return connected_components(pairs)
+
+
 # --- similarity search -------------------------------------------------------
 
 

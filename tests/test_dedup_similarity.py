@@ -95,6 +95,41 @@ def test_lsh_topk_is_subset_of_bucket_exact(spark):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_connected_components_union_find_oracle(spark):
+    from mapreduce_paradigm_spark.operators.components import connected_components
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    pairs = [(r["d1"], r["d2"]) for r in jaccard_pairs(docs, 3, 0.5).collect()]
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            jaccard_pairs(docs, 3, 0.5)
+        ).collect()
+    }
+    # pure-python union-find oracle
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+    assert got == want
+    # components labeled by their minimum member
+    for v, c in got.items():
+        assert c <= v
+
+
 def test_ivf_topk_recall_against_exact(spark):
     from mapreduce_paradigm_spark.operators.similarity import ivf_topk_cosine
 
