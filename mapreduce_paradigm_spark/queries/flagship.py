@@ -158,6 +158,64 @@ def q_word_frequency_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_scores",
+    oracle=DUCK_WORDS
+    + """
+, tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+  df AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+  n  AS (SELECT count(DISTINCT doc_id) AS n_docs FROM words)
+SELECT tf.doc_id, tf.word, tf.tf, df.df,
+       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (word) CROSS JOIN n
+WHERE tf.tf >= 2
+""",
+    description="TF-IDF on the flagship word stream: term frequency joined "
+    "with document frequency and ln(N/df); integer tf/df exported exactly, "
+    "score rounded (libm ln may differ in the last ulp across engines). "
+    "Selection predicate is integer-exact (tf >= 2) so no float boundary "
+    "can flip membership.",
+    tags=("flagship", "text", "llm"),
+)
+def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = doc_words(load_table(spark, sf_dir, "documents"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = words.select(F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("tf") >= 2)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "documents_stratified_sample",
+    oracle=None,  # engine-specific RNG — rows-only; determinism pinned in pytest
+    description="Seeded stratified sampling by predicted language "
+    "(sampleBy): the train/eval split primitive of a data pipeline. "
+    "Deterministic for a fixed seed WITHIN Spark; no cross-engine oracle "
+    "exists by construction.",
+    tags=("llm", "sampling"),
+)
+def q_documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paradigm_spark.operators.textstats import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = language_id(docs).select("doc_id", "lang_pred")
+    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "und": 0.1}
+    return labeled.sampleBy("lang_pred", fractions, seed=42)
+
+
+@register(
     "doc_token_stats",
     oracle=DUCK_WORDS
     + """
