@@ -1,0 +1,31 @@
+"""Accuracy bounds for the approximate sketch aggregates — the scale path
+(one pass, tiny fixed state) must stay within its advertised error of the
+exact answers it replaces."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_hll_within_relative_error(spark):
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    row = li.agg(
+        F.count_distinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    rel = abs(row["approx"] - row["exact"]) / row["exact"]
+    assert rel < 0.05, f"HLL rel error {rel:.4f} (exact={row['exact']}, approx={row['approx']})"
+
+
+def test_approx_percentile_close_to_exact(spark):
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    row = li.agg(
+        F.percentile("l_extendedprice", 0.5).alias("exact"),
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx"),
+    ).collect()[0]
+    rel = abs(row["approx"] - row["exact"]) / row["exact"]
+    assert rel < 0.01, f"approx_percentile rel error {rel:.4f}"
