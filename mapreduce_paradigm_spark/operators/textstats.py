@@ -5,8 +5,28 @@ built-ins), so they fuse into the document scan — no UDFs, no extra stage.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+def nfc_normalized(col: Column | str) -> Column:
+    """Unicode NFC normalization — the canonical-composition step an LLM
+    text pipeline runs before hashing/dedup (composed vs decomposed accents
+    would otherwise defeat exact dedup). Spark SQL has no unicode-normalize
+    builtin, so this is a legitimate Arrow-batched pandas stage
+    (DuckDB mirror: ``nfc_normalize``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(col)
+
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

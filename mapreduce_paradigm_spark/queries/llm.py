@@ -135,6 +135,31 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 @register(
+    "nfc_fingerprints",
+    oracle="""
+SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+       CAST(strlen(nfc_normalize(text)) AS BIGINT) AS nfc_len
+FROM documents
+""",
+    description="Unicode NFC canonicalization before content hashing (the "
+    "pre-dedup normalization step); Arrow-batched pandas stage mirrored by "
+    "DuckDB nfc_normalize. Unicode composed/decomposed edges pinned in "
+    "pytest (corpus itself is ASCII).",
+    tags=("textstats", "llm", "pandas"),
+)
+def q_nfc_fingerprints(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.textstats import nfc_normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = nfc_normalized(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(n).alias("nfc_md5"),
+        F.length(n).cast("long").alias("nfc_len"),
+    )
+
+
+@register(
     "dedup_clusters",
     oracle=None,  # iterative fixpoint — validated by a union-find oracle in pytest
     description="Near-dup CLUSTERS: connected components (min-label "

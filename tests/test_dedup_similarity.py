@@ -149,6 +149,34 @@ def test_ivf_topk_recall_against_exact(spark):
     assert all(q != n for q, n in ivf)
 
 
+def test_nfc_normalization_unicode_edges(spark):
+    import unicodedata
+
+    from mapreduce_paradigm_spark.operators.textstats import nfc_normalized
+
+    cases = [
+        "café",          # decomposed é
+        "émigré",    # composed
+        "Å",             # decomposed Å
+        "ﬁle",            # ﬁ ligature (NFC keeps it; NFKC would split)
+        "plain ascii",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(cases, 1)), "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", nfc_normalized(F.col("text")).alias("n")
+        ).collect()
+    }
+    for i, raw in enumerate(cases, 1):
+        assert got[i] == unicodedata.normalize("NFC", raw), repr(raw)
+    # composed and decomposed forms hash identically after NFC
+    assert got[1] == "café"
+
+
 @pytest.mark.parametrize("short_text", ["", "one", "one two"])
 def test_shingles_short_docs_no_error(spark, short_text):
     docs = spark.createDataFrame([(1, short_text)], "doc_id BIGINT, text STRING")
