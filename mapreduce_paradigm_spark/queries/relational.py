@@ -922,3 +922,100 @@ def q_null_semantics_suite(spark, sf_dir):
         .limit(500)
         .drop("status_np")
     )
+
+
+@register(
+    "part_name_edit_distance",
+    oracle="""
+SELECT p_partkey, p_name,
+       CAST(levenshtein(p_name, 'Part#100') AS INTEGER) AS dist
+FROM part
+WHERE levenshtein(p_name, 'Part#100') <= 4
+""",
+    description="Edit-distance scalar function (levenshtein) as a fuzzy "
+    "filter — integer output, no float boundary.",
+    tags=("functions", "string"),
+)
+def q_part_name_edit_distance(spark, sf_dir):
+    d = F.levenshtein(F.col("p_name"), F.lit("Part#100"))
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(d <= 4)
+        .select("p_partkey", "p_name", d.alias("dist"))
+    )
+
+
+@register(
+    "daily_order_counts_gap_filled",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), per_day AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+       coalesce(per_day.n, 0) AS n_orders
+FROM spine LEFT JOIN per_day ON spine.day = per_day.day
+""",
+    description="Calendar-spine gap fill: generate the full date range "
+    "(sequence + explode) and left-join daily counts so zero-order days "
+    "appear — the dense-timeseries pattern dashboards need.",
+    tags=("datetime", "join", "sequence"),
+)
+def q_daily_order_counts_gap_filled(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").withColumn("day", F.col("o_orderdate").cast("date"))
+    bounds = orders.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    per_day = orders.groupBy("day").agg(F.count("*").alias("n"))
+    return (
+        spine.join(per_day, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "region_revenue_share",
+    oracle="""
+WITH r AS (
+  SELECT r_name,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name
+)
+SELECT r_name, revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS share
+FROM r
+""",
+    description="Percent-of-total: windowed grand total over a grouped "
+    "aggregate (window-over-aggregate composition).",
+    tags=("window", "aggregation", "join"),
+)
+def q_region_revenue_share(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from mapreduce_paradigm_spark.registry import all_specs
+
+    per_region = all_specs()["revenue_by_region"].builder(spark, sf_dir).select(
+        "r_name", "revenue"
+    )
+    w = Window.partitionBy()
+    return per_region.select(
+        "r_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
