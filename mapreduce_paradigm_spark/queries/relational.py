@@ -1019,3 +1019,54 @@ def q_region_revenue_share(spark, sf_dir):
         "revenue",
         F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
     )
+
+
+@register(
+    "embedding_posexplode_head",
+    oracle="""
+SELECT vec_id,
+       CAST(s.ord AS INTEGER) AS pos,
+       CAST(s.val AS DOUBLE) AS component
+FROM (
+  SELECT vec_id,
+         unnest(list_transform(embedding[1:4], (x, i) -> {'ord': i - 1, 'val': x})) AS s
+  FROM embeddings
+)
+""",
+    description="posexplode: array element WITH POSITION (first 4 "
+    "components per vector); DuckDB mirror via list_transform struct "
+    "unnest (0-based alignment).",
+    tags=("functions", "array", "explode"),
+)
+def q_embedding_posexplode_head(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.slice(F.col("embedding"), 1, 4).alias("head"))
+        .select("vec_id", F.posexplode("head").alias("pos", "component"))
+        .select("vec_id", "pos", F.col("component").cast("double").alias("component"))
+    )
+
+
+@register(
+    "part_number_extract",
+    oracle="""
+SELECT p_partkey, p_name,
+       regexp_extract(p_name, '([0-9]+)', 1) AS num_str,
+       CAST(CASE WHEN regexp_extract(p_name, '([0-9]+)', 1) = ''
+                 THEN NULL
+                 ELSE CAST(regexp_extract(p_name, '([0-9]+)', 1) AS BIGINT) END
+            AS BIGINT) AS num
+FROM part
+""",
+    description="Capture-group regexp extraction + safe numeric cast "
+    "(empty match -> NULL, identical semantics both engines).",
+    tags=("functions", "string", "regexp"),
+)
+def q_part_number_extract(spark, sf_dir):
+    num_str = F.regexp_extract(F.col("p_name"), r"([0-9]+)", 1)
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        num_str.alias("num_str"),
+        F.when(num_str == "", F.lit(None)).otherwise(num_str.cast("long")).alias("num"),
+    )
