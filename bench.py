@@ -38,7 +38,7 @@ def main() -> None:
         df = spec.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT + cache file listing)
         best = float("inf")
-        for _ in range(2):  # min-of-2: steady-state wall time, outlier-proof
+        for _ in range(3):  # min-of-3: steady-state wall time, host-noise-proof
             t0 = time.perf_counter()
             df = spec.builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
