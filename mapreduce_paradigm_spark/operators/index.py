@@ -71,6 +71,56 @@ def index_with_letter(index: DataFrame) -> DataFrame:
     return index.withColumn("letter", first_letter("word"))
 
 
+def positional_postings(
+    docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """``(word, doc_id, positions)`` — the positional generalization of the
+    flagship index: positions are 0-based offsets into the RAW whitespace
+    token sequence (src/main.cpp:239-242's tokenization), recorded before
+    normalization drops empty tokens, so adjacency (pos+1) is meaningful
+    for phrase queries. One shuffle: groupBy(word, doc) collects sorted
+    position arrays with map-side partial aggregation."""
+    from mapreduce_paradigm_spark.functions import normalized_word, tokens
+
+    pos_words = (
+        docs.select(
+            F.col(doc_id_col).alias("doc_id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+        )
+        .select("doc_id", "pos", normalized_word(F.col("token")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    return pos_words.groupBy("word", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    first_word: str,
+    second_word: str,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents containing the exact two-word phrase: positional postings
+    of both words joined per doc, matched on adjacency (second at pos+1)
+    via ``arrays_overlap`` of shifted positions — array-side, no explode of
+    the position lists into a row join."""
+    p = positional_postings(docs, text_col, doc_id_col)
+    a = p.filter(F.col("word") == first_word).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = p.filter(F.col("word") == second_word).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    shifted = F.transform(F.col("pa"), lambda x: x + 1)
+    return (
+        a.join(b, "doc_id")
+        .filter(F.arrays_overlap(shifted, F.col("pb")))
+        .select("doc_id")
+    )
+
+
 def letter_ranked(index: DataFrame) -> DataFrame:
     """O10 as a window: rank words within each letter by df desc, word asc
     (the reference's comparator, src/main.cpp:83-91).

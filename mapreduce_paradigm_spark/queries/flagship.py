@@ -157,6 +157,62 @@ def q_word_frequency_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(doc_words(docs), ["word"], buckets=16, alias="tf")
 
 
+# Shared positional CTE: 0-based raw-token positions surviving normalization.
+DUCK_POS_WORDS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform(regexp_split_to_array(text, '\\s+'),
+                               (x, i) -> {'pos': i - 1, 'tok': x})) AS t
+  FROM documents
+), pw AS (
+  SELECT doc_id, t.pos AS pos,
+         lower(regexp_replace(t.tok, '[^A-Za-z]', '', 'g')) AS word
+  FROM toks
+)
+"""
+
+
+@register(
+    "positional_index",
+    oracle=DUCK_POS_WORDS
+    + """
+SELECT word, doc_id,
+       array_to_string(list_sort(list(pos)), ' ') AS positions
+FROM pw WHERE length(word) > 0
+GROUP BY word, doc_id
+""",
+    description="Positional inverted index: per (word, doc) sorted 0-based "
+    "raw-token offsets — the phrase-query generalization of the flagship "
+    "(positions assigned before empty-token drops so adjacency survives).",
+    tags=("flagship", "text", "index"),
+)
+def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paradigm_spark.operators.index import positional_postings
+
+    return positional_postings(load_table(spark, sf_dir, "documents")).select(
+        "word", "doc_id", F.array_join("positions", " ").alias("positions")
+    )
+
+
+@register(
+    "phrase_match_table_hash",
+    oracle=DUCK_POS_WORDS
+    + """
+SELECT DISTINCT a.doc_id
+FROM pw a JOIN pw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.word = 'table' AND b.word = 'hash'
+""",
+    description="Exact phrase search ('table hash') over the positional "
+    "index: adjacency via arrays_overlap of shifted position lists — "
+    "array-side, no row-explosion join.",
+    tags=("flagship", "text", "index"),
+)
+def q_phrase_match_table_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paradigm_spark.operators.index import phrase_match
+
+    return phrase_match(load_table(spark, sf_dir, "documents"), "table", "hash")
+
+
 @register(
     "tfidf_scores",
     oracle=DUCK_WORDS
