@@ -214,6 +214,77 @@ def q_phrase_match_table_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_counts",
+    oracle=DUCK_POS_WORDS
+    + """
+SELECT a.word AS w1, b.word AS w2, count(*) AS n
+FROM pw a JOIN pw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE length(a.word) > 0 AND length(b.word) > 0
+GROUP BY 1, 2
+HAVING count(*) >= 5
+""",
+    description="Adjacent-word co-occurrence (bigram) counts over the "
+    "positional token stream — the n-gram statistics step of a language "
+    "pipeline; integer HAVING threshold keeps selection float-free.",
+    tags=("flagship", "text", "ngram"),
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paradigm_spark.functions import normalized_word, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    # adjacency from the raw token array directly: zip words with their
+    # successors array-side, explode once — no positional self-join at all
+    arr = docs.select(
+        "doc_id",
+        F.transform(tokens(F.col("text")), lambda t: normalized_word(t)).alias("ws"),
+    )
+    bigrams = arr.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "filter(transform(sequence(1, size(ws) - 1), "
+                "i -> struct(ws[i - 1] AS w1, ws[i] AS w2)), "
+                "p -> length(p.w1) > 0 AND length(p.w2) > 0) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+            )
+        ).alias("b")
+    )
+    return (
+        bigrams.groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "dedup_keep_one",
+    oracle="""
+WITH g AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
+         min(doc_id) AS keep
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id
+FROM documents d
+JOIN g ON md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) = g.h
+WHERE d.doc_id = g.keep
+""",
+    description="APPLY the exact dedup: keep exactly the minimum doc_id of "
+    "each content-identical group — the survivor set a training pipeline "
+    "actually materializes.",
+    tags=("dedup", "llm"),
+)
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paradigm_spark.operators.dedup import exact_duplicate_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = exact_duplicate_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    return keepers
+
+
+@register(
     "tfidf_scores",
     oracle=DUCK_WORDS
     + """
