@@ -321,3 +321,38 @@ def q_last_click_before_view(spark, sf_dir):
         views, clicks, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["click_ts"]
     )
     return out.select("event_id", "user_id", F.col("asof_click_ts").alias("asof_ts"))
+
+
+@register(
+    "events_sliding_window_counts",
+    oracle="""
+WITH k AS (SELECT unnest(generate_series(0, 3)) AS k),
+w AS (
+  SELECT event_type,
+         make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - k.k * 900) * 1000000 AS BIGINT))
+           AS wstart
+  FROM events, k
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n
+FROM w
+GROUP BY 1, 2
+""",
+    description="BATCH sliding windows (1h width, 15min slide, epoch-"
+    "aligned): every event lands in exactly 4 overlapping windows — the "
+    "window() table function outside streaming.",
+    tags=("window", "events", "datetime"),
+)
+def q_events_sliding_window_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
