@@ -95,6 +95,20 @@ def test_minhash_no_join_in_candidate_generation(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bigrams_no_join(spark):
+    # adjacent pairs come from array-side explosion — no self-join on positions
+    plan = formatted_plan(_df(spark, "bigram_counts"))
+    assert "Join" not in plan, plan
+
+
+def test_positional_index_single_shuffle(spark):
+    import re
+
+    plan = formatted_plan(_df(spark, "positional_index"))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+
+
 def test_ann_corpus_never_shuffles(spark):
     import re
 
