@@ -271,6 +271,92 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    dim: int = 64,
+    nbits: int = 4,
+    bands: int = 24,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via banded sign-LSH candidates + exact rerank
+    — the 100 TB shape of ``embedding_near_dup_pairs`` (whose docstring
+    promises exactly this composition).
+
+    ``bands`` independent ``nbits``-hyperplane bucketings (seeded, so
+    deterministic across runs/cluster sizes); a pair becomes a candidate iff
+    it collides in ≥1 band — Σ bucket² work per band via the same
+    in-array-combination pair explode as the MinHash banding, never an
+    all-pairs join. Candidates are then reranked with the SAME cosine +
+    threshold as the exact tier, so precision is exact and only recall is
+    approximate: P(candidate) = 1-(1-(1-θ/π)^nbits)^bands per pair angle θ.
+
+    Parameter note: at this fixture's low threshold (0.42 ≈ 65°, barely
+    above random) selectivity is inherently weak, so (4, 24) is chosen for
+    recall ≈ 1; production semantic dedup at cosine ≥ 0.9 uses
+    nbits 8-16 where the same plan prunes candidates 10-100×.
+    """
+    import numpy as np
+
+    from mapreduce_paradigm_spark.functions import cosine_similarity
+
+    # All bands' signatures in ONE corpus pass: the (bands·nbits, dim) plane
+    # matrix is broadcast and each Arrow batch is signed with a single numpy
+    # matmul — same per-band planes as ``similarity.hyperplane_buckets``
+    # (RandomState(seed+b)), just batched. 24 JVM HOF-dot scans → 1 scan.
+    planes = np.vstack(
+        [np.random.RandomState(seed + b).standard_normal((nbits, dim)) for b in range(bands)]
+    )  # (bands*nbits, dim)
+    bp = emb.sparkSession.sparkContext.broadcast(planes)
+    weights = 1 << np.arange(nbits, dtype=np.int64)
+
+    def sign_buckets(batches):
+        import pandas as pd
+
+        P = bp.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["e_raw"].to_numpy()).astype(np.float64)  # (B, dim)
+            bits = (X @ P.T) > 0  # (B, bands*nbits)
+            n = len(pdf)
+            out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+            out_id = np.tile(pdf["id"].to_numpy(), bands)
+            out_bucket = np.concatenate(
+                [bits[:, b * nbits : (b + 1) * nbits] @ weights for b in range(bands)]
+            )
+            yield pd.DataFrame({"id": out_id, "band": out_band, "bucket": out_bucket})
+
+    base = emb.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e_raw"))
+    sig = base.mapInPandas(sign_buckets, schema="id BIGINT, band INT, bucket BIGINT")
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+    )
+    candidates = (
+        sig.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .distinct()
+    )
+    # exact rerank: identical cosine + threshold as the all-pairs tier, so
+    # output ⊆ exact and values bit-match where pairs survive
+    d = emb.select(
+        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("e")
+    )
+    return (
+        candidates.join(d.alias("ea"), F.col("d1") == F.col("ea.id"))
+        .join(d.alias("eb"), F.col("d2") == F.col("eb.id"))
+        .withColumn("cosine", cosine_similarity("ea.e", "eb.e"))
+        .filter(F.col("cosine") >= threshold)
+        .select("d1", "d2", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 _SIMHASH_BITS = 63  # bit 63 would overflow signed long reassembly

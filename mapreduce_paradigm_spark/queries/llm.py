@@ -135,6 +135,20 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 @register(
+    "embedding_near_dup_lsh",
+    oracle=None,  # banded sign-LSH candidates → recall < 1 by construction
+    description="Semantic near-dup via banded hyperplane-LSH candidates + "
+    "exact cosine rerank — the bucketed 100 TB path (no all-pairs join); "
+    "recall pinned vs the exact tier in tests.",
+    tags=("dedup", "similarity", "llm", "approx"),
+)
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.42)
+
+
+@register(
     "nfc_fingerprints",
     oracle="""
 SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,

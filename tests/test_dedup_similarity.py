@@ -63,6 +63,21 @@ def test_simhash_identical_and_disjoint(spark):
     assert pairs == {(1, 2): 0}
 
 
+def test_embedding_near_dup_lsh_subset_and_recall(spark):
+    from mapreduce_paradigm_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    exact = {(r["d1"], r["d2"], r["cosine"]) for r in embedding_near_dup_pairs(emb).collect()}
+    approx = {(r["d1"], r["d2"], r["cosine"]) for r in embedding_near_dup_lsh(emb).collect()}
+    # rerank is the exact tier's cosine+threshold → candidates only remove pairs
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall}: missed {exact - approx}"
+
+
 def test_topk_cosine_against_numpy(spark):
     emb = load_table(spark, SF_CORRECT, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
