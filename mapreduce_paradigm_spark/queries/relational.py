@@ -265,15 +265,19 @@ def q_customers_with_orders_semi(spark, sf_dir):
     "customers_without_orders_anti",
     oracle="""
 SELECT c_custkey, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
 """,
-    description="Left-anti join (NOT EXISTS).",
+    description="Left-anti join (NOT EXISTS): customers with no finished "
+    "orders — predicate chosen to have survivors at every SF so the hash "
+    "compares real rows.",
     tags=("join", "anti"),
 )
 def q_customers_without_orders_anti(spark, sf_dir):
+    finished = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return (
         _t(spark, sf_dir, "customer")
-        .join(_t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(finished, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")
     )
 
@@ -928,16 +932,17 @@ def q_null_semantics_suite(spark, sf_dir):
     "part_name_edit_distance",
     oracle="""
 SELECT p_partkey, p_name,
-       CAST(levenshtein(p_name, 'Part#100') AS INTEGER) AS dist
+       CAST(levenshtein(p_name, 'blue bolt') AS INTEGER) AS dist
 FROM part
-WHERE levenshtein(p_name, 'Part#100') <= 4
+WHERE levenshtein(p_name, 'blue bolt') <= 4
 """,
     description="Edit-distance scalar function (levenshtein) as a fuzzy "
-    "filter — integer output, no float boundary.",
+    "filter — integer output, no float boundary; target/threshold chosen "
+    "to match real part names at every SF (non-vacuous hash).",
     tags=("functions", "string"),
 )
 def q_part_name_edit_distance(spark, sf_dir):
-    d = F.levenshtein(F.col("p_name"), F.lit("Part#100"))
+    d = F.levenshtein(F.col("p_name"), F.lit("blue bolt"))
     return (
         _t(spark, sf_dir, "part")
         .filter(d <= 4)

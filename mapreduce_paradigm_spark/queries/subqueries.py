@@ -53,10 +53,12 @@ def q_orders_priority_count_exists(spark, sf_dir):
 SELECT p_partkey, p_name
 FROM part
 WHERE NOT EXISTS (
-  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+  SELECT 1 FROM lineitem
+  WHERE l_partkey = p_partkey AND l_discount > 0.09
 )
 """,
-    description="NOT EXISTS → left-anti join under decorrelation.",
+    description="NOT EXISTS → left-anti join under decorrelation; correlated "
+    "predicate chosen to leave survivors at every SF (non-vacuous hash).",
     tags=("subquery", "join"),
 )
 def q_parts_never_ordered_not_exists(spark, sf_dir):
@@ -66,7 +68,8 @@ def q_parts_never_ordered_not_exists(spark, sf_dir):
         SELECT p_partkey, p_name
         FROM part
         WHERE NOT EXISTS (
-          SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+          SELECT 1 FROM lineitem
+          WHERE l_partkey = p_partkey AND l_discount > 0.09
         )
         """
     )
