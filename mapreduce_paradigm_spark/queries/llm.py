@@ -80,12 +80,17 @@ JOIN sizes s2 ON d2 = s2.doc_id
 WHERE c / (s1.sz + s2.sz - c) >= 0.5
 """,
     description="Exact 3-gram shingle Jaccard near-dup pairs (inverted-list "
-    "self-join; ground truth for the approximate tiers).",
+    "self-join; ground truth for the approximate tiers). Stop-shingle cap "
+    "df<=64 bounds the pair explosion Σdf² → corpus-linear on templated "
+    "corpora; far above this fixture's max df (7 at sf0.01, 25 at sf0.1) so "
+    "the uncapped oracle still hash-matches exactly.",
     bench=True,
     tags=("dedup", "llm"),
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    return jaccard_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    return jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.5, max_shingle_df=64
+    )
 
 
 @register(

@@ -43,6 +43,27 @@ def test_jaccard_pairs_identical_docs(spark):
     assert [(r["d1"], r["d2"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
 
 
+def test_jaccard_df_cap_identical_below_cap_and_prunes_above(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    uncapped = {(r["d1"], r["d2"], r["jaccard"]) for r in jaccard_pairs(docs, 3, 0.5).collect()}
+    capped = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in jaccard_pairs(docs, 3, 0.5, max_shingle_df=64).collect()
+    }
+    # fixture max shingle df is 7 → a 64 cap must be a no-op
+    assert capped == uncapped
+    # a cap below a stop-shingle's df drops it from BOTH n_common and sizes:
+    # docs 1/2 share only the stop-shingle (df=3) → pair disappears under cap=2
+    stop = "the quick brown"
+    tiny = spark.createDataFrame(
+        [(1, stop + " fox"), (2, stop + " dog"), (3, stop + " cat")],
+        "doc_id BIGINT, text STRING",
+    )
+    with_stop = {(r["d1"], r["d2"]) for r in jaccard_pairs(tiny, 3, 0.3).collect()}
+    without = {(r["d1"], r["d2"]) for r in jaccard_pairs(tiny, 3, 0.3, max_shingle_df=2).collect()}
+    assert with_stop and not without
+
+
 def test_minhash_lsh_recall_and_precision(spark):
     docs = load_table(spark, SF_CORRECT, "documents")
     exact = {(r["d1"], r["d2"]) for r in jaccard_pairs(docs, 3, 0.5).collect()}
