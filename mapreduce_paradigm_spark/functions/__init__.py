@@ -75,13 +75,22 @@ def _micros_sum(col: Column) -> Column:
 
     The per-group decimal hop (not ``(double)k / 1e6``) avoids double-
     rounding once Σmicros exceeds 2⁵³. Long overflow bound: |Σx| < 9.2·10¹²
-    — fine for benchmark SFs; a 100 TB deployment flips to ``decimal(30,6)``
-    accumulation (128-bit, same semantics) via the classic cast form.
+    (reached around TPC-H SF~40 for sum(l_extendedprice)); accumulation is
+    ``try_sum`` (same codegen cost as ``sum``) so overflow NEVER wraps
+    silently in any ANSI mode — it raises, and the caller flips to
+    ``decimal(30,6)`` accumulation (128-bit, same semantics) via the classic
+    cast form.
     """
-    return (
-        F.sum(F.round(col * F.lit(1e6), 0).cast("long")).cast("decimal(24,6)")
-        / F.lit(1000000)
-    ).cast("double")
+    s = F.try_sum(F.round(col * F.lit(1e6), 0).cast("long"))
+    return F.when(
+        s.isNull() & (F.count(col) > 0),
+        F.raise_error(
+            F.lit(
+                "_micros_sum long overflow (|Σx| ≥ 9.2e12): switch this "
+                "aggregate to decimal(30,6) accumulation"
+            )
+        ).cast("double"),
+    ).otherwise((s.cast("decimal(24,6)") / F.lit(1000000)).cast("double"))
 
 
 def dsum(col: Column, alias: str) -> Column:
@@ -98,11 +107,14 @@ def davg(col: Column, alias: str) -> Column:
 
 
 def dsum_over(col: Column, window) -> Column:
-    """Windowed form of the exact 6dp sum (``sum(...) OVER w``)."""
-    return (
-        F.sum(F.round(col * F.lit(1e6), 0).cast("long")).over(window).cast("decimal(24,6)")
-        / F.lit(1000000)
-    ).cast("double")
+    """Windowed form of the exact 6dp sum (``sum(...) OVER w``), with the
+    same loud overflow guard as ``_micros_sum``."""
+    s = F.try_sum(F.round(col * F.lit(1e6), 0).cast("long")).over(window)
+    n = F.count(col).over(window)
+    return F.when(
+        s.isNull() & (n > 0),
+        F.raise_error(F.lit("dsum_over long overflow (|Σx| ≥ 9.2e12)")).cast("double"),
+    ).otherwise((s.cast("decimal(24,6)") / F.lit(1000000)).cast("double"))
 
 
 def dot_product(a: Column | str, b: Column | str) -> Column:

@@ -48,14 +48,21 @@ def asof_join(
         *[F.col(v).alias(f"__v_{v}") for v in value_cols],
     ).select(*lcols, "__ts", "__tag", *[f"__v_{v}" for v in value_cols])
 
+    # Third order key: the right row's value tuple. Without it, several
+    # right rows sharing (key, ts) sort arbitrarily and last() would pick a
+    # shuffle-dependent winner; with it, the GREATEST value tuple wins,
+    # deterministically across runs and cluster layouts. (Left rows carry
+    # NULL, which sorts first within their (ts, tag) group — harmless, as
+    # only right rows feed last(ignorenulls).)
+    tb = F.struct(*[F.col(f"__v_{v}") for v in value_cols]).alias("__tb")
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.asc("__ts"), F.asc("__tag"))
+        .orderBy(F.asc("__ts"), F.asc("__tag"), F.asc("__tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Note: at a left row (tag 0), the frame holds all right rows with
     # ts < left.ts, plus same-ts left rows — never same-ts right rows.
-    picked = l.unionByName(r)
+    picked = l.unionByName(r).withColumn("__tb", tb)
     for v in value_cols:
         picked = picked.withColumn(f"asof_{v}", F.last(f"__v_{v}", ignorenulls=True).over(w))
     return picked.filter(F.col("__tag") == 0).select(

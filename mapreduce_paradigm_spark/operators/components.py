@@ -3,21 +3,30 @@
 Near-dup detection yields pairs; the pipeline action (keep one doc per
 duplicate group) needs the transitive closure: connected components. This
 is the engine's one genuinely ITERATIVE algorithm: a driver loop over
-label-propagation rounds, each round pure DataFrame ops, converging in
-O(log n) rounds for typical dedup graphs (components are small and dense).
+pure-DataFrame rounds with per-round persist/unpersist so lineage (and
+task binaries) don't grow with iterations.
 
-Scale notes: each round is one join + one aggregate on (edges ∪ labels);
-labels are checkpoint-persisted per round so the lineage (and thus task
-binaries) don't grow with iterations — the classic Spark iterative-
-algorithm discipline. For web-scale graphs swap the propagation for the
-large-star/small-star formulation (same primitive ops, provably fewer
-rounds on high-diameter graphs).
+Two interchangeable implementations (identical output contract):
+
+- ``connected_components`` — min-label propagation: simple, one
+  join+aggregate per round, but advances ONE hop per round, so rounds =
+  graph diameter. Raises if the fixpoint isn't reached (a silently
+  unconverged labeling would split true dup groups and keep extra
+  survivors downstream).
+- ``connected_components_star`` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): converges in O(log² n) rounds regardless of diameter — the
+  100 TB path for chain-shaped dup graphs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """Iterative algorithm hit max_iter before its fixpoint."""
 
 
 def connected_components(
@@ -33,6 +42,12 @@ def connected_components(
     label among itself and its neighbors; fixpoint = components. The
     convergence check is one small action per round (count of changed
     labels) — the driver only ever sees a scalar.
+
+    Raises ``ConvergenceError`` if ``max_iter`` rounds pass without the
+    fixpoint: label propagation moves one hop per round, so a component
+    whose diameter exceeds ``max_iter`` would otherwise be silently split
+    into several clusters. Use ``connected_components_star`` for
+    high-diameter graphs (O(log² n) rounds).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # undirected: both directions once
@@ -46,12 +61,17 @@ def connected_components(
     )
     labels.count()  # materialize
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["v"])
             .groupBy(F.col("a").alias("v2"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # localCheckpoint (not persist): each round's labels nest the prior
+        # round's join — persist truncates re-execution but not the logical
+        # plan, whose tree-string generation alone OOMs the driver past ~10
+        # rounds. Checkpointing cuts lineage to the materialized blocks.
         new_labels = (
             labels.join(neighbor_min, labels["v"] == neighbor_min["v2"], "left")
             .select(
@@ -60,7 +80,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -71,6 +91,116 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise ConvergenceError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter > max_iter); use connected_components_star "
+            f"or raise max_iter"
+        )
     return labels.select(F.col("v").alias("doc_id"), "component")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Large-star/small-star connected components — same contract as
+    ``connected_components`` (vertex → min reachable id), O(log² n) rounds
+    on ANY graph shape (Kiveris et al., SoCC'14, Theorem 4).
+
+    Each round is two edge rewrites, each one groupBy over the edge list:
+
+    - large-star: for every vertex u, connect each strictly-larger
+      neighbor to m = min(N(u) ∪ {u});
+    - small-star: connect each not-larger neighbor (and u) to m.
+
+    Both preserve connectivity and monotonically hang vertices below
+    smaller ids; the fixpoint is a star forest whose centers are the
+    component minima — read labels straight off the final edges. The
+    convergence action per round is one scalar (edge-set change count).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    # canonical undirected form (small, large) — the star rewrites keep
+    # edges in this orientation, so equality-by-subtract is well-defined
+    cur = (
+        e.select(F.least("a", "b").alias("s"), F.greatest("a", "b").alias("g"))
+        .distinct()
+        .persist()
+    )
+    cur.count()
+
+    def _star(edges_sl: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods as (u, v) both directions; m = min over N(u) ∪ {u}
+        nbrs = edges_sl.select(F.col("g").alias("u"), F.col("s").alias("v")).unionByName(
+            edges_sl.select(F.col("s").alias("u"), F.col("g").alias("v"))
+        )
+        grouped = nbrs.groupBy("u").agg(
+            F.collect_set("v").alias("vs"),
+        )
+        m = F.least(F.array_min("vs"), F.col("u"))
+        if large:
+            # (v, m) for v in N(u) with v > u
+            out = grouped.select(
+                m.alias("m"), F.explode(F.filter("vs", lambda v: v > F.col("u"))).alias("v")
+            )
+        else:
+            # (v, m) for v in N(u) ∪ {u} with v <= u
+            out = grouped.select(
+                m.alias("m"),
+                F.explode(
+                    F.array_union(
+                        F.filter("vs", lambda v: v <= F.col("u")), F.array(F.col("u"))
+                    )
+                ).alias("v"),
+            )
+        return (
+            out.filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("s"), F.col("v").alias("g"))
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        # localCheckpoint (not persist): each round nests two star rewrites,
+        # so the LOGICAL plan doubles per round — persist truncates
+        # re-execution but not the plan tree, and plan-string generation
+        # alone would OOM the driver by round ~10. Checkpointing cuts
+        # lineage to the materialized blocks (on a cluster, use
+        # spark.checkpoint to reliable storage for fault tolerance).
+        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(eager=True)
+        changed = nxt.exceptAll(cur).count() + cur.exceptAll(nxt).count()
+        cur.unpersist()
+        cur = nxt
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        cur.unpersist()
+        raise ConvergenceError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # star forest: every non-center vertex g hangs off its component min s;
+    # centers label themselves
+    labels = cur.select(F.col("g").alias("doc_id"), F.col("s").alias("component")).unionByName(
+        cur.select(F.col("s").alias("doc_id"), F.col("s").alias("component"))
+    ).distinct()
+    # isolated-in-canonical-form vertices (self-pairs in input) label themselves
+    verts = (
+        edges.select(F.col(src).alias("doc_id"))
+        .unionByName(edges.select(F.col(dst).alias("doc_id")))
+        .distinct()
+    )
+    out = verts.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    result = out.localCheckpoint(eager=True)  # pin before releasing cur
+    cur.unpersist()
+    return result

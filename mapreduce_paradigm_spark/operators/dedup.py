@@ -20,6 +20,31 @@ from pyspark.sql import functions as F
 
 from mapreduce_paradigm_spark.functions import word_shingles
 
+# --- cache discipline --------------------------------------------------------
+
+# df.persist() entries live in the SQL CacheManager until explicitly
+# unpersisted (the ContextCleaner does NOT reap them on GC), so a long-lived
+# session issuing repeated dedup calls would accumulate cached blocks
+# without bound. Operators persist through _tracked_persist and release the
+# PREVIOUS call's caches on entry: peak footprint = one operator call's
+# working set. Callers wanting eager cleanup call release_caches() after
+# materializing a result; the only cost of an early release is recompute.
+
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate cached by prior dedup-operator calls."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
+
+def _tracked_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
 # --- normalization -----------------------------------------------------------
 
 
@@ -118,12 +143,13 @@ def jaccard_pairs(
     Σ df²-bounded work becomes corpus-linear (standard candidate pruning;
     slightly lowers recall for pathological templates, exact otherwise).
     """
+    release_caches()
     postings = shingle_postings(docs, k, text_col)
     if max_shingle_df is not None:
         postings = postings.filter(F.col("df") <= max_shingle_df)
     # feeds two branches (sizes + pairs): persist instead of recomputing the
     # corpus scan + shuffle per branch. MEMORY_AND_DISK → spills, never OOMs.
-    postings = postings.persist()
+    postings = _tracked_persist(postings)
     sizes = (
         postings.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
@@ -184,11 +210,12 @@ def minhash_lsh_pairs(
     only recall is approximate — at (32 hashes, 8 bands) recall for j≥0.9
     pairs is ≈0.9998.
     """
+    release_caches()
     rows = num_hashes // bands
     # ONE corpus scan: the hashed shingle stream feeds both the signature
     # path (candidates) and the postings path (verify); persisted because
     # the two subtrees materialize independently.
-    sh = hashed_shingles(docs, k, text_col).persist()
+    sh = _tracked_persist(hashed_shingles(docs, k, text_col))
     sig = minhash_signatures(docs, k, num_hashes, text_col, shingles=sh)
     # band hash from the sorted (bin, mh) pairs of each band — a second
     # aggregate over the SAME doc_id-prefixed key, so AQE reuses the
@@ -216,7 +243,7 @@ def minhash_lsh_pairs(
     )
     # verify candidates against exact Jaccard: intersect with the
     # postings-explode pair counts (no per-candidate re-scan of the corpus)
-    postings = shingle_postings(docs, k, text_col, shingles=sh).persist()
+    postings = _tracked_persist(shingle_postings(docs, k, text_col, shingles=sh))
     sizes = (
         postings.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
@@ -395,7 +422,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "t
     """
     # fingerprints feed 4 bucket branches: persist the (tiny) result rather
     # than recomputing the 63-aggregate pipeline per chunk
-    sh = simhash(docs, text_col).persist()
+    release_caches()
+    sh = _tracked_persist(simhash(docs, text_col))
     chunks = [(0, 16), (16, 16), (32, 16), (48, 15)]
     # bucket per chunk value, pairs by in-array combination explode (the
     # same no-self-join shape as the shingle/band pair generation); the

@@ -30,14 +30,35 @@ def count_occurrences(df: DataFrame, token: str) -> int:
 
 
 def reads_only_columns(df: DataFrame, table_fragment: str, allowed: set[str]) -> bool:
-    """Column-pruning check: the scan's ReadSchema for the matching scan node
-    must be a subset of ``allowed``."""
+    """Column-pruning check: EVERY scan node whose Location matches
+    ``table_fragment`` must have a ReadSchema ⊆ ``allowed``.
+
+    Parsed per node block (formatted explain groups each operator's
+    attributes under its ``(n) OpName`` header), so a pruned ReadSchema from
+    a DIFFERENT table's scan can neither satisfy nor mask the check."""
+    import re
+
     plan = formatted_plan(df)
-    ok = False
+    blocks: list[list[str]] = []
+    cur: list[str] | None = None
     for line in plan.splitlines():
-        if "ReadSchema" in line and table_fragment in plan:
-            cols = line.split("struct<", 1)[-1]
+        if re.match(r"^\(\d+\) ", line):
+            cur = []
+            blocks.append(cur)
+        if cur is not None:
+            cur.append(line)
+    found = False
+    for block in blocks:
+        if "Scan" not in block[0]:
+            continue
+        if not any(table_fragment in ln for ln in block if "Location" in ln or "file" in ln):
+            continue
+        for ln in block:
+            if "ReadSchema" not in ln:
+                continue
+            found = True
+            cols = ln.split("struct<", 1)[-1]
             names = {c.split(":")[0].strip() for c in cols.rstrip(">").split(",") if ":" in c}
-            if names and names <= allowed:
-                ok = True
-    return ok
+            if not names or not (names <= allowed):
+                return False
+    return found

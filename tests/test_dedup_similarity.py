@@ -166,6 +166,56 @@ def test_connected_components_union_find_oracle(spark):
         assert c <= v
 
 
+def test_connected_components_star_equals_propagation(spark):
+    import random
+
+    from mapreduce_paradigm_spark.operators.components import (
+        ConvergenceError,
+        connected_components,
+        connected_components_star,
+    )
+
+    # adversarial shapes for both variants: a long chain (diameter 60 —
+    # beyond propagation's default max_iter), a star, a cycle, random blobs
+    rng = random.Random(13)
+    edges = [(i, i + 1) for i in range(100, 160)]  # chain, diameter 60
+    edges += [(500, x) for x in range(501, 520)]  # star
+    edges += [(700 + i, 700 + (i + 1) % 10) for i in range(10)]  # cycle
+    edges += [(rng.randrange(900, 960), rng.randrange(900, 960)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "d1 BIGINT, d2 BIGINT")
+
+    star = {
+        (r["doc_id"], r["component"]) for r in connected_components_star(df).collect()
+    }
+    # union-find oracle
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(v, find(v)) for v in parent}
+    assert star == want
+
+    # propagation on the diameter-60 chain must now FAIL LOUDLY, not return
+    # silently-split components (the old behavior)
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(edges[:60], "d1 BIGINT, d2 BIGINT")
+    with _pytest.raises(ConvergenceError):
+        connected_components(chain, max_iter=10)
+    # and succeed when given enough rounds, agreeing with the star variant
+    ok = {(r["doc_id"], r["component"]) for r in connected_components(chain, max_iter=65).collect()}
+    assert ok == {(v, 100) for v in range(100, 161)}
+
+
 def test_ivf_topk_recall_against_exact(spark):
     from mapreduce_paradigm_spark.operators.similarity import ivf_topk_cosine
 

@@ -72,3 +72,46 @@ def test_dsum_is_exact_over_2dp_values(spark, values):
     # exact rational sum of round6(x) — what both engines must produce
     exact = sum(Fraction(round(v * 100)) for v in values) / 100
     assert got == float(exact)
+
+
+def test_asof_join_tie_determinism_and_strictness(spark):
+    from datetime import datetime
+
+    from mapreduce_paradigm_spark.operators.asof import asof_join
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    t2 = datetime(2024, 1, 1, 13, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 10, t2), (2, 20, t)], "lid BIGINT, key BIGINT, ts TIMESTAMP_NTZ"
+    )
+    # key 10: TWO right rows at the identical earlier ts → the greatest
+    # value tuple must win, deterministically; key 20: right row at exactly
+    # left.ts → strictness demands NULL
+    right = spark.createDataFrame(
+        [(10, t, 5.0), (10, t, 9.0), (20, t, 7.0)],
+        "key BIGINT, ts TIMESTAMP_NTZ, v DOUBLE",
+    )
+    for _ in range(3):  # stable across repeated runs/shuffles
+        rows = {
+            r["lid"]: r["asof_v"]
+            for r in asof_join(
+                left, right, on=["key"], left_ts="ts", right_ts="ts", value_cols=["v"]
+            ).collect()
+        }
+        assert rows == {1: 9.0, 2: None}
+
+
+def test_dsum_overflow_raises_not_wraps(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduce_paradigm_spark.functions import dsum
+
+    # 3 rows × 4.6e12 → Σmicros ≈ 1.4e19 > Long.MaxValue
+    df = spark.createDataFrame([(4.6e12,), (4.6e12,), (4.6e12,)], "v DOUBLE")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="overflow"):
+        df.agg(dsum(F.col("v"), "s")).collect()
+    # and far below the bound it still matches the exact rational value
+    ok = spark.createDataFrame([(1.25,), (2.50,)], "v DOUBLE").agg(dsum(F.col("v"), "s"))
+    assert ok.collect()[0]["s"] == 3.75
