@@ -48,6 +48,11 @@ def connected_components(
     whose diameter exceeds ``max_iter`` would otherwise be silently split
     into several clusters. Use ``connected_components_star`` for
     high-diameter graphs (O(log² n) rounds).
+
+    Convergence detection: labels only ever DECREASE (least of self and
+    neighbors), so the fixpoint is reached exactly when Σ component is
+    unchanged — one cheap aggregate on the just-checkpointed labels instead
+    of a change-counting join per round.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # undirected: both directions once
@@ -59,7 +64,7 @@ def connected_components(
         .withColumn("component", F.col("v"))
         .persist()
     )
-    labels.count()  # materialize
+    label_sum = labels.agg(F.sum("component")).collect()[0][0]
 
     converged = False
     for _ in range(max_iter):
@@ -82,17 +87,13 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:
             converged = True
             break
+        label_sum = new_sum
     sym.unpersist()
     if not converged:
         labels.unpersist()

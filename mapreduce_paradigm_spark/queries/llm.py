@@ -112,6 +112,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     oracle=None,  # fingerprint bit-threshold has no SQL-exact counterpart
     description="63-bit SimHash pairs within Hamming distance 3 via pigeonhole "
     "chunk joins (no quadratic pass).",
+    bench=True,
     tags=("dedup", "llm", "approx"),
 )
 def q_simhash_near_pairs(spark, sf_dir):
@@ -185,6 +186,7 @@ def q_nfc_fingerprints(spark, sf_dir):
     "propagation, driver convergence loop over pure DataFrame rounds) over "
     "the exact Jaccard pair graph — the keep-one-per-group step of a dedup "
     "pipeline (operators/components.py).",
+    bench=True,
     tags=("dedup", "llm", "iterative"),
 )
 def q_dedup_clusters(spark, sf_dir):

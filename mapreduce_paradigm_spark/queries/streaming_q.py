@@ -139,6 +139,7 @@ GROUP BY word
     "table (the reference's commutative posting union, src/main.cpp:119-128, "
     "as read-union-regroup-swap); the index rebuilt FROM STATE must "
     "hash-match the flagship oracle.",
+    bench=True,
     tags=("streaming", "text", "flagship"),
 )
 def q_streaming_incremental_index_fb(spark, sf_dir):

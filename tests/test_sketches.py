@@ -21,6 +21,30 @@ def test_hll_within_relative_error(spark):
     assert rel < 0.05, f"HLL rel error {rel:.4f} (exact={row['exact']}, approx={row['approx']})"
 
 
+def test_hll_per_group_matches_registered_query_shape(spark):
+    """Per-group relative-error oracle for the REGISTERED approx query
+    (approx_distinct_parts is rows-only at the driver; this pins its
+    accuracy against exact distinct counts, group by group)."""
+    from mapreduce_paradigm_spark.registry import all_specs
+
+    approx = {
+        r["p_brand"]: r["approx_parts"]
+        for r in all_specs()["approx_distinct_parts"].builder(spark, SF_CORRECT).collect()
+    }
+    exact = {
+        r["p_brand"]: r["exact_parts"]
+        for r in load_table(spark, SF_CORRECT, "part")
+        .groupBy("p_brand")
+        .agg(F.count_distinct("p_partkey").alias("exact_parts"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for brand, ex in exact.items():
+        rel = abs(approx[brand] - ex) / ex
+        # default rsd = 0.05; allow 3 sigma per group
+        assert rel < 0.15, f"{brand}: HLL rel error {rel:.4f} (exact={ex}, approx={approx[brand]})"
+
+
 def test_approx_percentile_close_to_exact(spark):
     li = load_table(spark, SF_CORRECT, "lineitem")
     row = li.agg(
