@@ -196,6 +196,23 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
+@register(
+    "dedup_clusters_star",
+    oracle=None,  # iterative fixpoint — property-tested equal to propagation
+    description="Same clusters via alternating large-star/small-star "
+    "(Kiveris et al. SoCC'14): O(log² n) rounds regardless of graph "
+    "diameter — the 100 TB path for chain-shaped dup graphs; "
+    "property-tested equal to min-label propagation and a union-find "
+    "oracle.",
+    tags=("dedup", "llm", "iterative"),
+)
+def q_dedup_clusters_star(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.components import connected_components_star
+
+    pairs = jaccard_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    return connected_components_star(pairs)
+
+
 # --- similarity search -------------------------------------------------------
 
 
