@@ -569,6 +569,31 @@ def q_events_json_extract(spark, sf_dir):
 
 
 @register(
+    "events_variant_extract",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    description="Spark 4 VARIANT type: props parsed once with parse_json "
+    "into the binary VARIANT encoding, fields typed out via variant_get — "
+    "the shredded-semi-structured path that replaces per-access string "
+    "re-parsing (get_json_object) at scale.",
+    tags=("functions", "json", "variant"),
+)
+def q_events_variant_extract(spark, sf_dir):
+    v = F.parse_json(F.col("props"))
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.variant_get(v, "$.k", "bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.max("k").alias("max_k"))
+    )
+
+
+@register(
     "embedding_array_funcs",
     oracle="""
 SELECT vec_id,

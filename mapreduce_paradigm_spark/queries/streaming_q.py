@@ -58,6 +58,43 @@ def q_streaming_hourly_event_counts(spark, sf_dir):
 
 
 @register(
+    "streaming_sliding_window_counts",
+    oracle="""
+WITH k AS (SELECT unnest(generate_series(0, 3)) AS k),
+w AS (
+  SELECT event_type,
+         make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - k.k * 900) * 1000000 AS BIGINT))
+           AS wstart
+  FROM events, k
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n
+FROM w
+GROUP BY 1, 2
+""",
+    description="Sliding windows (1h width, 15min slide) maintained as "
+    "streaming state via availableNow; every event updates 4 overlapping "
+    "windows — must hash-match the batch sliding-window oracle "
+    "(streaming/batch parity for overlapping-window state).",
+    tags=("streaming", "window", "events"),
+)
+def q_streaming_sliding_window_counts(spark, sf_dir):
+    from mapreduce_paradigm_spark.streaming import _stream_table
+
+    ev = _stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return run_to_memory(agg)
+
+
+@register(
     "streaming_session_windows",
     oracle="""
 WITH tagged AS (

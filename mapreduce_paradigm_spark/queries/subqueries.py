@@ -154,3 +154,72 @@ def q_orders_in_top_segment_customers(spark, sf_dir):
         )
         """
     )
+
+
+@register(
+    "top2_orders_per_customer_lateral",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+WHERE c.c_mktsegment = 'MACHINERY'
+""",
+    description="LATERAL correlated subquery (per-customer top-2 orders): "
+    "Spark plans the correlated limit as a window group-limit over one "
+    "shuffle — the declarative form of a per-key top-k probe, not a "
+    "nested loop.",
+    tags=("subquery", "lateral", "join"),
+)
+def q_top2_orders_per_customer_lateral(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        WHERE c.c_mktsegment = 'MACHINERY'
+        """
+    )
+
+
+@register(
+    "monthly_order_spine_recursive",
+    oracle="""
+WITH RECURSIVE spine(m) AS (
+  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM spine
+  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+)
+SELECT strftime(CAST(s.m AS DATE), '%Y-%m-%d') AS month_start,
+       count(o.o_orderkey) AS n_orders
+FROM spine s
+LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = s.m
+GROUP BY 1
+""",
+    description="Recursive CTE (Spark 4 WITH RECURSIVE): month spine "
+    "generated by recursion, left-joined to per-month order counts — the "
+    "gap-filling shape where the spine bounds come from the data itself.",
+    tags=("subquery", "recursive", "datetime"),
+)
+def q_monthly_order_spine_recursive(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+          SELECT date_trunc('MONTH', min(o_orderdate)) FROM orders
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM spine
+          WHERE m < (SELECT date_trunc('MONTH', max(o_orderdate)) FROM orders)
+        )
+        SELECT date_format(s.m, 'yyyy-MM-dd') AS month_start,
+               count(o.o_orderkey) AS n_orders
+        FROM spine s
+        LEFT JOIN orders o ON date_trunc('MONTH', o.o_orderdate) = s.m
+        GROUP BY 1
+        """
+    )

@@ -74,6 +74,25 @@ def write_parquet(
     w.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """ORC scan — the other columnar interchange format (Hive-ecosystem
+    counterpart to parquet; vectorized reader, predicate pushdown, and
+    column pruning all apply). Schema optional: ORC embeds its schema, so
+    unlike CSV/JSON there is no inference re-read; pass one to pin the
+    contract anyway when reading third-party data."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def save_bucketed(
     df: DataFrame,
     table_name: str,

@@ -120,3 +120,12 @@ def test_ann_corpus_never_shuffles(spark):
     assert len(exchanges) == 1, plan
     assert "hashpartitioning(q_id" in plan
     assert "row_number(), 5, Partial" in plan  # pre-shuffle top-k pruning
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    # LATERAL (... ORDER BY ... LIMIT 2) must become a window group-limit
+    # over one shuffle — never a per-customer nested loop or cartesian
+    plan = formatted_plan(_df(spark, "top2_orders_per_customer_lateral"))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -52,6 +52,21 @@ def test_jsonl_roundtrip(spark, tmp_path):
     assert _sorted_rows(back) == _sorted_rows(src)
 
 
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from mapreduce_paradigm_spark.plans import has_pushed_filters
+    from mapreduce_paradigm_spark.sources.files import read_orc, write_orc
+
+    src = _customers(spark)
+    path = str(tmp_path / "cust_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert _sorted_rows(back) == _sorted_rows(src)
+    # ORC scans take predicate pushdown just like parquet
+    import pyspark.sql.functions as F
+
+    assert has_pushed_filters(back.filter(F.col("c_custkey") == 7), "c_custkey")
+
+
 def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     src = _customers(spark)
     path = str(tmp_path / "cust_parq")
