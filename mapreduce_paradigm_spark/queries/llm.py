@@ -440,3 +440,46 @@ def q_multimodal_frame_sample(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(with_binary_payload(docs), frame_size=256, stride=4)
+
+
+@register(
+    "doc_chunks_udtf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a FROM documents
+), idx AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a), 16)) AS start FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) / 16 AS BIGINT) AS chunk_idx,
+       array_to_string(a[start:start + 31], ' ') AS chunk_text,
+       CAST(least(32, len(a) - start + 1) AS BIGINT) AS n_tokens
+FROM idx
+""",
+    description="Document CHUNKING for training pipelines (token windows of "
+    "32, stride 16 — overlapping context chunks) via a Python UDTF in a "
+    "LATERAL join — the Spark 3.5+ user-defined TABLE function surface. "
+    "Chunking is per-row compute (no shuffle); the UDTF is the API "
+    "demonstration, and the same semantics are expressible natively as "
+    "sequence()+explode+slice for hot paths.",
+    tags=("llm", "text", "udtf"),
+)
+def q_doc_chunks_udtf(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx BIGINT, chunk_text STRING, n_tokens BIGINT")
+    class DocChunks:
+        def eval(self, text: str):
+            toks = text.strip().split()
+            for i, start in enumerate(range(0, len(toks), 16)):
+                window = toks[start : start + 32]
+                yield i, " ".join(window), len(window)
+
+    from mapreduce_paradigm_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("doc_chunks", DocChunks)
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        "FROM documents d, LATERAL doc_chunks(d.text) c"
+    )
