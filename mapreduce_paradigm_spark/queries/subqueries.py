@@ -189,11 +189,11 @@ def q_top2_orders_per_customer_lateral(spark, sf_dir):
 @register(
     "monthly_order_spine_recursive",
     oracle="""
-WITH RECURSIVE spine(m) AS (
-  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+WITH RECURSIVE spine(m, m_end) AS (
+  SELECT date_trunc('month', min(o_orderdate)),
+         date_trunc('month', max(o_orderdate)) FROM orders
   UNION ALL
-  SELECT m + INTERVAL 1 MONTH FROM spine
-  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+  SELECT m + INTERVAL 1 MONTH, m_end FROM spine WHERE m < m_end
 )
 SELECT strftime(CAST(s.m AS DATE), '%Y-%m-%d') AS month_start,
        count(o.o_orderkey) AS n_orders
@@ -203,18 +203,21 @@ GROUP BY 1
 """,
     description="Recursive CTE (Spark 4 WITH RECURSIVE): month spine "
     "generated by recursion, left-joined to per-month order counts — the "
-    "gap-filling shape where the spine bounds come from the data itself.",
+    "gap-filling shape where the spine bounds come from the data itself. "
+    "The upper bound is computed ONCE in the anchor and carried as a column: "
+    "a scalar subquery in the recursion's WHERE is re-evaluated every "
+    "iteration (one full orders scan per generated month, ~4x slower).",
     tags=("subquery", "recursive", "datetime"),
 )
 def q_monthly_order_spine_recursive(spark, sf_dir):
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        WITH RECURSIVE spine(m) AS (
-          SELECT date_trunc('MONTH', min(o_orderdate)) FROM orders
+        WITH RECURSIVE spine(m, m_end) AS (
+          SELECT date_trunc('MONTH', min(o_orderdate)),
+                 date_trunc('MONTH', max(o_orderdate)) FROM orders
           UNION ALL
-          SELECT m + INTERVAL 1 MONTH FROM spine
-          WHERE m < (SELECT date_trunc('MONTH', max(o_orderdate)) FROM orders)
+          SELECT m + INTERVAL 1 MONTH, m_end FROM spine WHERE m < m_end
         )
         SELECT date_format(s.m, 'yyyy-MM-dd') AS month_start,
                count(o.o_orderkey) AS n_orders
