@@ -28,8 +28,13 @@ def main() -> None:
     spark = get_spark(app_name="mapreduce-paradigm-spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")  # comma-list for local A/B
     specs = {n: s for n, s in all_specs().items() if s.bench}
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        specs = {n: s for n, s in specs.items() if n in wanted}
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, spec in sorted(specs.items()):
         # fresh slate per query: drop persisted intermediates from earlier
         # queries and nudge the JVM so GC debt doesn't land in our window
@@ -37,13 +42,16 @@ def main() -> None:
         spark._jvm.System.gc()
         df = spec.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT + cache file listing)
-        best = float("inf")
+        per_run: list[float] = []
         for _ in range(3):  # min-of-3: steady-state wall time, host-noise-proof
             t0 = time.perf_counter()
             df = spec.builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            per_run.append(round(time.perf_counter() - t0, 3))
+        # per-run array published so a future regression is distinguishable
+        # from the documented bimodal GC/JIT + host-load noise
+        runs[name] = per_run
+        timings[name] = min(per_run)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -53,6 +61,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "load_avg_1m": round(os.getloadavg()[0], 2),
                 "sf": sf,
                 "cpus": int(cpus),
             }

@@ -106,11 +106,13 @@ def test_dsum_overflow_raises_not_wraps(spark):
 
     from mapreduce_paradigm_spark.functions import dsum
 
-    # 3 rows × 4.6e12 → Σmicros ≈ 1.4e19 > Long.MaxValue
+    # 3 rows × 4.6e12 → Σmicros ≈ 1.4e19 > Long.MaxValue: under ANSI (the
+    # Spark 4 default this engine keeps) sum(long) raises ARITHMETIC_OVERFLOW
+    # instead of silently wrapping.
     df = spark.createDataFrame([(4.6e12,), (4.6e12,), (4.6e12,)], "v DOUBLE")
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="overflow"):
+    with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
         df.agg(dsum(F.col("v"), "s")).collect()
     # and far below the bound it still matches the exact rational value
     ok = spark.createDataFrame([(1.25,), (2.50,)], "v DOUBLE").agg(dsum(F.col("v"), "s"))
