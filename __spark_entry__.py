@@ -29,19 +29,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _gate_priority() -> dict[str, tuple[int, int]]:
-    """(times_passed, times_seen) per query across past CORRECTNESS_r*.json.
+    """(last_seen_round, times_passed) per query across CORRECTNESS_r*.json.
 
-    The round-1 gate recorded only the first 50 registry entries, so the
-    registry order IS the verification budget.  Ordering least-verified-first
-    means every round the driver spends its budget on queries that still lack
-    a green row, converging to full coverage even under a per-round cap.
+    The driver's gate verifies ~50 entries per round in the order this
+    module yields them, so the ordering IS the verification budget.  Sorting
+    by (last round a query was checked, ascending) gives BOTH properties a
+    converging gate needs:
+
+    - never-checked queries (last_seen_round 0) lead every round, so new
+      registrations and the long tail reach full coverage first;
+    - already-green queries rotate back through the gate stalest-first
+      instead of never again, so a regression to a previously-passed query
+      (e.g. a semantics change after its only green row) is caught within
+      ~ceil(N/50) rounds rather than escaping indefinitely.
     """
     import glob
     import json
+    import re
 
+    last_round: dict[str, int] = {}
     passed: dict[str, int] = {}
-    seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -52,13 +62,13 @@ def _gate_priority() -> dict[str, tuple[int, int]]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            seen[name] = seen.get(name, 0) + 1
+            last_round[name] = max(last_round.get(name, 0), rnd)
             ok = bool(row.get("hash_match")) or (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )
             if ok:
                 passed[name] = passed.get(name, 0) + 1
-    return {n: (passed.get(n, 0), seen.get(n, 0)) for n in seen}
+    return {n: (last_round[n], passed.get(n, 0)) for n in last_round}
 
 
 def _ordered_specs():
