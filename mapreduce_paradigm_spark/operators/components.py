@@ -50,10 +50,15 @@ def connected_components(
     high-diameter graphs (O(log² n) rounds).
 
     Convergence detection: labels only ever DECREASE (least of self and
-    neighbors), so the fixpoint is reached exactly when Σ component is
-    unchanged — one cheap aggregate on the just-checkpointed labels instead
-    of a change-counting join per round.
+    neighbors). For NUMERIC ids the fixpoint is reached exactly when
+    Σ component is unchanged — one cheap aggregate on the just-checkpointed
+    labels. For non-numeric ids (string doc ids) Σ is undefined — non-ANSI
+    Spark would return NULL and NULL == NULL would declare convergence
+    after round 1, silently splitting components — so those fall back to a
+    changed-label count join per round (same scalar-only driver contract).
     """
+    from pyspark.sql.types import NumericType
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # undirected: both directions once
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
@@ -64,7 +69,8 @@ def connected_components(
         .withColumn("component", F.col("v"))
         .persist()
     )
-    label_sum = labels.agg(F.sum("component")).collect()[0][0]
+    numeric_ids = isinstance(labels.schema["component"].dataType, NumericType)
+    label_sum = labels.agg(F.sum("component")).collect()[0][0] if numeric_ids else None
 
     converged = False
     for _ in range(max_iter):
@@ -87,13 +93,24 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        if numeric_ids:
+            new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+            done = new_sum == label_sum
+            label_sum = new_sum
+        else:
+            done = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels.unpersist()
         labels = new_labels
-        if new_sum == label_sum:
+        if done:
             converged = True
             break
-        label_sum = new_sum
     sym.unpersist()
     if not converged:
         labels.unpersist()

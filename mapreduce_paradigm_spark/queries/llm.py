@@ -67,10 +67,12 @@ def q_dedup_exact(spark, sf_dir):
     "ngram_jaccard_pairs",
     oracle=f"""
 WITH {_DUCK_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+capped AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 64),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
 common AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT d1, d2, c / (s1.sz + s2.sz - c) AS jaccard
@@ -82,8 +84,9 @@ WHERE c / (s1.sz + s2.sz - c) >= 0.5
     description="Exact 3-gram shingle Jaccard near-dup pairs (inverted-list "
     "self-join; ground truth for the approximate tiers). Stop-shingle cap "
     "df<=64 bounds the pair explosion Σdf² → corpus-linear on templated "
-    "corpora; far above this fixture's max df (7 at sf0.01, 25 at sf0.1) so "
-    "the uncapped oracle still hash-matches exactly.",
+    "corpora; the oracle applies the SAME cap (HAVING count(*) <= 64) so "
+    "query and oracle stay equivalent by construction at any fixture size, "
+    "not just while the fixture's max df stays under the cap.",
     bench=True,
     tags=("dedup", "llm"),
 )
@@ -447,6 +450,7 @@ def q_multimodal_frame_sample(spark, sf_dir):
     oracle="""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
 ), idx AS (
   SELECT doc_id, a, unnest(generate_series(1, len(a), 16)) AS start FROM toks
 )
@@ -470,6 +474,11 @@ def q_doc_chunks_udtf(spark, sf_dir):
     @udtf(returnType="chunk_idx BIGINT, chunk_text STRING, n_tokens BIGINT")
     class DocChunks:
         def eval(self, text: str):
+            # NULL/empty/whitespace-only docs chunk to nothing (the oracle
+            # filters the same rows out); without the guard NULL crashes on
+            # .strip() and '' would differ from DuckDB's ['']-split
+            if not text or not text.strip():
+                return
             toks = text.strip().split()
             for i, start in enumerate(range(0, len(toks), 16)):
                 window = toks[start : start + 32]

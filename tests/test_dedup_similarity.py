@@ -216,6 +216,31 @@ def test_connected_components_star_equals_propagation(spark):
     assert ok == {(v, 100) for v in range(100, 161)}
 
 
+def test_connected_components_string_ids(spark):
+    """String vertex ids must converge correctly, not falsely after round 1.
+
+    The numeric convergence check (Σ component unchanged) is undefined for
+    strings — non-ANSI Spark sums a string column to NULL and NULL == NULL
+    would declare convergence immediately; the operator must detect the
+    type and fall back to a changed-label count. A 5-hop chain needs 5
+    propagation rounds, so a round-1 false convergence returns split
+    components and fails this test.
+    """
+    from mapreduce_paradigm_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # chain a-b-c-d-e-f (diameter 5) plus a separate pair x-y
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("x", "y")]
+    df = spark.createDataFrame(edges, "d1 STRING, d2 STRING")
+    want = {(v, "a") for v in "abcdef"} | {("x", "x"), ("y", "x")}
+    got = {(r["doc_id"], r["component"]) for r in connected_components(df).collect()}
+    assert got == want
+    star = {(r["doc_id"], r["component"]) for r in connected_components_star(df).collect()}
+    assert star == want
+
+
 def test_ivf_topk_recall_against_exact(spark):
     from mapreduce_paradigm_spark.operators.similarity import ivf_topk_cosine
 
