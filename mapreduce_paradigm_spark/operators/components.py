@@ -179,12 +179,14 @@ def connected_components_star(
                     )
                 ).alias("v"),
             )
-        return (
-            out.filter(F.col("v") != F.col("m"))
-            .select(F.col("m").alias("s"), F.col("v").alias("g"))
-            .distinct()
+        # no trailing distinct: the consumer is either the next star's
+        # collect_set (dedups for free) or the per-round distinct below —
+        # a distinct here would only add a shuffle per half-round
+        return out.filter(F.col("v") != F.col("m")).select(
+            F.col("m").alias("s"), F.col("v").alias("g")
         )
 
+    n_cur = cur.count()
     converged = False
     for _ in range(max_iter):
         # localCheckpoint (not persist): each round nests two star rewrites,
@@ -193,11 +195,21 @@ def connected_components_star(
         # alone would OOM the driver by round ~10. Checkpointing cuts
         # lineage to the materialized blocks (on a cluster, use
         # spark.checkpoint to reliable storage for fault tolerance).
-        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(eager=True)
-        changed = nxt.exceptAll(cur).count() + cur.exceptAll(nxt).count()
+        nxt = (
+            _star(_star(cur, large=True), large=False)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # exact set-equality at scalar cost: both sides are distinct sets,
+        # so |nxt| == |cur| plus nxt ⊆ cur (anti-join, take-1 early exit)
+        # implies equality — replaces the old two-sided exceptAll (two full
+        # shuffle aggregations per round); when sizes differ the anti-join
+        # never runs
+        n_nxt = nxt.count()
+        done = n_nxt == n_cur and nxt.join(cur, ["s", "g"], "left_anti").isEmpty()
         cur.unpersist()
-        cur = nxt
-        if changed == 0:
+        cur, n_cur = nxt, n_nxt
+        if done:
             converged = True
             break
     if not converged:

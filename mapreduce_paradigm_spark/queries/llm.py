@@ -207,6 +207,7 @@ def q_dedup_clusters(spark, sf_dir):
     "diameter — the 100 TB path for chain-shaped dup graphs; "
     "property-tested equal to min-label propagation and a union-find "
     "oracle.",
+    bench=True,
     tags=("dedup", "llm", "iterative"),
 )
 def q_dedup_clusters_star(spark, sf_dir):
