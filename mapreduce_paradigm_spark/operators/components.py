@@ -143,13 +143,18 @@ def connected_components_star(
     component minima — read labels straight off the final edges. The
     convergence action per round is one scalar (edge-set change count).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a") != F.col("b")
+    # persist the input projection: it feeds BOTH the canonical edge set and
+    # the final vertex list — without this an expensive upstream (e.g. the
+    # jaccard pair generation) executes twice
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .persist()
     )
     # canonical undirected form (small, large) — the star rewrites keep
     # edges in this orientation, so equality-by-subtract is well-defined
     cur = (
-        e.select(F.least("a", "b").alias("s"), F.greatest("a", "b").alias("g"))
+        e.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("s"), F.greatest("a", "b").alias("g"))
         .distinct()
         .persist()
     )
@@ -224,13 +229,14 @@ def connected_components_star(
     ).distinct()
     # isolated-in-canonical-form vertices (self-pairs in input) label themselves
     verts = (
-        edges.select(F.col(src).alias("doc_id"))
-        .unionByName(edges.select(F.col(dst).alias("doc_id")))
+        e.select(F.col("a").alias("doc_id"))
+        .unionByName(e.select(F.col("b").alias("doc_id")))
         .distinct()
     )
     out = verts.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
     )
-    result = out.localCheckpoint(eager=True)  # pin before releasing cur
+    result = out.localCheckpoint(eager=True)  # pin before releasing inputs
     cur.unpersist()
+    e.unpersist()
     return result
