@@ -42,6 +42,37 @@ sh AS (
 )
 """
 
+# Connected components of the UNCAPPED jaccard>=0.5 pair graph as a DuckDB
+# recursive transitive closure: tractable because the gate fixture's pair
+# graph is tiny (the closure is bounded by sum of cluster sizes squared).
+# This hash-checks the ITERATIVE Spark operators against an independent
+# declarative fixpoint — the strongest oracle an iterative algorithm can get.
+_DUCK_COMPONENTS = f"""
+{_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM common
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE c / (s1.sz + s2.sz - c) >= 0.5
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+"""
+
 
 # --- dedup -------------------------------------------------------------------
 
@@ -184,11 +215,15 @@ def q_nfc_fingerprints(spark, sf_dir):
 
 @register(
     "dedup_clusters",
-    oracle=None,  # iterative fixpoint — validated by a union-find oracle in pytest
+    oracle=f"""
+WITH RECURSIVE {_DUCK_COMPONENTS}
+SELECT doc_id, component FROM comp
+""",
     description="Near-dup CLUSTERS: connected components (min-label "
     "propagation, driver convergence loop over pure DataFrame rounds) over "
     "the exact Jaccard pair graph — the keep-one-per-group step of a dedup "
-    "pipeline (operators/components.py).",
+    "pipeline (operators/components.py). Hash-checked against a DuckDB "
+    "recursive-CTE transitive closure (plus a union-find pytest oracle).",
     bench=True,
     tags=("dedup", "llm", "iterative"),
 )
@@ -201,12 +236,15 @@ def q_dedup_clusters(spark, sf_dir):
 
 @register(
     "dedup_clusters_star",
-    oracle=None,  # iterative fixpoint — property-tested equal to propagation
+    oracle=f"""
+WITH RECURSIVE {_DUCK_COMPONENTS}
+SELECT doc_id, component FROM comp
+""",
     description="Same clusters via alternating large-star/small-star "
     "(Kiveris et al. SoCC'14): O(log² n) rounds regardless of graph "
-    "diameter — the 100 TB path for chain-shaped dup graphs; "
-    "property-tested equal to min-label propagation and a union-find "
-    "oracle.",
+    "diameter — the 100 TB path for chain-shaped dup graphs; hash-checked "
+    "against the same recursive-CTE closure oracle as dedup_clusters, and "
+    "property-tested equal to min-label propagation.",
     bench=True,
     tags=("dedup", "llm", "iterative"),
 )
@@ -215,6 +253,32 @@ def q_dedup_clusters_star(spark, sf_dir):
 
     pairs = jaccard_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
     return connected_components_star(pairs)
+
+
+@register(
+    "dedup_keep_one_near",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_COMPONENTS}
+SELECT d.doc_id
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.component = d.doc_id
+""",
+    description="APPLY the near-dup dedup end-to-end: survivors = every doc "
+    "minus non-minimum members of each Jaccard>=0.5 connected component "
+    "(star-variant components — the full 100 TB pipeline: df-capped pair "
+    "generation → O(log² n) clustering → anti-join survivor set), "
+    "hash-checked against the recursive-CTE closure oracle.",
+    tags=("dedup", "llm", "iterative"),
+)
+def q_dedup_keep_one_near(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.components import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, k=3, threshold=0.5)
+    labels = connected_components_star(pairs)
+    non_survivors = labels.filter(F.col("doc_id") != F.col("component"))
+    return docs.join(non_survivors, "doc_id", "left_anti").select("doc_id")
 
 
 # --- similarity search -------------------------------------------------------
