@@ -314,10 +314,11 @@ def q_embedding_topk_cosine(spark, sf_dir):
 @register(
     "embedding_ivf_topk",
     oracle=None,  # approximate by construction (probe recall < 1)
-    description="IVF-style ANN: coarse-quantizer inverted lists, nprobe "
-    "nearest lists per query, exact in-list rerank — one mapInPandas corpus "
-    "pass; at scale the lists are parquet partitions and probing becomes "
-    "partition pruning (operators/similarity.py).",
+    description="IVF-style ANN: coarse-quantizer inverted lists (2 rounds of "
+    "spherical-k-means Lloyd refinement, one distributed pass per round), "
+    "nprobe nearest lists per query, exact in-list rerank — one mapInPandas "
+    "corpus pass; at scale the lists are parquet partitions and probing "
+    "becomes partition pruning (operators/similarity.py).",
     tags=("similarity", "llm", "approx"),
 )
 def q_embedding_ivf_topk(spark, sf_dir):
@@ -325,20 +326,22 @@ def q_embedding_ivf_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return ivf_topk_cosine(emb, queries, k=5, nlist=8, nprobe=4)
+    return ivf_topk_cosine(emb, queries, k=5, nlist=8, nprobe=4, lloyd_iters=2)
 
 
 @register(
     "embedding_lsh_topk",
     oracle=None,  # approximate by construction (bucket recall < 1)
     description="Hyperplane-LSH bucketed ANN with exact in-bucket rerank — "
-    "the 2^nbits-fold candidate reduction scale path.",
+    "the 2^nbits-fold candidate reduction scale path; multi-probe flips the "
+    "2 least-confident hash bits per query (smallest hyperplane margin) so "
+    "recall rises at 3/2^nbits candidate cost, still never all-pairs.",
     tags=("similarity", "llm", "approx"),
 )
 def q_embedding_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return lsh_topk_cosine(emb, queries, dim=64, k=5, nbits=8)
+    return lsh_topk_cosine(emb, queries, dim=64, k=5, nbits=8, multiprobe=2)
 
 
 # --- text analysis -----------------------------------------------------------

@@ -258,6 +258,39 @@ def test_ivf_topk_recall_against_exact(spark):
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.3, f"recall {recall}"
     assert all(q != n for q, n in ivf)
+    # Lloyd refinement must keep the contract (shape, no self-matches, sane
+    # recall) and be deterministic: sorted-partial driver reduce → identical
+    # centroids → identical probe sets on repeat runs
+    ref1 = ivf_topk_cosine(emb, queries, k=5, nlist=8, nprobe=4, lloyd_iters=2).collect()
+    ref2 = ivf_topk_cosine(emb, queries, k=5, nlist=8, nprobe=4, lloyd_iters=2).collect()
+    assert sorted(map(tuple, ref1)) == sorted(map(tuple, ref2))
+    lloyd = {(r["q_id"], r["neighbor_id"]) for r in ref1}
+    assert len(lloyd & exact) / len(exact) >= 0.3
+    assert all(q != n for q, n in lloyd)
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    from mapreduce_paradigm_spark.operators.similarity import lsh_topk_cosine
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["q_id"], r["neighbor_id"]) for r in topk_cosine(emb, queries, k=5).collect()
+    }
+    single = lsh_topk_cosine(emb, queries, dim=64, k=5, nbits=8).collect()
+    multi = lsh_topk_cosine(emb, queries, dim=64, k=5, nbits=8, multiprobe=2).collect()
+    r_single = len({(r["q_id"], r["neighbor_id"]) for r in single} & exact) / len(exact)
+    r_multi = len({(r["q_id"], r["neighbor_id"]) for r in multi} & exact) / len(exact)
+    # multi-probe candidates strictly contain the single-probe candidates,
+    # so top-k recall can only improve
+    assert r_multi >= r_single, f"{r_multi} < {r_single}"
+    # and the output still honors the contract
+    by_q: dict[int, list] = {}
+    for r in sorted(multi, key=lambda r: (r["q_id"], r["rank"])):
+        assert r["q_id"] != r["neighbor_id"]
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert ranks == list(range(1, len(ranks) + 1))
 
 
 def test_nfc_normalization_unicode_edges(spark):
