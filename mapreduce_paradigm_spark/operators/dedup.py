@@ -167,6 +167,34 @@ def jaccard_pairs(
     )
 
 
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Decontamination scan: corpus docs sharing ≥1 k-gram shingle with a
+    benchmark/eval set — the pre-training hygiene step that keeps test sets
+    out of training data. Returns ``(doc_id, n_hit_shingles)`` for every
+    contaminated corpus doc.
+
+    Scale shape: the benchmark side is tiny by nature (eval suites are
+    thousands of docs, the corpus is billions), so its distinct shingle-hash
+    set is BROADCAST — the corpus is scanned once, the semi-join happens
+    map-side with zero corpus shuffle, and only the per-doc hit counts (a
+    partial-aggregating groupBy on doc_id) exchange. At extreme benchmark
+    sizes swap the broadcast for a bloom filter built over the same hashed
+    shingles; the plumbing is unchanged. Hash-keyed shingles as everywhere
+    (8-byte keys; collision odds immaterial, see ``hashed_shingles``)."""
+    bench_sids = hashed_shingles(benchmark, k, text_col).select("sid").distinct()
+    corpus_sids = hashed_shingles(corpus, k, text_col).distinct()
+    return (
+        corpus_sids.join(F.broadcast(bench_sids), "sid", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 

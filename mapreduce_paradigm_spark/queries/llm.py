@@ -256,6 +256,111 @@ def q_dedup_clusters_star(spark, sf_dir):
 
 
 @register(
+    "benchmark_contamination",
+    oracle=f"""
+WITH arr AS (SELECT doc_id, {_DUCK_TOKS} AS a FROM documents),
+sh4 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(a[1:len(a)-3],
+                (x, i) -> x || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3])) AS s
+  FROM arr WHERE len(a) >= 4
+),
+bench AS (SELECT DISTINCT s FROM sh4 WHERE doc_id % 50 = 0)
+SELECT c.doc_id, count(*) AS n_hit_shingles
+FROM sh4 c JOIN bench b ON c.s = b.s
+WHERE c.doc_id % 50 <> 0
+GROUP BY 1
+""",
+    description="Decontamination: training docs sharing >=1 4-gram with the "
+    "held-out benchmark slice (doc_id %% 50 == 0 stands in for an eval "
+    "suite). Benchmark shingle-hash set broadcast, map-side semi-join, zero "
+    "corpus shuffle before the per-doc hit count "
+    "(operators/dedup.py: benchmark_contamination).",
+    tags=("dedup", "llm", "textstats"),
+)
+def q_benchmark_contamination(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import benchmark_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        k=4,
+    )
+
+
+@register(
+    "mixture_sample_by_source",
+    oracle="""
+SELECT doc_id, source
+FROM documents
+WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE CAST(substr(source, 4) AS INT) % 4
+           WHEN 0 THEN 'g' WHEN 1 THEN '8000' WHEN 2 THEN '4000'
+           ELSE '2000' END
+""",
+    description="Deterministic mixture sampling: per-source keep rates "
+    "(1.0 / 0.5 / 0.25 / 0.125 by source-id mod 4) applied via an md5 "
+    "hash-threshold on doc_id — reproducible on any cluster, no RNG state, "
+    "rerunnable incrementally (a doc's fate never changes), and exactly "
+    "mirrored in SQL. The way a training pipeline downsamples "
+    "over-represented sources.",
+    tags=("llm", "sampling"),
+)
+def q_mixture_sample_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    bucket = F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(4))
+    cutoff = F.element_at(
+        F.array(F.lit("g"), F.lit("8000"), F.lit("4000"), F.lit("2000")), bucket + 1
+    )
+    return docs.filter(key < cutoff).select("doc_id", "source")
+
+
+@register(
+    "doc_repetition_scores",
+    oracle=f"""
+WITH arr AS (SELECT doc_id, {_DUCK_TOKS} AS a FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(a[1:len(a)-2], (x, i) -> x || ' ' || a[i+1] || ' ' || a[i+2]) AS g3
+  FROM arr WHERE len(a) >= 3
+)
+SELECT doc_id,
+       CAST(len(g3) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct,
+       round(1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) AS rep_ratio
+FROM g
+""",
+    description="Gopher-style repetition quality signal: fraction of "
+    "duplicated 3-grams within each doc — all per-row JVM array exprs "
+    "(no shuffle, no UDF); high rep_ratio flags boilerplate/spam for "
+    "the quality-filtering stage.",
+    tags=("textstats", "llm"),
+)
+def q_doc_repetition_scores(spark, sf_dir):
+    from mapreduce_paradigm_spark.functions import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        word_shingles(
+            "split(lower(trim(text)), '\\\\s+')", 3
+        ).alias("g3"),
+    ).filter(F.size("g3") >= 1)
+    n = F.size("g3").cast("long")
+    nd = F.size(F.array_distinct("g3")).cast("long")
+    return g.select(
+        "doc_id",
+        n.alias("n_ngrams"),
+        nd.alias("n_distinct"),
+        F.round(F.lit(1) - nd.cast("double") / n, 6).alias("rep_ratio"),
+    )
+
+
+@register(
     "dedup_keep_one_near",
     oracle=f"""
 WITH RECURSIVE {_DUCK_COMPONENTS}
