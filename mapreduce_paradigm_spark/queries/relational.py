@@ -1208,3 +1208,189 @@ def q_returned_items_report(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+SELECT order_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                     THEN volume_d ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(sum(volume_d) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         sn.n_name AS supp_nation,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume_d
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+)
+GROUP BY order_year
+""",
+    description="TPC-H Q8 shape: one nation's market share of STANDARD-part "
+    "trade into AMERICA-region customers, by year — conditional share-of-"
+    "total over a 7-table snowflake join; every dimension broadcast, the "
+    "fact table never shuffles before the final 7-group aggregate. Ratio "
+    "numerator/denominator accumulate as exact long micros (same "
+    "promo_revenue_ratio discipline) so the double division is bit-stable "
+    "cross-engine.",
+    tags=("join", "aggregation"),
+)
+def q_nation_market_share(spark, sf_dir):
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6), 0).cast("long")
+    nat_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0).cast("long"))
+    num = F.sum(nat_vol).cast("decimal(24,6)") / F.lit(1000000)
+    den = F.sum(vol).cast("decimal(24,6)") / F.lit(1000000)
+    amer_cust = (
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        .join(F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+                          .select("r_regionkey")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(_t(spark, sf_dir, "part")
+                          .filter(F.col("p_type") == "STANDARD").select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(amer_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg((num.cast("double") / den.cast("double")).alias("mkt_share"))
+    )
+
+
+@register(
+    "customer_order_count_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    description="TPC-H Q13 shape: distribution of per-customer order counts "
+    "(excluding 1-URGENT; the fixture has no o_comment, so the priority "
+    "predicate stands in for the comment LIKE filter) — LEFT JOIN keeps "
+    "zero-order customers as c_count=0, then a count-of-counts regroup.",
+    tags=("join", "aggregation"),
+)
+def q_customer_order_count_distribution(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "top_revenue_suppliers",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    description="TPC-H Q15 shape: quarter revenue per supplier, keep the "
+    "argmax row(s) — the aggregate-then-self-compare-to-max pattern. The "
+    "1-row max is broadcast back against the revenue aggregate (no second "
+    "scan of lineitem); double equality is safe because both sides are the "
+    "same exact-6dp sum.",
+    tags=("join", "aggregation", "subquery"),
+)
+def q_top_revenue_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "large_volume_customer_orders",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice, CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, order_date, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    description="TPC-H Q18 shape: large-volume orders (sum qty > 150) with "
+    "customer detail, top-100 by price. The HAVING-IN subquery collapses "
+    "into ONE lineitem aggregate that serves both the filter and the "
+    "total_qty output column — no second lineitem scan; quantity sums are "
+    "integral doubles, exact under any partial-agg order.",
+    tags=("join", "aggregation", "subquery", "topk"),
+)
+def q_large_volume_customer_orders(spark, sf_dir):
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(_t(spark, sf_dir, "orders")
+                 .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

@@ -226,3 +226,132 @@ def q_monthly_order_spine_recursive(spark, sf_dir):
         GROUP BY 1
         """
     )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND p_size < 15
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+    description="TPC-H Q17 shape: revenue from below-one-fifth-of-average "
+    "quantity lineitems for one brand's small parts. The correlated scalar "
+    "AVG is decorrelated by Catalyst (RewriteCorrelatedScalarSubquery) into "
+    "one per-part aggregate joined back — not a per-row rescan. Quantities "
+    "are integral doubles, so the 0.2*avg threshold is bit-identical "
+    "cross-engine.",
+    tags=("subquery", "aggregation"),
+)
+def q_small_quantity_revenue(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+                 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3' AND p_size < 15
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@register(
+    "suppliers_sole_late_shipper",
+    oracle="""
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    description="TPC-H Q21 shape: suppliers who were the SOLE late shipper "
+    "on multi-supplier finished orders (the fixture has no l_receiptdate/"
+    "l_commitdate, so 'late' = shipped >60 days after the order date). "
+    "EXISTS + NOT EXISTS on the same fact table; Catalyst rewrites both "
+    "into semi/anti joins against per-order aggregates rather than per-row "
+    "rescans of lineitem.",
+    tags=("subquery", "join", "topk"),
+)
+def q_suppliers_sole_late_shipper(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "idle_customer_balance_by_code",
+    oracle="""
+SELECT code, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT substr(c_name, -1) AS code, c_acctbal, c_custkey
+  FROM customer
+  WHERE substr(c_name, -1) IN ('1','3','5','7','9')
+    AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                            / count(*)
+                     FROM customer
+                     WHERE c_acctbal > 0.0
+                       AND substr(c_name, -1) IN ('1','3','5','7','9'))
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+)
+GROUP BY code
+""",
+    description="TPC-H Q22 shape: above-average-balance customers with no "
+    "open orders, grouped by a name-derived code (the fixture has no "
+    "c_phone, so the customer-name check digit stands in for the country "
+    "code; no c_custkey has zero orders at any SF, so 'idle' = no "
+    "o_orderstatus='O' orders). Scalar AVG subquery + anti-join NOT EXISTS; "
+    "the threshold is the decimal-stable mean, bit-identical cross-engine.",
+    tags=("subquery", "aggregation"),
+)
+def q_idle_customer_balance_by_code(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT code, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        FROM (
+          SELECT substr(c_name, -1) AS code, c_acctbal, c_custkey
+          FROM customer
+          WHERE substr(c_name, -1) IN ('1','3','5','7','9')
+            AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                                    / count(*)
+                             FROM customer
+                             WHERE c_acctbal > 0.0
+                               AND substr(c_name, -1) IN ('1','3','5','7','9'))
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        )
+        GROUP BY code
+        """
+    )
