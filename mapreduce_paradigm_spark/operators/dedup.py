@@ -195,6 +195,66 @@ def benchmark_contamination(
     )
 
 
+def benchmark_contamination_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """``benchmark_contamination`` with a BLOOM-FILTER pre-filter — the swap
+    that operator's docstring promises for benchmark sets too large to
+    broadcast as an exact hash set. Output is IDENTICAL to the exact
+    operator (same full oracle): the bloom only prunes, the surviving
+    candidates are re-verified with an exact semi-join.
+
+    Scale shape: the filter is 2¹⁶ bits (8 KiB) regardless of benchmark
+    size — versus 8+ bytes per distinct shingle for the exact set — and the
+    probe is pure codegen (``getbit``/``element_at`` on a broadcast long
+    array; no Python, no UDF). Clean corpus shingles die map-side at bloom
+    fp-rate cost; only candidates reach the exact verify join, which no
+    longer needs to be broadcast (it touches candidates, not the corpus).
+    Probe positions are the four disjoint 16-bit fields of the xxhash64
+    shingle key — zero extra hashing, no arithmetic that can overflow under
+    ANSI mode, and trivially reproducible at build time (numpy) and probe
+    time (Spark). fp ≈ (n/2¹⁶)⁴ per shingle: <1e-3 up to ~15k distinct
+    benchmark shingles; larger suites scale the field slicing (fewer,
+    wider fields over more words) — the plumbing is unchanged.
+    """
+    import numpy as np
+
+    bench_sids = hashed_shingles(benchmark, k, text_col).select("sid").distinct()
+    sids = np.array([r[0] for r in bench_sids.collect()], dtype=np.int64)
+    words = np.zeros(1024, dtype=np.uint64)  # 2^16 bits
+    if sids.size:
+        u = sids.view(np.uint64)
+        for i in range(4):
+            pos = (u >> np.uint64(16 * i)) & np.uint64(0xFFFF)
+            np.bitwise_or.at(words, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+    spark = corpus.sparkSession
+    bits_row = spark.createDataFrame(
+        [(words.view(np.int64).tolist(),)], "bits ARRAY<BIGINT>"
+    )
+    probe = " AND ".join(
+        f"getbit(element_at(bits, cast((shiftrightunsigned(sid, {16 * i}) & 65535) >> 6 "
+        f"AS INT) + 1), cast(shiftrightunsigned(sid, {16 * i}) & 63 AS INT)) = 1"
+        for i in range(4)
+    )
+    candidates = (
+        hashed_shingles(corpus, k, text_col)
+        .distinct()
+        .join(F.broadcast(bits_row))  # one-row broadcast: the filter itself
+        .filter(F.expr(probe))
+        .drop("bits")
+    )
+    # exact verify: false positives die here; at scale this join is small
+    # (candidates only) so it needs no broadcast hint — AQE picks the side
+    return (
+        candidates.join(bench_sids, "sid", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 

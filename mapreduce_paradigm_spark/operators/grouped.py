@@ -47,3 +47,53 @@ def user_value_trend(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(fit, schema=TREND_SCHEMA)
     )
+
+
+COGROUP_SCHEMA = (
+    "user_id BIGINT, n_clicks BIGINT, n_purchases BIGINT, "
+    "click_value DOUBLE, purchase_value DOUBLE"
+)
+
+
+def clicks_purchases_cogrouped(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Per-user merge of two event streams via ``cogroup().applyInPandas`` —
+    the two-sided grouped-map surface: each key's rows from BOTH inputs
+    arrive together as two pandas frames (one co-partitioning shuffle per
+    side, no join materialization). The right tool when per-key logic needs
+    both sides at once (sessionized attribution, feature joins with custom
+    alignment); here the payload is counts + exact value sums so the result
+    is SQL-mirrorable (FILTER aggregates over the union).
+
+    Full-outer semantics: a user present on either side emits one row; the
+    absent side contributes 0. Sums accumulate in integer micro-units
+    (round₆ then int64) — the same order-independent exact arithmetic as
+    ``functions.dsum``, so values hash-match the DuckDB decimal oracle.
+    """
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        def micro_sum(pdf: pd.DataFrame) -> float:
+            # Cardinality-only actions (count()) let Spark 4 prune the
+            # cogroup children down to the grouping key, so ``value`` may
+            # be absent; its contribution is unread in those plans, so 0.0
+            # is safe — full-output actions always deliver every column.
+            if not len(pdf) or "value" not in pdf.columns:
+                return 0.0
+            return float((pdf["value"] * 1e6).round().astype(np.int64).sum()) / 1e6
+
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "click_value": [micro_sum(left)],
+                "purchase_value": [micro_sum(right)],
+            }
+        )
+
+    lc = clicks.select("user_id", "value")
+    rp = purchases.select("user_id", "value")
+    return (
+        lc.groupBy("user_id")
+        .cogroup(rp.groupBy("user_id"))
+        .applyInPandas(merge, schema=COGROUP_SCHEMA)
+    )

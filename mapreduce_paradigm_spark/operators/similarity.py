@@ -265,6 +265,158 @@ def ivf_topk_cosine(
     )
 
 
+def _train_pq_codebooks(
+    sample: "np.ndarray", m: int, ksub: int, iters: int = 10
+) -> "np.ndarray":
+    """Per-subspace L2 k-means on a driver-side sample — the standard PQ
+    training recipe (codebooks are trained on a bounded sample regardless
+    of corpus size, exactly as FAISS does). Deterministic: init = first
+    ``ksub`` sample subvectors (the sample itself is hash-ordered), ties in
+    assignment break to the lowest centroid index, empty centroids keep
+    their previous position. Returns ``(m, ksub, dsub)``."""
+    n, dim = sample.shape
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        X = sample[:, j * dsub : (j + 1) * dsub]
+        C = X[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    train_sample: int = 2048,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI'11): each normalized
+    vector is encoded as ``m`` sub-codes (one byte each at ksub ≤ 256), and
+    query-to-code scores come from per-query lookup tables (ADC) instead of
+    raw-vector arithmetic — the memory-side scale lever the other tiers
+    don't have: 64 floats (256 B) compress to ``m`` bytes (32×), so a
+    100 TB embedding corpus's codes fit in the page cache of a modest
+    cluster and the scan is bandwidth-, not capacity-, bound.
+
+    Pipeline: codebooks trained driver-side on a deterministic hash-ordered
+    sample (bounded work at any corpus size); ONE ``mapInPandas`` corpus
+    pass encodes each Arrow batch and emits its local ADC top-``k·refine``
+    per query (corpus never shuffles — same contract as the other tiers);
+    the global ADC shortlist is then RERANKED EXACTLY (JVM dot product on
+    the raw vectors of shortlist members only), so returned cosines are
+    exact and only recall is approximate — pinned against the exact tier in
+    tests. Rows-only driver check, like the other approximate tiers.
+    """
+    spark = corpus.sparkSession
+    dim_row = corpus.select(F.size(emb_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    sample_rows = (
+        _unit_normalized(corpus, emb_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h")
+        .limit(train_sample)
+        .select("emb_d")
+        .collect()
+    )
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    books = _train_pq_codebooks(sample, m, ksub)  # (m, ksub, dsub)
+
+    qrows = (
+        _unit_normalized(queries, emb_col).select(F.col(id_col), F.col("emb_d")).collect()
+    )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (nq, dim)
+    dsub = dim // m
+    # ADC lookup tables: lut[q, j, c] = q_sub(j) · codebook[j][c]
+    lut = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)], axis=1
+    )  # (nq, m, ksub)
+    shortlist = k * refine
+    bq = spark.sparkContext.broadcast((q_ids, lut, books))
+
+    c = _unit_normalized(corpus, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("emb_d")
+    )
+
+    def local_adc_topk(batches):
+        import pandas as pd
+
+        ids, L, B = bq.value
+        nq = L.shape[0]
+        mm, kk, dd = B.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["emb_d"].to_numpy())  # (batch, dim)
+            n_ids = pdf["neighbor_id"].to_numpy()
+            # encode: per subspace, nearest codebook entry by L2 (ties → lowest idx)
+            codes = np.empty((len(X), mm), dtype=np.int64)
+            for j in range(mm):
+                Xs = X[:, j * dd : (j + 1) * dd]
+                d2 = (Xs * Xs).sum(1)[:, None] - 2.0 * (Xs @ B[j].T) + (B[j] * B[j]).sum(1)[None, :]
+                codes[:, j] = np.argmin(d2, axis=1)
+            # ADC: fixed subspace order → deterministic float accumulation
+            acc = np.zeros((len(X), nq))
+            for j in range(mm):
+                acc += L[:, j, :][:, codes[:, j]].T  # (batch, nq)
+            out_q, out_n, out_s = [], [], []
+            take = min(shortlist, len(n_ids))
+            for q in range(nq):
+                col = acc[:, q].copy()
+                col[n_ids == ids[q]] = -np.inf
+                order = np.lexsort((n_ids, -col))[:take]
+                keep = col[order] > -np.inf
+                out_q.append(np.full(keep.sum(), ids[q]))
+                out_n.append(n_ids[order][keep])
+                out_s.append(col[order][keep])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    cand = c.mapInPandas(local_adc_topk, schema="q_id BIGINT, neighbor_id BIGINT, adc DOUBLE")
+    w_adc = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    shortlisted = (
+        cand.withColumn("srk", F.row_number().over(w_adc))
+        .filter(F.col("srk") <= shortlist)
+        .select("q_id", "neighbor_id")
+    )
+    # exact rerank on shortlist members only: raw vectors re-enter for
+    # nq·k·refine rows, not the corpus — returned cosines are exact
+    cvec = _unit_normalized(corpus, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("emb_d").alias("c_emb")
+    )
+    qvec = _unit_normalized(queries, emb_col).select(
+        F.col(id_col).alias("q_id"), F.col("emb_d").alias("q_emb")
+    )
+    scored = (
+        shortlisted.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "q_id")
+        .withColumn("cosine", dot_product("q_emb", "c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     dim: int,

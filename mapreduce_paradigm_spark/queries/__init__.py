@@ -3,6 +3,7 @@
 from mapreduce_paradigm_spark.queries import (  # noqa: F401
     flagship,
     llm,
+    pipeline,
     relational,
     streaming_q,
     subqueries,

@@ -1,0 +1,341 @@
+"""Round-4 pipeline surface: PII redaction, time-range window frames,
+deterministic per-group sampling, cross-doc duplicated-span scoring,
+sketch percentiles, cogrouped pandas, bloom decontamination, PQ ANN.
+
+These extend the LLM-data-pipeline tier (SURVEY.md §2.B) with the
+remaining operations a production training-data pipeline runs that had no
+registered counterpart: privacy scrubbing, event-time windowed features,
+reproducible per-key subsampling, corpus-level boilerplate scoring, and
+the memory-compressed ANN tier. Full DuckDB oracles everywhere except the
+two approximate-by-construction entries (sketch percentiles, PQ), which
+are pinned by pytest accuracy/recall bounds instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_paradigm_spark.functions import dsum_over
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+# --- PII redaction -----------------------------------------------------------
+
+# RE2 (DuckDB) ∩ java.util.regex common subset: explicit classes, bounded
+# quantifiers, no lookaround — identical match semantics in both engines.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[A-Za-z0-9./?=&_-]+"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.org/p?q=1'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' alt user' || CAST(doc_id AS VARCHAR) || 'b@alt.example.net'
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_URL_RE}', '<URL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+""",
+    description="PII scrubbing: count + redact emails/URLs/phone numbers "
+    "with engine-portable regexes (RE2 ∩ java.regex subset — no lookaround). "
+    "Pure per-row codegen, no shuffle; the corpus is synthetic word salad, "
+    "so deterministic PII is injected in-query (doc_id-derived, varying "
+    "per doc) to keep the oracle non-vacuous. The hygiene step that runs "
+    "before any training-data release.",
+    tags=("llm", "textstats", "privacy"),
+)
+def q_pii_redaction(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1-555-"),
+        F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" see https://site"),
+        F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit(".example.org/p?q=1"),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.concat(F.lit(" alt user"), F.col("doc_id").cast("string"), F.lit("b@alt.example.net")),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --- event-time range frames -------------------------------------------------
+
+
+@register(
+    "events_range_frame_totals",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_10m,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+""",
+    description="Trailing 10-minute VALUE-RANGE window per user (RANGE "
+    "frame over event-time micros, not a row-count frame): the standard "
+    "rate/velocity feature. Frame bounds are data values, so peers with "
+    "equal timestamps aggregate identically in any engine; micros (not "
+    "seconds) keep the two engines' frame boundaries bit-identical.",
+    tags=("window", "events"),
+)
+def q_events_range_frame_totals(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))  # NTZ→TZ: identity in the UTC session
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_10m"),
+        dsum_over(F.col("value"), w).alias("sum_10m"),
+    )
+
+
+# --- deterministic per-group sampling ----------------------------------------
+
+
+@register(
+    "events_per_user_sample",
+    oracle="""
+SELECT event_id, user_id, rn FROM (
+  SELECT event_id, user_id,
+         CAST(row_number() OVER (
+             PARTITION BY user_id
+             ORDER BY md5('smp:' || CAST(event_id AS VARCHAR)), event_id
+         ) AS BIGINT) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+    description="Exact-k-per-group reservoir-style sample: keep the 3 "
+    "events per user with the smallest keyed hash — a uniform draw that is "
+    "deterministic across engines, reruns, and cluster sizes (no RNG "
+    "state), the property that makes train/eval subsets reproducible. One "
+    "shuffle (the window partition); at 100 TB groups never collect — the "
+    "rank is streamed per partition.",
+    tags=("sampling", "events", "llm"),
+)
+def q_events_per_user_sample(spark, sf_dir):
+    key = F.md5(F.concat(F.lit("smp:"), F.col("event_id").cast("string")))
+    w = Window.partitionBy("user_id").orderBy(key, F.col("event_id"))
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- cross-doc duplicated-span fraction --------------------------------------
+
+
+@register(
+    "duplicated_span_fraction",
+    oracle="""
+WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+             FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(a[1:len(a)-4],
+                (x, i) -> x || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4])) AS s
+  FROM arr WHERE len(a) >= 5
+),
+d AS (SELECT s, count(*) AS sdf FROM sh GROUP BY 1)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN sdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(CAST(sum(CASE WHEN sdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+FROM sh JOIN d USING (s)
+GROUP BY 1
+""",
+    description="RefinedWeb-style cross-document duplicated-span signal: "
+    "the fraction of each doc's distinct 5-gram spans that also appear in "
+    "at least one other doc — high values flag boilerplate shared across "
+    "the corpus (nav bars, licenses, templates) that per-doc repetition "
+    "scores can't see. Two shuffles (span df, per-doc rollup) over hashed "
+    "8-byte span keys; the span↔df join shuffles (doc, sid) pairs, never "
+    "text.",
+    tags=("dedup", "textstats", "llm"),
+)
+def q_duplicated_span_fraction(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import hashed_shingles
+
+    sh = hashed_shingles(load_table(spark, sf_dir, "documents"), k=5).distinct()
+    sdf = sh.groupBy("sid").agg(F.count("*").alias("sdf"))
+    dup = F.sum(F.when(F.col("sdf") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        sh.join(sdf, "sid")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            dup.alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6),
+        )
+    )
+
+
+# --- sketch percentiles ------------------------------------------------------
+
+
+@register(
+    "quantity_approx_percentiles",
+    oracle=None,  # sketch output is implementation-defined; accuracy pinned in pytest
+    description="approx_percentile (Greenwald-Khanna sketch) of l_quantity "
+    "per return flag at accuracy 10000 — the single-pass, fixed-memory "
+    "percentile path for 100 TB (exact per-group percentiles shuffle every "
+    "value; the sketch ships one bounded digest per partition). Error "
+    "bound vs the exact tier pinned in pytest.",
+    tags=("agg", "sketch", "approx"),
+)
+def q_quantity_approx_percentiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = F.percentile_approx("l_quantity", [0.25, 0.5, 0.75, 0.95], 10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qs.alias("qs"), F.count("*").alias("n"))
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("p25"),
+            F.col("qs")[1].alias("p50"),
+            F.col("qs")[2].alias("p75"),
+            F.col("qs")[3].alias("p95"),
+            "n",
+        )
+    )
+
+
+# --- cogrouped pandas --------------------------------------------------------
+
+
+@register(
+    "user_click_purchase_cogroup",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+       coalesce(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                     FILTER (WHERE event_type = 'click') AS DOUBLE), 0) AS click_value,
+       coalesce(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                     FILTER (WHERE event_type = 'purchase') AS DOUBLE), 0) AS purchase_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY user_id
+""",
+    description="Two-sided grouped-map: per-user click/purchase streams "
+    "merged via cogroup().applyInPandas (operators/grouped.py) — the "
+    "cogroup API surface, with exact integer-micros value sums so the "
+    "pandas result hash-matches the SQL FILTER-aggregate oracle.",
+    tags=("pandas", "events", "cogroup"),
+)
+def q_user_click_purchase_cogroup(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.grouped import clicks_purchases_cogrouped
+
+    ev = load_table(spark, sf_dir, "events")
+    return clicks_purchases_cogrouped(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+# --- bloom decontamination ---------------------------------------------------
+
+# Identical result (and oracle) to benchmark_contamination: the bloom is a
+# pre-filter, not an approximation — exact verify restores exactness.
+_CONTAMINATION_ORACLE = """
+WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+             FROM documents),
+sh4 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(a[1:len(a)-3],
+                (x, i) -> x || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3])) AS s
+  FROM arr WHERE len(a) >= 4
+),
+bench AS (SELECT DISTINCT s FROM sh4 WHERE doc_id % 50 = 0)
+SELECT c.doc_id, count(*) AS n_hit_shingles
+FROM sh4 c JOIN bench b ON c.s = b.s
+WHERE c.doc_id % 50 <> 0
+GROUP BY 1
+"""
+
+
+@register(
+    "benchmark_contamination_bloom",
+    oracle=_CONTAMINATION_ORACLE,
+    description="Decontamination via an 8 KiB bloom pre-filter + exact "
+    "verify (operators/dedup.py: benchmark_contamination_bloom): same "
+    "result and oracle as the broadcast-set form, but the map-side "
+    "structure is fixed-size regardless of benchmark scale and the probe "
+    "is pure codegen (getbit over a broadcast long array — no Python, no "
+    "UDF). The shape to swap in when eval suites outgrow a broadcast set.",
+    tags=("dedup", "llm", "textstats"),
+)
+def q_benchmark_contamination_bloom(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import benchmark_contamination_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    return benchmark_contamination_bloom(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        k=4,
+    )
+
+
+# --- product-quantization ANN ------------------------------------------------
+
+
+@register(
+    "embedding_pq_topk",
+    oracle=None,  # approximate by construction (ADC shortlist recall < 1)
+    description="Product-quantization ANN: 8 sub-codebooks × 16 centroids "
+    "(driver-trained on a deterministic hash-ordered sample), one "
+    "mapInPandas corpus pass for encode + ADC shortlist, exact rerank of "
+    "shortlist members only — the 32× memory-compression tier that keeps a "
+    "100 TB embedding corpus scannable from page cache; recall pinned vs "
+    "the exact tier in pytest (operators/similarity.py: pq_topk_cosine).",
+    tags=("similarity", "llm", "approx"),
+)
+def q_embedding_pq_topk(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.similarity import pq_topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return pq_topk_cosine(emb, queries, k=5, m=8, ksub=16, refine=4)

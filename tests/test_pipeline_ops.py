@@ -1,0 +1,157 @@
+"""Pins for the round-4 pipeline operators: PQ ANN recall/determinism,
+bloom-decontamination exactness, sketch-percentile accuracy, and the
+range-frame peer-row edge. (Value parity vs DuckDB for the full-oracle
+entries lives in test_oracle_parity.py; these cover the properties the
+hash gate can't.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_paradigm_spark.operators.similarity import pq_topk_cosine, topk_cosine
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT, SF_SMOKE
+
+
+def _pairs(rows):
+    return {(r["q_id"], r["neighbor_id"]) for r in rows}
+
+
+def test_pq_topk_recall_determinism_and_contract(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = _pairs(topk_cosine(emb, queries, k=5).collect())
+
+    run1 = pq_topk_cosine(emb, queries, k=5, refine=4).collect()
+    run2 = pq_topk_cosine(emb, queries, k=5, refine=4).collect()
+    # deterministic: hash-ordered training sample + fixed-order ADC folds
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+
+    # near-uniform random vectors are PQ's worst case (quantization error
+    # ~ the inter-point distances); measured 0.60 at refine=4 — pin well
+    # below to absorb BLAS variation, well above chance (5/2399 ≈ 0.002)
+    recall = len(_pairs(run1) & exact) / len(exact)
+    assert recall >= 0.45, f"recall {recall}"
+
+    # contract: exact cosines, contiguous ranks, no self-matches
+    by_q: dict[int, list] = {}
+    for r in sorted(run1, key=lambda r: (r["q_id"], r["rank"])):
+        assert r["q_id"] != r["neighbor_id"]
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_pq_refine_monotone_recall(spark):
+    """A larger ADC shortlist is a superset of a smaller one, and exact
+    rerank of a candidate superset can only improve recall."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = _pairs(topk_cosine(emb, queries, k=5).collect())
+    r_lo = len(_pairs(pq_topk_cosine(emb, queries, k=5, refine=2).collect()) & exact)
+    r_hi = len(_pairs(pq_topk_cosine(emb, queries, k=5, refine=8).collect()) & exact)
+    assert r_hi >= r_lo, f"refine=8 recall {r_hi} < refine=2 recall {r_lo}"
+
+
+def test_bloom_contamination_equals_exact_operator(spark):
+    """The bloom is a pre-filter, not an approximation: after the exact
+    verify join the result must EQUAL the broadcast-set operator row for
+    row (no false negatives by bloom construction, no false positives by
+    verification)."""
+    from mapreduce_paradigm_spark.operators.dedup import (
+        benchmark_contamination,
+        benchmark_contamination_bloom,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    exact = {
+        (r["doc_id"], r["n_hit_shingles"])
+        for r in benchmark_contamination(corpus, bench, k=4).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_hit_shingles"])
+        for r in benchmark_contamination_bloom(corpus, bench, k=4).collect()
+    }
+    assert bloom == exact
+
+
+def test_approx_percentiles_within_sketch_bound(spark):
+    """Greenwald-Khanna at accuracy A guarantees rank error ≤ n/A; check
+    the sketch values sit between the exact percentiles one rank-epsilon
+    either side of each requested quantile."""
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    probs = [0.25, 0.5, 0.75, 0.95]
+    acc = 10000
+    approx = {
+        r["l_returnflag"]: [r["p25"], r["p50"], r["p75"], r["p95"]]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_quantity", probs, acc).alias("qs"))
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("p25"),
+            F.col("qs")[1].alias("p50"),
+            F.col("qs")[2].alias("p75"),
+            F.col("qs")[3].alias("p95"),
+        )
+        .collect()
+    }
+    for row in (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.expr(
+                    f"percentile(l_quantity, array({p - 1.0/acc}, {p + 1.0/acc}))"
+                ).alias(f"b{i}")
+                for i, p in enumerate(probs)
+            ],
+        )
+        .collect()
+    ):
+        for i in range(len(probs)):
+            lo, hi = row[f"b{i}"]
+            got = approx[row["l_returnflag"]][i]
+            assert lo <= got <= hi, (
+                f"{row['l_returnflag']} p{probs[i]}: {got} outside [{lo}, {hi}]"
+            )
+
+
+def test_range_frame_peer_rows_aggregate_identically(spark):
+    """RANGE frames are value-based: rows with EQUAL order keys (peers)
+    must see the same frame — the semantic that distinguishes this from a
+    ROWS frame and that both engines must agree on for the oracle hash."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    from mapreduce_paradigm_spark.functions import dsum_over
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 10, t0, 1.0),
+        (2, 10, t0, 2.0),  # same timestamp as event 1 → peer
+        (3, 10, t0 + dt.timedelta(minutes=5), 4.0),
+        (4, 10, t0 + dt.timedelta(minutes=20), 8.0),  # outside 10m of t0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    got = {
+        r["event_id"]: (r["n"], r["s"])
+        for r in df.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n"),
+            dsum_over(F.col("value"), w).alias("s"),
+        ).collect()
+    }
+    assert got[1] == got[2] == (2, 3.0)  # peers share the frame
+    assert got[3] == (3, 7.0)  # 5m later: sees both peers
+    assert got[4] == (1, 8.0)  # 20m later: alone
