@@ -319,6 +319,104 @@ def q_benchmark_contamination_bloom(spark, sf_dir):
     )
 
 
+# --- SQL pipe syntax ---------------------------------------------------------
+
+
+@register(
+    "returnflag_revenue_pipe_sql",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_quantity < 30
+GROUP BY l_returnflag
+""",
+    description="Spark 4 SQL PIPE syntax (|> WHERE / |> AGGREGATE): the "
+    "linear query-composition surface — each stage is a complete relation, "
+    "so the text order matches the dataflow order. Compiles to the "
+    "identical Catalyst plan as the nested form; the aggregate uses the "
+    "same long-micros exact sum as dsum so values hash-match the decimal "
+    "oracle.",
+    tags=("sql", "pipe", "agg"),
+)
+def q_returnflag_revenue_pipe_sql(spark, sf_dir):
+    from mapreduce_paradigm_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+FROM lineitem
+|> WHERE l_quantity < 30
+|> AGGREGATE
+     CAST(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000.0, 0) AS BIGINT))
+          AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS revenue,
+     count(*) AS n_items
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, revenue, n_items
+"""
+    )
+
+
+# --- frequent-items sketch ---------------------------------------------------
+
+
+@register(
+    "orders_priority_topk_sketch",
+    oracle=None,  # sketch tie order is implementation-defined; exactness pinned in pytest
+    description="approx_top_k frequent-items sketch over o_orderpriority — "
+    "the one-pass bounded-memory heavy-hitters path (vs a full groupBy + "
+    "sort at 100 TB); at this column's tiny cardinality the sketch tracks "
+    "every item so counts are exact, which pytest pins against GROUP BY.",
+    tags=("agg", "sketch", "approx"),
+)
+def q_orders_priority_topk_sketch(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.agg(F.expr("approx_top_k(o_orderpriority, 3)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select("e.*")
+    )
+
+
+# --- temporal split ----------------------------------------------------------
+
+
+@register(
+    "temporal_split_summary",
+    oracle="""
+SELECT CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'train'
+            WHEN ts < TIMESTAMP '2024-01-22' THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1
+""",
+    description="Time-based train/val/test split with per-split volume "
+    "accounting — the leakage-safe eval protocol for temporal data (random "
+    "splits leak the future into training). Pure partition-prunable "
+    "predicate work: at scale the cutoffs align with time-partitioned "
+    "storage and each split reads only its partitions.",
+    tags=("sampling", "events", "llm"),
+)
+def q_temporal_split_summary(spark, sf_dir):
+    from mapreduce_paradigm_spark.functions import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    split = (
+        F.when(F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz"), "train")
+        .when(F.col("ts") < F.lit("2024-01-22").cast("timestamp_ntz"), "val")
+        .otherwise("test")
+    )
+    return ev.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        dsum(F.col("value"), "value_sum"),
+    )
+
+
 # --- product-quantization ANN ------------------------------------------------
 
 

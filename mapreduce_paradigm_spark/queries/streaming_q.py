@@ -143,6 +143,25 @@ def q_streaming_dedup_hashes(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    description="State-bounded streaming dedup (dropDuplicatesWithinWatermark): "
+    "keys evict once the watermark passes their event time + 60d delay — "
+    "state scales with the dedup horizon, not stream lifetime; the fixture "
+    "fits one horizon so the key set equals batch DISTINCT.",
+    tags=("streaming", "dedup", "events"),
+)
+def q_streaming_dedup_within_watermark(spark, sf_dir):
+    from mapreduce_paradigm_spark.streaming import streaming_dedup_within_watermark
+
+    return run_to_memory(
+        streaming_dedup_within_watermark(spark, sf_dir), output_mode="append"
+    )
+
+
+@register(
     "streaming_click_purchase_join",
     oracle="""
 SELECT a.event_id AS click_id, b.event_id AS purchase_id

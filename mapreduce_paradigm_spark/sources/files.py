@@ -93,6 +93,42 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     w.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """XML scan via the Spark 4 NATIVE xml source (the spark-xml package
+    folded into core): each ``rowTag`` element becomes a row, attributes
+    and child elements become columns. Schema strongly recommended for
+    third-party feeds — XML inference re-reads the data and infers unions
+    loosely; an explicit schema also keeps column pruning effective (only
+    projected fields are parsed)."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = (
+        df.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
 def save_bucketed(
     df: DataFrame,
     table_name: str,

@@ -119,6 +119,32 @@ def test_approx_percentiles_within_sketch_bound(spark):
             )
 
 
+def test_approx_top_k_exact_at_low_cardinality(spark):
+    """The frequent-items sketch tracks up to maxItemsTracked items; below
+    that bound its counts are EXACT — pin the registered query against a
+    plain GROUP BY (top-3 by count, tie order left to the sketch)."""
+    from mapreduce_paradigm_spark.registry import all_specs
+
+    got = {
+        r["item"]: r["count"]
+        for r in all_specs()["orders_priority_topk_sketch"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, SF_CORRECT, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(got) == 3
+    for item, cnt in got.items():
+        assert exact[item] == cnt, (item, cnt, exact)
+    # the 3 returned counts are the 3 largest exact counts
+    assert sorted(got.values(), reverse=True) == sorted(exact.values(), reverse=True)[:3]
+
+
 def test_range_frame_peer_rows_aggregate_identically(spark):
     """RANGE frames are value-based: rows with EQUAL order keys (peers)
     must see the same frame — the semantic that distinguishes this from a

@@ -122,6 +122,45 @@ def test_ann_corpus_never_shuffles(spark):
     assert "row_number(), 5, Partial" in plan  # pre-shuffle top-k pruning
 
 
+def test_runtime_bloom_filter_join_injection(spark):
+    """Catalyst's runtime row-level filtering: a shuffle join whose build
+    side carries a selective filter gets a bloom filter injected on the
+    probe side, so non-matching rows die at the scan instead of crossing
+    the exchange — the optimizer-native form of the bloom pattern
+    ``operators/dedup.benchmark_contamination_bloom`` hand-builds. Pinned
+    here (with local thresholds; the prod defaults gate on multi-GB scans)
+    so a config or version change that silently drops the capability
+    fails loudly."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_CORRECT, "lineitem")
+        orders = load_table(spark, SF_CORRECT, "orders").filter(
+            F.col("o_orderstatus") == "P"
+        )
+        plan = formatted_plan(
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+        ).lower()
+        assert "bloomfilter" in plan or "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     # LATERAL (... ORDER BY ... LIMIT 2) must become a window group-limit
     # over one shuffle — never a per-customer nested loop or cartesian

@@ -67,6 +67,21 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     assert has_pushed_filters(back.filter(F.col("c_custkey") == 7), "c_custkey")
 
 
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 native XML source: rowTag elements round-trip with an
+    explicit schema (inference is loose for XML, so the contract is pinned
+    schema-first like CSV/JSONL)."""
+    from mapreduce_paradigm_spark.sources.files import read_xml, write_xml
+
+    src = _customers(spark)
+    path = str(tmp_path / "cust_xml")
+    write_xml(src, path, row_tag="customer", root_tag="customers")
+    back = read_xml(spark, path, row_tag="customer", schema=CUSTOMER_SCHEMA).select(
+        *src.columns
+    )
+    assert _sorted_rows(back) == _sorted_rows(src)
+
+
 def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     src = _customers(spark)
     path = str(tmp_path / "cust_parq")
