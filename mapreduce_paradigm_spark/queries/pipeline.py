@@ -417,6 +417,158 @@ def q_temporal_split_summary(spark, sf_dir):
     )
 
 
+# --- grouped-agg pandas UDF --------------------------------------------------
+
+
+@register(
+    "user_value_geomean",
+    oracle="""
+SELECT user_id,
+       round(exp(avg(ln(value))), 4) AS geo_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE value > 0
+GROUP BY user_id
+""",
+    description="Grouped-AGGREGATE pandas UDF (SQL_GROUPED_AGG — the "
+    "scalar-result sibling of applyInPandas): per-user geometric mean of "
+    "event values. The UDF sorts before summing logs so the float "
+    "accumulation is independent of shuffle arrival order; 4dp rounding "
+    "absorbs the last-ulp spread vs the oracle's exp(avg(ln)).",
+    tags=("pandas", "agg", "events"),
+)
+def q_user_value_geomean(spark, sf_dir):
+    import warnings
+
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # The explicit GROUPED_AGG functionType is required here: this pyspark
+    # build rejects the hint-inferred `(pd.Series) -> float` signature.
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+
+        @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+        def geomean(v):
+            logs = np.sort(np.log(v.to_numpy(dtype=np.float64)))
+            return float(np.exp(logs.sum() / len(logs)))
+
+        # Spark refuses to mix pandas and JVM aggregates in one agg list
+        # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas agg too.
+        @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+        def n_rows(v):
+            return len(v)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("user_id").agg(
+        F.round(geomean("value"), 4).alias("geo_value"),
+        n_rows("value").alias("n_events"),
+    )
+
+
+# --- mergeable HLL sketch rollup ---------------------------------------------
+
+
+@register(
+    "priority_customer_hll_rollup",
+    oracle=None,  # datasketches HLL estimates are engine-specific; accuracy pinned in pytest
+    description="MERGEABLE distinct-count sketches (Datasketches HLL, "
+    "Spark 3.5+): per-priority customer sketches via hll_sketch_agg, then "
+    "the ALL row by hll_union_agg over the per-group sketches — the 100 TB "
+    "rollup pattern where daily/partition sketches persist once and any "
+    "coarser period unions them WITHOUT rescanning the data (plain "
+    "approx_count_distinct cannot merge across rows). Accuracy vs exact "
+    "distinct counts pinned in pytest.",
+    tags=("agg", "sketch", "approx"),
+)
+def q_priority_customer_hll_rollup(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk")
+    )
+    per_group = per.select(
+        "o_orderpriority",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("approx_customers"),
+    )
+    total = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("approx_customers")
+    ).select(F.lit("ALL").alias("o_orderpriority"), "approx_customers")
+    return per_group.unionByName(total)
+
+
+# --- string collation --------------------------------------------------------
+
+
+@register(
+    "part_name_ci_collated_counts",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS name
+  FROM part
+)
+SELECT lower(name) AS name_ci, CAST(count(*) AS BIGINT) AS n
+FROM mixed
+GROUP BY 1
+""",
+    description="Spark 4 string COLLATION: grouping under UNICODE_CI "
+    "merges case variants engine-side (comparisons/joins/aggs honor the "
+    "collation natively — no lower() wrapping at every use site, and "
+    "pushdown-friendly because the collation is part of the type). Mixed "
+    "case is synthesized in-query (fixture is single-case); output is "
+    "canonicalized with lower() so both engines hash the same key bytes "
+    "(ASCII corpus ⇒ UNICODE_CI equivalence classes == lower()).",
+    tags=("sql", "string", "collation"),
+)
+def q_part_name_ci_collated_counts(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    mixed = part.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .otherwise(F.col("p_name"))
+        .alias("name")
+    )
+    ci = F.expr("collate(name, 'UNICODE_CI')")
+    return (
+        mixed.groupBy(ci.alias("k"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lower(F.col("k").cast("string")).alias("name_ci"), "n")
+    )
+
+
+# --- parameterized SQL + GROUP BY ALL ----------------------------------------
+
+
+@register(
+    "urgent_orders_monthly_param_sql",
+    oracle="""
+SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1, 2
+""",
+    description="Parameterized SQL (named :prio marker — injection-proof "
+    "literal binding, Spark 3.4+) combined with GROUP BY ALL / ORDER BY "
+    "ALL (Spark 4 sugar: every non-aggregate output column groups "
+    "implicitly). Same Catalyst plan as the explicit form.",
+    tags=("sql", "agg"),
+)
+def q_urgent_orders_monthly_param_sql(spark, sf_dir):
+    from mapreduce_paradigm_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+       count(*) AS n
+FROM orders
+WHERE o_orderpriority = :prio
+GROUP BY ALL
+ORDER BY ALL
+""",
+        args={"prio": "1-URGENT"},
+    )
+
+
 # --- product-quantization ANN ------------------------------------------------
 
 

@@ -45,6 +45,34 @@ def test_hll_per_group_matches_registered_query_shape(spark):
         assert rel < 0.15, f"{brand}: HLL rel error {rel:.4f} (exact={ex}, approx={approx[brand]})"
 
 
+def test_hll_sketch_rollup_accuracy_and_merge(spark):
+    """The registered mergeable-sketch rollup (rows-only at the driver):
+    per-priority estimates AND the unioned ALL row must sit within HLL
+    error of the exact distinct counts — the union must behave like a
+    sketch built over the whole column, not a sum of group estimates."""
+    from mapreduce_paradigm_spark.registry import all_specs
+
+    got = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in all_specs()["priority_customer_hll_rollup"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    orders = load_table(spark, SF_CORRECT, "orders")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = orders.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for key, ex in exact.items():
+        rel = abs(got[key] - ex) / ex
+        # lgConfigK=14 → rsd ≈ 0.0065; allow a wide 3%+ margin
+        assert rel < 0.05, f"{key}: rel error {rel:.4f} (exact={ex}, approx={got[key]})"
+
+
 def test_approx_percentile_close_to_exact(spark):
     li = load_table(spark, SF_CORRECT, "lineitem")
     row = li.agg(
