@@ -28,6 +28,8 @@ def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     events' ns→NTZ conversion reused from the batch loader)."""
     # file-stream sources take a directory; scope to one table via glob
     if name == "events":
+        from pyspark.sql.types import LongType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = spark.read.parquet(table_path(sf_dir, name)).schema
         raw = (
@@ -35,10 +37,17 @@ def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .option("pathGlobFilter", f"{name}.parquet")
             .parquet(sf_dir)
         )
-        return raw.withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        )
+        # same guard as the batch loader: only repair when ts really came
+        # back as raw int64 nanos (fixtures written at µs precision load as
+        # TIMESTAMP_NTZ directly and need no rebuild)
+        if isinstance(schema["ts"].dataType, LongType):
+            raw = raw.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return raw
     schema = load_table(spark, sf_dir, name).schema
     return (
         spark.readStream.schema(schema)
