@@ -5,6 +5,7 @@ from mapreduce_paradigm_spark.queries import (  # noqa: F401
     llm,
     pipeline,
     relational,
+    sqlx,
     streaming_q,
     subqueries,
     windows,

@@ -1,0 +1,309 @@
+"""Round-3 batch 2: SQL-surface extensions + sequence packing.
+
+Widens the engine's declarative surface with capabilities the reference
+(409-line single-pipeline C++, src/main.cpp) has no analog for, but that a
+user of a general analytics engine expects day-one, plus one more
+LLM-pipeline operator (sample packing). Everything here is pure
+Catalyst-expressible — no UDFs, no collect — so pushdown/pruning/codegen
+survive and the 100 TB plan is the same shape as the sf0.01 plan:
+
+- ``doc_pack_bins``       — greedy contiguous sequence packing (LLM batch prep)
+- ``nation_segment_listagg`` — listagg / string_agg WITHIN GROUP (Spark 4)
+- ``lineitem_median_mode``   — median / mode builtin aggregates
+- ``lineitem_try_arithmetic``— try_add / try_divide / try_cast null-safe tier
+- ``price_histogram``        — width_bucket equi-width binning
+- ``revenue_sql_udf``        — SQL-defined scalar UDF (Catalyst-inlined)
+- ``url_parse_suite``        — parse_url host/path/param extraction
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import load_table, register_views
+
+# --- sequence packing --------------------------------------------------------
+
+
+@register(
+    "doc_pack_bins",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(cum_before / 512) AS BIGINT) AS bin_id
+FROM cum
+""",
+    description="Greedy contiguous sequence packing: assign docs (in stable "
+    "doc_id order per source shard) to fixed 512-token training bins by "
+    "running token total — the sample-packing step that turns a deduped "
+    "corpus into dense fixed-length LLM batches. bin = floor(cum_before/"
+    "budget), so a doc straddling a boundary opens the next bin (greedy "
+    "first-fit-in-order, deterministic across engines/cluster sizes). One "
+    "window shuffle partitioned by source; at 100 TB each source shard "
+    "packs independently — no global order, no driver state.",
+    tags=("llm", "packing", "window"),
+)
+def q_doc_pack_bins(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return cum.select(
+        "doc_id", "source", "n_tokens", F.expr("cum_before DIV 512").alias("bin_id")
+    )
+
+
+# --- listagg (Spark 4) -------------------------------------------------------
+
+
+@register(
+    "nation_segment_listagg",
+    oracle="""
+SELECT n_name,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+       CAST(count(*) AS BIGINT) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    description="Ordered grouped string concatenation: Spark 4 "
+    "listagg(...) WITHIN GROUP (ORDER BY ...) == DuckDB string_agg(... "
+    "ORDER BY ...). Deterministic output (sort inside the aggregate), "
+    "unlike bare collect_list; the per-group sort runs distributed in the "
+    "aggregate buffer, never on the driver.",
+    tags=("sql", "agg", "spark4"),
+)
+def q_nation_segment_listagg(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT n_name,
+       listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment) AS segs,
+       count(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+    )
+
+
+# --- median / mode -----------------------------------------------------------
+
+
+@register(
+    "lineitem_median_mode",
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_quantity), 4) AS med_qty,
+       round(median(l_extendedprice), 4) AS med_price,
+       CAST(mode(l_linenumber) AS BIGINT) AS mode_line,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description="median()/mode() builtin aggregates (Spark 3.4+) per "
+    "return flag. mode(l_linenumber) is tie-free by construction (line 1 "
+    "exists for every order, higher lines only sometimes). median is the "
+    "exact interpolated percentile — the sketch path at 100 TB is "
+    "quantity_approx_percentiles.",
+    tags=("agg", "percentile"),
+)
+def q_lineitem_median_mode(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.mode("l_linenumber").cast("long").alias("mode_line"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- try_* null-safe arithmetic ----------------------------------------------
+
+
+@register(
+    "lineitem_try_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity = 17 THEN NULL
+            ELSE l_extendedprice / (l_quantity - 17.0) END AS safe_div,
+       CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_quantity AS DOUBLE)
+            ELSE TRY_CAST(l_returnflag AS DOUBLE) END AS parsed,
+       CASE WHEN l_orderkey > 7 THEN NULL
+            ELSE 9223372036854775800 + l_orderkey END AS big_add
+FROM lineitem
+""",
+    description="Null-safe arithmetic tier for dirty-data pipelines: "
+    "try_divide (÷0 → NULL, not an ANSI raise), try_cast (unparseable → "
+    "NULL), try_add (int64 overflow → NULL). The quarantine-style "
+    "complement to the engine's default loud-ANSI semantics — at 100 TB "
+    "you route rows through try_* and filter the NULLs into a reject "
+    "sink instead of failing the job; per-row codegen, no shuffle.",
+    tags=("sql", "cleaning"),
+)
+def q_lineitem_try_arithmetic(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    mixed = F.when(
+        F.col("l_linenumber") % 2 == 0, F.col("l_quantity").cast("string")
+    ).otherwise(F.col("l_returnflag"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw IEEE quotient, deliberately unrounded: one division of identical
+        # doubles is bit-identical cross-engine, while round(q, 4) is not —
+        # price/(qty-17) lands on exact 4dp ties where HALF_UP differs
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - F.lit(17.0)).alias(
+            "safe_div"
+        ),
+        mixed.try_cast("double").alias("parsed"),
+        F.try_add(F.lit(9223372036854775800), F.col("l_orderkey")).alias("big_add"),
+    )
+
+
+# --- width_bucket histogram --------------------------------------------------
+
+
+@register(
+    "price_histogram",
+    oracle="""
+WITH b AS (
+  SELECT CASE WHEN l_extendedprice < 900.0 THEN 0
+              WHEN l_extendedprice >= 105000.0 THEN 21
+              ELSE CAST(floor((l_extendedprice - 900.0)
+                              / ((105000.0 - 900.0) / 20)) AS BIGINT) + 1 END AS bucket
+  FROM lineitem
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bucket
+""",
+    description="Equi-width histogram via width_bucket(price, 900, 105000, "
+    "20) — 20 in-range buckets plus underflow 0 / overflow 21, the "
+    "one-pass distribution profile used for skew detection before choosing "
+    "a partitioning. Oracle mirrors Spark's exact bucket formula "
+    "(floor((x-lo)/((hi-lo)/n))+1) so boundary doubles bin identically.",
+    tags=("agg", "profiling"),
+)
+def q_price_histogram(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.width_bucket("l_extendedprice", F.lit(900.0), F.lit(105000.0), F.lit(20))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- SQL-defined scalar UDF --------------------------------------------------
+
+
+@register(
+    "revenue_sql_udf",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS net_revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag
+""",
+    description="SQL-language scalar UDF (CREATE TEMPORARY FUNCTION ... "
+    "RETURN expr, Spark 3.5+/4): net_price() is inlined by Catalyst into "
+    "the aggregate expression — zero call overhead, full codegen, "
+    "pushdown intact — unlike any Python UDF. The right way to share "
+    "business logic across queries at 100 TB. Sum uses the engine's "
+    "exact long-micros accumulation (functions.dsum semantics) inside "
+    "SQL.",
+    tags=("sql", "udf", "spark4"),
+)
+def q_revenue_sql_udf(spark, sf_dir):
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE, t DOUBLE)
+RETURNS DOUBLE
+RETURN p * (CAST(1.0 AS DOUBLE) - d) * (CAST(1.0 AS DOUBLE) + t)
+"""
+    )
+    return spark.sql(
+        """
+SELECT l_returnflag,
+       CAST(CAST(sum(CAST(round(net_price(l_extendedprice, l_discount, l_tax) * 1e6, 0)
+                          AS BIGINT)) AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS net_revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag
+"""
+    )
+
+
+# --- parse_url ---------------------------------------------------------------
+
+
+@register(
+    "url_parse_suite",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://sub' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/p/'
+           || CAST(doc_id % 97 AS VARCHAR) || '?q=' || CAST(doc_id % 13 AS VARCHAR)
+           || '&u=' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+       regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]q=([^&]*)', 1) AS q_param
+FROM u
+""",
+    description="URL decomposition with parse_url (host / path / single "
+    "query param) — the domain-extraction step of web-corpus curation "
+    "(per-domain quality rates, domain blocklists). The corpus is "
+    "synthetic word salad, so deterministic doc_id-derived URLs are "
+    "injected in-query (same pattern as pii_redaction); the oracle "
+    "re-derives the same fields with portable regexes. Per-row codegen, "
+    "no shuffle.",
+    tags=("textstats", "llm", "web"),
+)
+def q_url_parse_suite(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://sub"),
+        F.pmod("doc_id", F.lit(5)).cast("string"),
+        F.lit(".example.org/p/"),
+        F.pmod("doc_id", F.lit(97)).cast("string"),
+        F.lit("?q="),
+        F.pmod("doc_id", F.lit(13)).cast("string"),
+        F.lit("&u="),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+    )

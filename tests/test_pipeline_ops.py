@@ -181,3 +181,39 @@ def test_range_frame_peer_rows_aggregate_identically(spark):
     assert got[1] == got[2] == (2, 3.0)  # peers share the frame
     assert got[3] == (3, 7.0)  # 5m later: sees both peers
     assert got[4] == (1, 8.0)  # 20m later: alone
+
+
+def test_sql_udf_is_catalyst_inlined(spark):
+    """The SQL-language UDF must inline into the aggregate expression —
+    no Python evaluation node anywhere in the physical plan."""
+    from mapreduce_paradigm_spark.registry import all_specs
+
+    df = all_specs()["revenue_sql_udf"].builder(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_doc_pack_bins_capacity_property(spark):
+    """Greedy packing invariants: bins are contiguous in doc_id order per
+    source, every bin but the last one of a source opens at cum < budget
+    (i.e. a bin only closes once its running total reaches 512), and
+    bin ids are dense from 0."""
+    from mapreduce_paradigm_spark.registry import all_specs
+
+    rows = all_specs()["doc_pack_bins"].builder(spark, SF_CORRECT).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert len(by_source) > 1
+    for docs in by_source.values():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        expect_bin = 0
+        max_seen = -1
+        for r in docs:
+            assert r["bin_id"] == cum // 512
+            cum += r["n_tokens"]
+            max_seen = max(max_seen, r["bin_id"])
+        # dense bins 0..max (greedy never skips a bin)
+        assert {r["bin_id"] for r in docs} == set(range(max_seen + 1))
