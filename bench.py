@@ -37,9 +37,15 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     for name, spec in sorted(specs.items()):
         # fresh slate per query: drop persisted intermediates from earlier
-        # queries and nudge the JVM so GC debt doesn't land in our window
+        # queries and nudge the JVM so GC debt doesn't land in our window.
+        # The ContextCleaner deletes dereferenced shuffle files ASYNCHRONOUSLY
+        # after the gc — without a settle pause that disk/CPU work lands inside
+        # the next query's timed runs (observed as monotone run degradation).
         spark.catalog.clearCache()
         spark._jvm.System.gc()
+        time.sleep(1.0)
+        spark._jvm.System.gc()
+        time.sleep(0.5)
         df = spec.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT + cache file listing)
         per_run: list[float] = []

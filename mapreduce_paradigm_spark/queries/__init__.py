@@ -8,5 +8,6 @@ from mapreduce_paradigm_spark.queries import (  # noqa: F401
     sqlx,
     streaming_q,
     subqueries,
+    timeseries,
     windows,
 )

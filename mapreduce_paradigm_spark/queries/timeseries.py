@@ -1,0 +1,456 @@
+"""Round-3 batch 3: time-series & product-analytics tier.
+
+Operators a user of a general analytics engine reaches for daily that the
+reference (single inverted-index pipeline, src/main.cpp) has no analog for:
+gap-filled regular time series, snapshot diffing (CDC), robust aggregation
+(winsorization), funnel analysis, retention cohorts, and an iterative graph
+algorithm (PageRank) in exact fixed-point arithmetic so even its 5-round
+iterative result is DuckDB-hash-checkable.
+
+Everything is Catalyst-native (no Python UDFs); the iterative PageRank loop
+drives Spark jobs from the Python driver but touches no data driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_paradigm_spark.functions import dsum
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+# --- gap-filled hourly series (LOCF) -----------------------------------------
+
+
+@register(
+    "events_hourly_gap_fill",
+    oracle="""
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM agg GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+)
+SELECT s.user_id, s.hr,
+       COALESCE(a.n, 0) AS n_events,
+       last_value(a.val IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_val
+FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.hr = a.hr
+""",
+    description="Gap-filled regular hourly series per user: aggregate to "
+    "the hour, generate the dense hour spine per user with sequence()/"
+    "explode (never a driver loop), left-join, zero-fill counts and "
+    "carry the last observation forward (LOCF) for the value — the "
+    "resample step every time-series feature pipeline needs. The spine "
+    "is bounded per user (min..max hour), so a 100 TB run generates "
+    "spine rows proportional to user-activity spans, partitioned by "
+    "user; one window pass does the fill. Sums are exact long-micros "
+    "(dsum) so the carried values hash cross-engine.",
+    tags=("timeseries", "window", "events"),
+)
+def q_events_hourly_gap_fill(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "val"))
+    spine = (
+        agg.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(agg, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("val", ignorenulls=True).over(w).alias("filled_val"),
+        )
+    )
+
+
+# --- snapshot diff (CDC classify) --------------------------------------------
+
+
+@register(
+    "events_snapshot_diff",
+    oracle="""
+WITH w1 AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v1
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2
+),
+w2 AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n2,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v2
+  FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1, 2
+)
+SELECT COALESCE(w1.user_id, w2.user_id) AS user_id,
+       COALESCE(w1.event_type, w2.event_type) AS event_type,
+       n1, v1, n2, v2,
+       CASE WHEN w1.user_id IS NULL THEN 'added'
+            WHEN w2.user_id IS NULL THEN 'removed'
+            WHEN n1 = n2 AND v1 = v2 THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM w1 FULL OUTER JOIN w2
+  ON w1.user_id = w2.user_id AND w1.event_type = w2.event_type
+""",
+    description="Snapshot diff / CDC classification: aggregate two "
+    "overlapping time windows of the event stream per (user, type) key "
+    "and classify each key added / removed / changed / unchanged via one "
+    "FULL OUTER equi-join — the change-data-capture primitive for "
+    "incremental corpus refreshes (which shards changed since the last "
+    "training snapshot?). Shuffles carry only the aggregated keys, never "
+    "raw events; exact long-micros sums make 'changed' a deterministic "
+    "value comparison, not a float epsilon.",
+    tags=("cdc", "join", "events"),
+)
+def q_events_snapshot_diff(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(pred, nn, vn):
+        return (
+            ev.filter(pred)
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias(nn), dsum(F.col("value"), vn))
+        )
+
+    w1 = snap(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz"), "n1", "v1"
+    )
+    w2 = snap(
+        F.col("ts") >= F.lit("2024-01-08").cast("timestamp_ntz"), "n2", "v2"
+    )
+    j = w1.alias("a").join(
+        w2.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") == F.col("b.event_type")),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("a.user_id").isNull(), "added")
+        .when(F.col("b.user_id").isNull(), "removed")
+        .when(
+            (F.col("n1") == F.col("n2")) & (F.col("v1") == F.col("v2")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return j.select(
+        F.coalesce("a.user_id", "b.user_id").alias("user_id"),
+        F.coalesce("a.event_type", "b.event_type").alias("event_type"),
+        "n1",
+        "v1",
+        "n2",
+        "v2",
+        status.alias("status"),
+    )
+
+
+# --- winsorized aggregation (discrete quantile clip) -------------------------
+
+
+@register(
+    "winsorized_revenue_by_flag",
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+th AS (
+  SELECT l_returnflag,
+         min(CASE WHEN rn = greatest(1, (n * 5 + 99) // 100) THEN l_extendedprice END) AS p05,
+         min(CASE WHEN rn = (n * 95 + 99) // 100 THEN l_extendedprice END) AS p95
+  FROM ranked GROUP BY 1
+)
+SELECT r.l_returnflag,
+       CAST(sum(CAST(least(greatest(l_extendedprice, p05), p95)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS winsorized_sum,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM ranked r JOIN th ON r.l_returnflag = th.l_returnflag
+GROUP BY r.l_returnflag
+""",
+    description="Winsorized (p05/p95-clipped) revenue per return flag — "
+    "the robust-aggregation step that stops a handful of outlier rows "
+    "from dominating a quality metric. Thresholds are DISCRETE quantiles "
+    "(the value at row ceil(p·n) of a total order), computed with pure "
+    "integer rank arithmetic ((n·5+99) DIV 100) so both engines pick the "
+    "same physical row — no interpolated-double cross-engine ulp risk. "
+    "One window pass for ranks, a 3-row threshold join (broadcast), "
+    "exact long-micros sum. At 100 TB swap the exact rank for "
+    "approx_percentile thresholds; the clip+sum shape is unchanged.",
+    tags=("agg", "robust", "cleaning"),
+)
+def q_winsorized_revenue_by_flag(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    th = ranked.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.expr("(n * 5 + 99) DIV 100")),
+                F.col("l_extendedprice"),
+            )
+        ).alias("p05"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(n * 95 + 99) DIV 100"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        ranked.join(F.broadcast(th), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            dsum(clipped, "winsorized_sum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- funnel analysis ---------------------------------------------------------
+
+
+@register(
+    "user_funnel_stages",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.first_view
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+  GROUP BY 1
+)
+SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+            AS BIGINT) AS stages_reached
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+    description="Ordered funnel (view → click → purchase): each stage's "
+    "timestamp is the first qualifying event AT OR AFTER the previous "
+    "stage's — strictly sequential, not three independent mins. Three "
+    "equi-join + min-aggregate hops, each shuffling only (user, min_ts) "
+    "pairs; event rows are filtered by type before every join so at "
+    "100 TB each hop moves one event-type slice, never the full stream.",
+    tags=("funnel", "events", "join"),
+)
+def q_user_funnel_stages(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    stages = (
+        F.lit(1)
+        + F.when(F.col("first_click").isNull(), 0).otherwise(1)
+        + F.when(F.col("first_purchase").isNull(), 0).otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            stages.cast("long").alias("stages_reached"),
+        )
+    )
+
+
+# --- retention cohorts -------------------------------------------------------
+
+
+@register(
+    "customer_retention_cohorts",
+    oracle="""
+WITH om AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+  FROM orders
+),
+cohort AS (SELECT o_custkey, min(m) AS m0 FROM om GROUP BY 1)
+SELECT cohort.m0 AS cohort_month, om.m - cohort.m0 AS month_offset,
+       CAST(count(DISTINCT om.o_custkey) AS BIGINT) AS n_active
+FROM om JOIN cohort ON om.o_custkey = cohort.o_custkey
+GROUP BY 1, 2
+""",
+    description="Retention cohort matrix: customers bucketed by first-"
+    "order month (cohort), counted distinct per months-since-cohort "
+    "offset — the standard retention triangle. Month arithmetic is pure "
+    "integer (year·12+month) so offsets match across engines with no "
+    "interval/calendar edge cases. Two shuffles (cohort min, final "
+    "distinct-count), both on aggregated keys.",
+    tags=("analytics", "agg", "orders"),
+)
+def q_customer_retention_cohorts(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("m"),
+    )
+    cohort = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    return (
+        om.join(cohort, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).alias("month_offset"),
+        )
+        .agg(F.count_distinct("o_custkey").cast("long").alias("n_active"))
+    )
+
+
+# --- PageRank (exact fixed-point, 5 rounds) ----------------------------------
+
+_PR_ITER = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration fixed-point PageRank as chained CTEs (no
+    recursive aggregation needed — DuckDB forbids aggregates in a
+    recursive term, so the fixed iteration count is unrolled)."""
+    cte = [
+        "WITH n AS (SELECT count(*) AS n_docs FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "edges AS (SELECT doc_id AS src, (doc_id * 31 + k.k) % n_docs AS dst"
+        " FROM documents, n, (VALUES (1), (2), (3)) k(k))",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(_PR_ITER):
+        # CAST: DuckDB sum(BIGINT) widens to HUGEINT — pin every stage back
+        # to BIGINT so the final column type matches Spark's LONG
+        cte.append(
+            f"r{i + 1} AS (SELECT nodes.node,"
+            f" CAST(150000 + (850000 * COALESCE(c.s, 0)) // 1000000"
+            f" AS BIGINT) AS r"
+            f" FROM nodes LEFT JOIN ("
+            f"SELECT dst, CAST(sum(r // 3) AS BIGINT) AS s"
+            f" FROM edges JOIN r{i} ON src = node"
+            f" GROUP BY dst) c ON nodes.node = c.dst)"
+        )
+    return (
+        ",\n".join(cte)
+        + f"\nSELECT node, r AS rank_ppm FROM r{_PR_ITER}"
+    )
+
+
+@register(
+    "doc_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    description=f"PageRank ({_PR_ITER} synchronous rounds, damping 0.85) "
+    "over a deterministic synthetic citation graph (each doc links to 3 "
+    "others via (id·31+k) mod N). Ranks are EXACT fixed-point integers "
+    "(parts-per-million, integer DIV everywhere) so even an iterative "
+    "float-free algorithm hash-matches a DuckDB oracle — the oracle "
+    "unrolls the same 5 rounds as chained CTEs. Spark side is the "
+    "classic MapReduce PageRank reshaped for DataFrames: contributions "
+    "= edges⋈ranks grouped by dst, each round one shuffle on dst; "
+    "edges are computed once and persisted; the driver never touches "
+    "row data (pure loop control). At 100 TB pre-partition edges and "
+    "ranks on the node key so every round's join is co-located, and "
+    "checkpoint lineage every few rounds exactly as the components "
+    "operators here already do.",
+    tags=("graph", "iterative", "documents"),
+)
+def q_doc_graph_pagerank(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    edges = (
+        docs.crossJoin(F.broadcast(ncnt))
+        .select(
+            F.col("node").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("node") * 31 + F.lit(k), F.col("n_docs"))
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .persist()
+    )
+    ranks = docs.select("node", F.lit(1000000).cast("long").alias("r"))
+    try:
+        for _ in range(_PR_ITER):
+            contrib = (
+                edges.join(ranks, edges.src == ranks.node)
+                .groupBy("dst")
+                .agg(F.sum(F.expr("r DIV 3")).alias("s"))
+            )
+            ranks = docs.join(
+                contrib, docs.node == contrib.dst, "left"
+            ).select(
+                "node",
+                F.expr(
+                    "150000 + (850000 * coalesce(s, 0)) DIV 1000000"
+                ).alias("r"),
+            )
+        return ranks.select("node", F.col("r").alias("rank_ppm"))
+    finally:
+        edges.unpersist()

@@ -1,0 +1,76 @@
+"""Property pins for the time-series/analytics tier that the DuckDB hash
+gate can't express: PageRank mass conservation, gap-fill spine density,
+funnel monotonicity, cohort-triangle sanity. (Cross-engine value parity for
+all six queries lives in test_oracle_parity.py — they all carry oracles.)"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from mapreduce_paradigm_spark.registry import all_specs
+
+from .conftest import SF_CORRECT
+
+
+def _run(spark, name):
+    return all_specs()[name].builder(spark, SF_CORRECT).collect()
+
+
+def test_pagerank_mass_and_bounds(spark):
+    rows = _run(spark, "doc_graph_pagerank")
+    n = len(rows)
+    assert n > 0
+    total = sum(r["rank_ppm"] for r in rows)
+    # each node's rank is 150000 + 0.85·(inbound mass); integer floors only
+    # ever LOSE ppm, so total ∈ (0.97·N, 1.0·N] million after 5 rounds
+    assert total <= n * 1_000_000
+    assert total > n * 970_000
+    assert min(r["rank_ppm"] for r in rows) >= 150_000
+
+
+def test_gap_fill_spine_is_dense_and_locf(spark):
+    rows = _run(spark, "events_hourly_gap_fill")
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r)
+    assert len(per_user) > 10
+    gaps_seen = 0
+    for seq in per_user.values():
+        seq.sort(key=lambda r: r["hr"])
+        last_val = None
+        for prev, cur in zip(seq, seq[1:]):
+            assert (cur["hr"] - prev["hr"]).total_seconds() == 3600  # dense
+        for r in seq:
+            if r["n_events"] == 0:
+                gaps_seen += 1
+                assert r["filled_val"] == last_val  # LOCF carries
+            else:
+                last_val = r["filled_val"]
+    assert gaps_seen > 0  # fixture actually exercises the fill
+
+
+def test_funnel_stages_are_ordered(spark):
+    rows = _run(spark, "user_funnel_stages")
+    assert rows
+    for r in rows:
+        if r["first_click"] is not None:
+            assert r["first_click"] >= r["first_view"]
+        if r["first_purchase"] is not None:
+            assert r["first_click"] is not None  # no stage skipping
+            assert r["first_purchase"] >= r["first_click"]
+        expect = 1 + (r["first_click"] is not None) + (
+            r["first_purchase"] is not None
+        )
+        assert r["stages_reached"] == expect
+
+
+def test_retention_cohort_triangle(spark):
+    rows = _run(spark, "customer_retention_cohorts")
+    by_cohort = defaultdict(dict)
+    for r in rows:
+        by_cohort[r["cohort_month"]][r["month_offset"]] = r["n_active"]
+    for offsets in by_cohort.values():
+        assert 0 in offsets  # every cohort is active in its own month
+        assert all(o >= 0 for o in offsets)
+        # offset-0 row counts the whole cohort: no later month exceeds it
+        assert max(offsets.values()) == offsets[0]
