@@ -2,6 +2,7 @@
 
 from mapreduce_paradigm_spark.queries import (  # noqa: F401
     flagship,
+    graphtext,
     llm,
     pipeline,
     relational,

@@ -1,0 +1,305 @@
+"""Round-3 batch 4: graph & co-occurrence analytics.
+
+Second-order structure the reference's single inverted-index pipeline
+(src/main.cpp) never touches but that corpus curation and product analytics
+need: word-pair PMI (phrase/collocation mining), triangle counting on the
+synthetic citation graph (community density), Markov event transitions,
+per-user behavioral entropy, and the remaining distribution-window shapes
+(cume_dist / nth_value / ratio-to-report).
+
+All Catalyst-native; every query carries a full DuckDB hash oracle. Float
+outputs follow the tfidf convention (ln of exact-integer ratios, round 6)
+which is already proven hash-stable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+# --- word co-occurrence PMI --------------------------------------------------
+
+
+@register(
+    "word_cooccurrence_pmi",
+    oracle="""
+WITH dw AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dw),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY 1),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n_both
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+)
+SELECT w1, w2, n_both,
+       round(ln(CAST(n_both AS DOUBLE) * n_docs / (d1.df * d2.df)), 6) AS pmi
+FROM pairs
+JOIN df d1 ON w1 = d1.w
+JOIN df d2 ON w2 = d2.w
+CROSS JOIN n
+WHERE n_both >= 5
+""",
+    description="Pointwise mutual information of within-document word "
+    "pairs — the collocation/phrase-mining signal (PMI > 0 ⇒ words "
+    "co-occur more than independence predicts). Spark side generates "
+    "pairs WITHOUT a self-join: per-doc sorted distinct vocabulary "
+    "array, in-array combination explode (the jaccard-postings trick "
+    "from operators/dedup.py applied doc-side), one pair-count shuffle; "
+    "df and N join back broadcast. Pair cost is Σ|vocab_d|² — at 100 TB "
+    "cap the per-doc vocabulary (top-k by tf or a df-band semi-join) "
+    "exactly like the df-capped jaccard tier; the shape is unchanged. "
+    "PMI is ln of an exact-integer ratio rounded 6dp (the proven-stable "
+    "tfidf convention). The oracle's self-join form is the semantic "
+    "spec; the array form is the scale plan.",
+    tags=("text", "llm", "cooccurrence"),
+)
+def q_word_cooccurrence_pmi(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+        ).alias("w"),
+    )
+    n = dw.agg(F.count_distinct("doc_id").alias("n_docs"))
+    df = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    words_per_doc = dw.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("w")).alias("ws")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ws, (x, i) -> "
+        "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS w1, y AS w2))))"
+    )
+    pairs = (
+        words_per_doc.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    d1 = df.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
+    d2 = df.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
+    return (
+        pairs.join(F.broadcast(d1), "w1")
+        .join(F.broadcast(d2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "n_both",
+            F.round(
+                F.log(
+                    F.col("n_both").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df1") * F.col("df2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+# --- triangle counting -------------------------------------------------------
+
+
+@register(
+    "doc_graph_triangles",
+    oracle="""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+e0 AS (
+  SELECT doc_id AS a, (doc_id * 31 + k.k) % n_docs AS b
+  FROM documents, n, (VALUES (1), (2), (3)) k(k)
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM e0 WHERE a <> b
+)
+SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+FROM e e1
+JOIN e e2 ON e1.b = e2.a
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+    description="Triangle enumeration on the undirected form of the same "
+    "deterministic citation graph PageRank uses: canonicalize edges to "
+    "(lo, hi), then the classic two-hop join with the ordering "
+    "constraint v1 < v2 < v3 built into edge direction — each triangle "
+    "emitted exactly once, no post-dedup. Both joins are equi-joins on "
+    "vertex keys; at 100 TB orient edges low-degree → high-degree "
+    "instead of low-id → high-id (the standard O(m^{3/2}) bound) — "
+    "same plan shape, different orientation rule. Triangle density is "
+    "the curation signal for citation-farm / link-spam detection.",
+    tags=("graph", "join", "documents"),
+)
+def q_doc_graph_triangles(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    e0 = docs.crossJoin(F.broadcast(ncnt)).select(
+        F.col("node").alias("a"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.col("node") * 31 + F.lit(k), F.col("n_docs"))
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("b"),
+    )
+    e = (
+        e0.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("v1"), F.col("b").alias("v2"))
+    e2 = e.select(F.col("a").alias("v2"), F.col("b").alias("v3"))
+    e3 = e.select(F.col("a").alias("v1"), F.col("b").alias("v3"))
+    return e1.join(e2, "v2").join(e3, ["v1", "v3"]).select("v1", "v2", "v3")
+
+
+# --- Markov event transitions ------------------------------------------------
+
+
+@register(
+    "user_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM t
+""",
+    description="First-order Markov transition matrix of user behavior: "
+    "lag() per user over the event stream (tie-broken by event_id for a "
+    "total order), transition counts, and row-normalized probabilities "
+    "via a ratio-to-report window over the 5×5 aggregated matrix. The "
+    "only full-data shuffle is the per-user window partition; the "
+    "normalization runs on ~|types|² rows. Transition skew between "
+    "cohorts is the standard behavioral-drift signal.",
+    tags=("analytics", "window", "events"),
+)
+def q_user_event_transitions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(wseq).alias("prev_type"),
+    )
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wnorm), 6
+        ).alias("p"),
+    )
+
+
+# --- behavioral entropy ------------------------------------------------------
+
+
+@register(
+    "user_event_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT user_id, sum(n) AS total FROM c GROUP BY 1)
+SELECT c.user_id,
+       CAST(max(total) AS BIGINT) AS n_events,
+       round(-sum((CAST(n AS DOUBLE) / total)
+                  * ln(CAST(n AS DOUBLE) / total)), 6) AS entropy
+FROM c JOIN tot ON c.user_id = tot.user_id
+GROUP BY c.user_id
+""",
+    description="Shannon entropy of each user's event-type distribution "
+    "(nats) — the behavioral-diversity signal (bots spike one type → "
+    "entropy ≈ 0; organic users spread). Two aggregations over "
+    "(user, type) keys; p·ln p on exact integer ratios rounded 6dp. "
+    "The same shape scores token-distribution entropy of documents in a "
+    "quality-filter pipeline.",
+    tags=("analytics", "agg", "events"),
+)
+def q_user_event_entropy(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    wtot = Window.partitionBy("user_id")
+    p = F.col("n").cast("double") / F.sum("n").over(wtot)
+    return (
+        c.withColumn("total", F.sum("n").over(wtot))
+        .withColumn("term", p * F.log(p))
+        .groupBy("user_id")
+        .agg(
+            F.max("total").cast("long").alias("n_events"),
+            F.round(-F.sum("term"), 6).alias("entropy"),
+        )
+    )
+
+
+# --- distribution windows: cume_dist / nth_value / share ---------------------
+
+
+@register(
+    "orders_cume_nth_suite",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       cume_dist() OVER w AS cdist,
+       nth_value(o_orderkey, 2) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_ok,
+       round(o_totalprice / sum(o_totalprice) OVER (
+           PARTITION BY o_custkey), 6) AS price_share
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    description="The distribution-window shapes the ranking suite left "
+    "out: cume_dist (fraction of peers at-or-above), nth_value over the "
+    "full frame (the runner-up order per customer), and ratio-to-report "
+    "price share. One window partition shuffle serves all three.",
+    tags=("window", "orders"),
+)
+def q_orders_cume_nth_suite(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wpart = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.cume_dist().over(w).alias("cdist"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
+        F.round(
+            F.col("o_totalprice") / F.sum("o_totalprice").over(wpart), 6
+        ).alias("price_share"),
+    )
