@@ -88,6 +88,43 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+def _feature_batches_arrow(batches):
+    """Arrow-native featurizer: consumes/produces ``pyarrow.RecordBatch``
+    directly — no Arrow→pandas→Arrow round-trip, no pandas object-dtype
+    boxing of the binary payloads. Column math that pyarrow.compute can
+    express (lengths) stays vectorized C++; the per-payload hashing is the
+    honest Python part either way. Output is row-identical to
+    ``_feature_batches`` (pinned in tests)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        payload = batch.column("payload")
+        raw = [payload[i].as_py() for i in range(len(payload))]
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id").cast(pa.int64()),
+                pc.binary_length(payload).cast(pa.int64()),
+                pa.array([zlib.crc32(b) for b in raw], pa.int64()),
+                pa.array([b[:8].hex() for b in raw], pa.string()),
+                pa.array(
+                    [float(sum(b)) / len(b) if len(b) else 0.0 for b in raw],
+                    pa.float64(),
+                ),
+            ],
+            names=["doc_id", "n_bytes", "crc32", "head_hex", "byte_mean"],
+        )
+
+
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of ``extract_features``: same schema, same rows,
+    one less serialization hop per batch — the preferred form when the
+    featurizer does not need pandas semantics."""
+    return media.select("doc_id", "payload").mapInArrow(
+        _feature_batches_arrow, schema=FEATURE_SCHEMA
+    )
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Real resize path — requires PIL, absent in this container by design."""
     if not _HAS_PIL:

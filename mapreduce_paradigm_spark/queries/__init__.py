@@ -5,6 +5,7 @@ from mapreduce_paradigm_spark.queries import (  # noqa: F401
     graphtext,
     llm,
     pipeline,
+    quality,
     relational,
     sqlx,
     streaming_q,

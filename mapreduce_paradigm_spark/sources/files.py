@@ -93,6 +93,34 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     w.orc(path)
 
 
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Opaque-media ingest via the built-in ``binaryFile`` source: one row
+    per file with (path, modificationTime, length, content BINARY) — the
+    landing step for image/audio/video corpora before the multimodal
+    featurizers (operators/multimodal.py) take over. ``pathGlobFilter``
+    prunes at LISTING time (non-matching files are never opened), and each
+    file is one task input — at 100 TB of small media files, compact the
+    landing zone into parquet (payload BINARY + metadata) with
+    ``with_binary_payload``-shaped rows early, exactly like CSV→parquet.
+
+    NOTE: Avro is the one interchange format NOT wired here — Spark ships
+    it as an external module (spark-avro jar), absent from this container
+    with no network to fetch it; probed round 3 (``Failed to find data
+    source: avro``). The read/write helpers would mirror read_orc/write_orc
+    one-for-one when the jar is present."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return r.load(path)
+
+
 def read_xml(
     spark: SparkSession,
     path: str,

@@ -18,7 +18,7 @@ from mapreduce_paradigm_spark.streaming import (
     windowed_counts_with_watermark,
 )
 
-from .conftest import SF_SMOKE
+from .conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_incremental_foreachbatch_matches_batch(spark, tmp_path):
@@ -67,3 +67,44 @@ def test_multimodal_features_deterministic(spark):
 def test_decode_image_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n")
+
+
+def test_arrow_featurizer_matches_pandas(spark):
+    """mapInArrow twin must be row-identical to the mapInPandas featurizer."""
+    from mapreduce_paradigm_spark.operators.multimodal import extract_features_arrow
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents").limit(200)
+    media = with_binary_payload(docs)
+    pandas_rows = sorted(map(tuple, extract_features(media).collect()))
+    arrow_rows = sorted(map(tuple, extract_features_arrow(media).collect()))
+    assert arrow_rows == pandas_rows
+    assert len(arrow_rows) > 0
+
+
+def test_binary_dir_source_feeds_featurizer(spark, tmp_path):
+    """binaryFile landing zone → featurizer plumbing: glob prunes at listing
+    time, content bytes round-trip exactly."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paradigm_spark.operators.multimodal import extract_features
+    from mapreduce_paradigm_spark.sources.files import read_binary_dir
+
+    payloads = {i: bytes([i * 7 % 256]) * (10 + i) for i in range(5)}
+    for i, b in payloads.items():
+        (tmp_path / f"doc{i}.img").write_bytes(b)
+    (tmp_path / "ignored.txt").write_text("not media")
+
+    bf = read_binary_dir(spark, str(tmp_path), glob="*.img")
+    assert bf.count() == 5  # the .txt never matched the listing
+    media = bf.select(
+        F.regexp_extract(F.col("path"), r"doc(\d+)\.img", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert set(feats) == set(payloads)
+    for i, b in payloads.items():
+        assert feats[i]["n_bytes"] == len(b)
+        assert feats[i]["head_hex"] == b[:8].hex()
