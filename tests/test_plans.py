@@ -168,3 +168,32 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_winsorized_thresholds_join_is_broadcast(spark):
+    """The 3-row quantile-threshold table must broadcast back onto the
+    ranked stream — a shuffle join here would re-partition the whole fact
+    table to meet three rows."""
+    df = _df(spark, "winsorized_revenue_by_flag")
+    assert count_occurrences(df, "BroadcastHashJoin") >= 1
+    assert count_occurrences(df, "SortMergeJoin") == 0
+
+
+def test_pmi_dims_broadcast_no_pair_self_join(spark):
+    """PMI joins (df per word ×2, corpus size) are all broadcast; pair
+    generation is the in-array explode — no SortMergeJoin anywhere, and no
+    join of the (doc, word) stream against itself."""
+    df = _df(spark, "word_cooccurrence_pmi")
+    assert count_occurrences(df, "BroadcastHashJoin") >= 2
+    assert count_occurrences(df, "BroadcastNestedLoopJoin") >= 1  # 1-row N
+    assert count_occurrences(df, "SortMergeJoin") == 0
+
+
+def test_doc_pack_bins_single_shuffle(spark):
+    """Sequence packing is ONE window shuffle partitioned by source; a
+    second exchange would mean the running total re-partitioned."""
+    import re
+
+    plan = formatted_plan(_df(spark, "doc_pack_bins"))
+    # exactly one Exchange node in the detail section (the source window)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
