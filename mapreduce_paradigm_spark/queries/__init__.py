@@ -7,6 +7,7 @@ from mapreduce_paradigm_spark.queries import (  # noqa: F401
     pipeline,
     quality,
     relational,
+    rollup_sampling,
     sqlx,
     streaming_q,
     subqueries,
