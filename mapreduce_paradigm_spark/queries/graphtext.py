@@ -58,6 +58,7 @@ WHERE n_both >= 5
     "PMI is ln of an exact-integer ratio rounded 6dp (the proven-stable "
     "tfidf convention). The oracle's self-join form is the semantic "
     "spec; the array form is the scale plan.",
+    bench=True,
     tags=("text", "llm", "cooccurrence"),
 )
 def q_word_cooccurrence_pmi(spark, sf_dir):

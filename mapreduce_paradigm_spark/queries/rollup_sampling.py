@@ -54,6 +54,7 @@ FROM events GROUP BY 2
     "correctness. (Plain double partial sums would NOT survive this "
     "test.) The same shape maintains streaming continuous aggregates "
     "via foreachBatch upserts.",
+    bench=True,
     tags=("timeseries", "rollup", "events"),
 )
 def q_events_multigrain_rollup(spark, sf_dir):

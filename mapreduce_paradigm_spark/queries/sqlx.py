@@ -55,6 +55,7 @@ FROM cum
     "first-fit-in-order, deterministic across engines/cluster sizes). One "
     "window shuffle partitioned by source; at 100 TB each source shard "
     "packs independently — no global order, no driver state.",
+    bench=True,
     tags=("llm", "packing", "window"),
 )
 def q_doc_pack_bins(spark, sf_dir):
