@@ -247,3 +247,59 @@ def q_streaming_user_totals_stateful(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@register(
+    "streaming_continuous_rollup_fb",
+    oracle="""
+SELECT 'minute' AS grain, date_trunc('minute', ts) AS g,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'hour', date_trunc('hour', ts), CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', ts), CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+FROM events GROUP BY 2
+""",
+    description="Streaming continuous aggregate: foreachBatch upserts "
+    "per-batch minute-grain integer-micros partials into a parquet state "
+    "table (read-union-regroup-swap); hour and day grains re-aggregate "
+    "the FINAL minute state batch-side. Hash-matching the direct batch "
+    "oracle proves the upsert partials commute across arbitrary "
+    "micro-batch splits — the streaming half of events_multigrain_rollup.",
+    tags=("streaming", "rollup", "events"),
+)
+def q_streaming_continuous_rollup_fb(spark, sf_dir):
+    import tempfile
+
+    from mapreduce_paradigm_spark.streaming import (
+        continuous_minute_rollup_foreachbatch,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="roll_state_") + "/state"
+    continuous_minute_rollup_foreachbatch(spark, sf_dir, state_dir)
+    minute = spark.read.parquet(state_dir)
+    hour = minute.groupBy(F.date_trunc("hour", "g").alias("g")).agg(
+        F.sum("n").alias("n"), F.sum("micros").alias("micros")
+    )
+    day = hour.groupBy(F.date_trunc("day", "g").alias("g")).agg(
+        F.sum("n").alias("n"), F.sum("micros").alias("micros")
+    )
+
+    def out(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "g",
+            "n",
+            (F.col("micros").cast("decimal(24,6)") / F.lit(1000000))
+            .cast("double")
+            .alias("val"),
+        )
+
+    return out(minute, "minute").unionAll(out(hour, "hour")).unionAll(
+        out(day, "day")
+    )

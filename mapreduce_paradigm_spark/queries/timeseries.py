@@ -454,3 +454,97 @@ def q_doc_graph_pagerank(spark, sf_dir):
         return ranks.select("node", F.col("r").alias("rank_ppm"))
     finally:
         edges.unpersist()
+
+
+# --- interval overlap join (campaign attribution) ----------------------------
+
+
+@register(
+    "campaign_session_overlap",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         CAST(sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id,
+         ts, value
+  FROM tagged
+),
+s AS (
+  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s_value
+  FROM sess GROUP BY 1, 2
+),
+camp AS (
+  SELECT CAST(c AS BIGINT) AS campaign_id,
+         TIMESTAMP '2024-01-01' + (3 * c) * INTERVAL 1 DAY AS c_start,
+         TIMESTAMP '2024-01-01' + (3 * c + 4) * INTERVAL 1 DAY AS c_end
+  FROM range(10) t(c)
+)
+SELECT campaign_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(s_value), 6) AS total_value
+FROM camp JOIN s
+  ON s.s_start <= camp.c_end AND camp.c_start <= s.s_end
+GROUP BY campaign_id
+""",
+    description="Interval-overlap join (Allen overlap): 30-min gap "
+    "sessions attributed to every overlapping campaign window "
+    "(s_start ≤ c_end AND c_start ≤ s_end) — the session/campaign, "
+    "shift/incident, visit/outage attribution shape. The campaign side "
+    "is tiny and broadcast, so the overlap predicate runs as a "
+    "BroadcastNestedLoopJoin — the CORRECT plan for small×big pure "
+    "theta joins. For big×big interval joins, bucket both sides by "
+    "coarse time bucket (explode intervals to buckets, equi-join on "
+    "bucket, dedup) — same semantics, shuffle-friendly; the session "
+    "build itself is the one user_id window shuffle. Session values use "
+    "exact micros sums; the campaign aggregate re-sums those exact "
+    "doubles with a final 6dp round so engine-order float addition "
+    "cannot flip the hash.",
+    tags=("join", "interval", "events"),
+)
+def q_campaign_session_overlap(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            dsum(F.col("value"), "s_value"),
+        )
+    )
+    camp = spark.range(10).select(
+        F.col("id").alias("campaign_id"),
+        F.expr(
+            "timestampadd(DAY, CAST(3 * id AS INT), TIMESTAMP_NTZ '2024-01-01')"
+        ).alias("c_start"),
+        F.expr(
+            "timestampadd(DAY, CAST(3 * id + 4 AS INT), TIMESTAMP_NTZ '2024-01-01')"
+        ).alias("c_end"),
+    )
+    return (
+        sess.join(
+            F.broadcast(camp),
+            (F.col("s_start") <= F.col("c_end"))
+            & (F.col("c_start") <= F.col("s_end")),
+        )
+        .groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("s_value"), 6).alias("total_value"),
+        )
+    )

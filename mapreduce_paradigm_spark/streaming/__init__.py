@@ -338,3 +338,56 @@ def incremental_index_foreachbatch(
         .start()
     )
     q.awaitTermination()
+
+
+def continuous_minute_rollup_foreachbatch(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> None:
+    """Continuous-aggregate maintenance (the streaming half of
+    ``events_multigrain_rollup``): each micro-batch's RAW events are
+    aggregated to minute grain in EXACT integer micros INSIDE foreachBatch
+    (pure per-batch partials — deliberately NOT a streaming aggregation,
+    whose update-mode output is cumulative and would double-count under a
+    sum-merge), then upserted into the parquet state by
+    read-union-regroup-swap. Integer partials commute and associate, so ANY
+    micro-batch split of the stream yields bit-identical state — which is
+    what the batch-oracle hash match certifies. At scale the regroup
+    shuffles only minute-bucket rows (bounded by time span, not data
+    volume); a real deployment swaps the parquet state for a MERGE-capable
+    sink, same partials."""
+    from pyspark.sql import functions as F
+
+    ev = _stream_table(spark, sf_dir, "events").select("ts", "value")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        partial = batch_df.groupBy(
+            F.date_trunc("minute", "ts").alias("g")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("micros"),
+        )
+        try:
+            existing = s.read.parquet(state_dir)
+        except Exception:
+            existing = None
+        merged = (
+            partial
+            if existing is None
+            else existing.unionByName(partial)
+            .groupBy("g")
+            .agg(F.sum("n").alias("n"), F.sum("micros").alias("micros"))
+        )
+        merged.write.mode("overwrite").parquet(state_dir + "_next")
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.move(state_dir + "_next", state_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_roll_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
