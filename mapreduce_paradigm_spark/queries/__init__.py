@@ -9,6 +9,7 @@ from mapreduce_paradigm_spark.queries import (  # noqa: F401
     relational,
     rollup_sampling,
     sqlx,
+    statistics,
     streaming_q,
     subqueries,
     timeseries,
