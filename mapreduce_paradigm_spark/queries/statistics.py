@@ -253,3 +253,186 @@ def q_customer_nearest_warehouse(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("c_custkey", "w_id", F.round("dist_km", 4).alias("dist_km"))
     )
+
+
+# --- per-user hourly anomaly z-scores ----------------------------------------
+
+
+@register(
+    "events_hourly_anomaly_zscore",
+    oracle="""
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(n) AS BIGINT) AS s1,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM h GROUP BY 1
+)
+SELECT h.user_id, h.hr, h.n,
+       round((h.n - CAST(s1 AS DOUBLE) / n_hours)
+             / sqrt(CAST(s2 AS DOUBLE) / n_hours
+                    - (CAST(s1 AS DOUBLE) / n_hours) * (CAST(s1 AS DOUBLE) / n_hours)),
+             6) AS z
+FROM h JOIN s ON h.user_id = s.user_id
+WHERE CAST(s2 AS DOUBLE) * n_hours > CAST(s1 AS DOUBLE) * s1
+  AND round((h.n - CAST(s1 AS DOUBLE) / n_hours)
+            / sqrt(CAST(s2 AS DOUBLE) / n_hours
+                   - (CAST(s1 AS DOUBLE) / n_hours) * (CAST(s1 AS DOUBLE) / n_hours)),
+            6) > 2
+""",
+    description="Hourly activity anomaly detection: per-user hourly counts "
+    "z-scored against that user's own mean/std (population, from exact "
+    "integer Σn and Σn² — order-independent, shard-mergeable), keeping "
+    "hours more than 2σ above baseline — the bursty-bot / incident "
+    "signal. Zero-variance users are excluded by an exact integer "
+    "predicate (s2·k > s1², i.e. variance > 0 with no float epsilon). "
+    "Two aggregations plus one broadcast-able join of per-user stats "
+    "back onto the hourly rows.",
+    tags=("analytics", "statistics", "events"),
+)
+def q_events_hourly_anomaly_zscore(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = h.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = F.col("s2").cast("double") / F.col("n_hours") - mean * mean
+    z = F.round((F.col("n") - mean) / F.sqrt(var), 6)
+    return (
+        h.join(s, "user_id")
+        .filter(
+            F.col("s2").cast("double") * F.col("n_hours")
+            > F.col("s1").cast("double") * F.col("s1")
+        )
+        .filter(z > 2)
+        .select("user_id", "hr", "n", z.alias("z"))
+    )
+
+
+# --- chi-squared independence ------------------------------------------------
+
+
+@register(
+    "priority_status_chi2",
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS st,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+rp AS (SELECT p, CAST(sum(obs) AS BIGINT) AS rp FROM o GROUP BY 1),
+cs AS (SELECT st, CAST(sum(obs) AS BIGINT) AS cs FROM o GROUP BY 1)
+SELECT o.p, o.st, obs,
+       round(CAST(rp AS DOUBLE) * cs / n, 6) AS expected,
+       round(power(obs - CAST(rp AS DOUBLE) * cs / n, 2)
+             / (CAST(rp AS DOUBLE) * cs / n), 6) AS chi2_term
+FROM o JOIN rp ON o.p = rp.p JOIN cs ON o.st = cs.st CROSS JOIN tot
+""",
+    description="Chi-squared independence terms for the priority × status "
+    "contingency table: observed counts, expected = row·col/N, and each "
+    "cell's (O−E)²/E — the drift/independence test a feature-validation "
+    "stage runs between a categorical feature and a label. All "
+    "marginals are exact integers; the doubles appear once per CELL in "
+    "an identical formula both engines evaluate in float64. The "
+    "contingency table is tiny post-aggregation (|p|×|st| rows) however "
+    "large the input; marginals broadcast.",
+    tags=("analytics", "statistics", "orders"),
+)
+def q_priority_status_chi2(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    tot = o.agg(F.sum("obs").alias("n"))
+    rp = o.groupBy("p").agg(F.sum("obs").alias("rp"))
+    cs = o.groupBy("st").agg(F.sum("obs").alias("cs"))
+    expected = F.col("rp").cast("double") * F.col("cs") / F.col("n")
+    term = F.pow(F.col("obs") - expected, 2) / expected
+    return (
+        o.join(F.broadcast(rp), "p")
+        .join(F.broadcast(cs), "st")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p",
+            "st",
+            "obs",
+            F.round(expected, 6).alias("expected"),
+            F.round(term, 6).alias("chi2_term"),
+        )
+    )
+
+
+# --- ABC (Pareto) classification ---------------------------------------------
+
+
+@register(
+    "customer_abc_classes",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS t FROM orders),
+r AS (
+  SELECT o_custkey, revenue,
+         CAST(sum(CAST(round(revenue * 1000000, 0) AS BIGINT)) OVER (
+             ORDER BY revenue DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_m
+  FROM c
+)
+SELECT o_custkey, revenue,
+       round(CAST(cum_m AS DOUBLE) / CAST(round(t * 1000000, 0) AS BIGINT), 6) AS cum_share,
+       CASE WHEN round(CAST(cum_m AS DOUBLE) / CAST(round(t * 1000000, 0) AS BIGINT), 6) <= 0.5 THEN 'A'
+            WHEN round(CAST(cum_m AS DOUBLE) / CAST(round(t * 1000000, 0) AS BIGINT), 6) <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r CROSS JOIN tot
+""",
+    description="ABC / Pareto classification: customers ranked by exact "
+    "revenue, running cumulative share, classes at 50%/80% cumulative "
+    "cuts — the inventory/priority-tiering classic. The cumulative sum "
+    "runs in exact LONG micros (a float running sum would hash-diverge: "
+    "DuckDB windows aggregate via a segment TREE, Spark sequentially — "
+    "different addition orders), so the share and the class boundaries "
+    "are deterministic in any engine and any frame evaluation order. The global "
+    "window runs on post-aggregation rows (one per customer), with the "
+    "grand total broadcast — the same safe-global-window rule as "
+    "monthly_revenue_growth.",
+    tags=("analytics", "window", "orders"),
+)
+def q_customer_abc_classes(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice"), "revenue")
+    )
+    tot = orders.agg(dsum(F.col("o_totalprice"), "t"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_m = F.sum(F.round(F.col("revenue") * 1e6, 0).cast("long")).over(w)
+    t_m = F.round(F.col("t") * 1e6, 0).cast("long")
+    share = F.round(cum_m.cast("double") / t_m, 6)
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "revenue",
+            share.alias("cum_share"),
+            F.when(share <= 0.5, "A")
+            .when(share <= 0.8, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
