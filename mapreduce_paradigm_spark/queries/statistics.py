@@ -436,3 +436,143 @@ def q_customer_abc_classes(spark, sf_dir):
             .alias("abc_class"),
         )
     )
+
+
+# --- market-basket co-purchase lift ------------------------------------------
+
+
+@register(
+    "part_copurchase_lift",
+    oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+pf AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_ord FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS n_both
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p1, p2, n_both,
+       round(CAST(n_both AS DOUBLE) * n_orders / (f1.n_ord * f2.n_ord), 6) AS lift
+FROM pairs
+JOIN pf f1 ON p1 = f1.l_partkey
+JOIN pf f2 ON p2 = f2.l_partkey
+CROSS JOIN n
+WHERE n_both >= 2
+""",
+    description="Market-basket co-purchase lift: part pairs appearing in "
+    "the same order, scored by lift = P(a,b)/(P(a)·P(b)) — the classic "
+    "MapReduce co-occurrence workload reshaped as the PMI query was: "
+    "per-order sorted distinct part arrays, in-array pair explode (NO "
+    "self-join of the lineitem stream), one pair-count shuffle, "
+    "part-frequency tables broadcast back. Baskets are naturally tiny "
+    "(≤7 lines), so pair fan-out is bounded by Σ|basket|² ≈ 21·|orders| "
+    "— the basket itself is the df cap. Lift from exact integer counts, "
+    "rounded 6dp (the oracle uses the equivalent self-join spec).",
+    tags=("analytics", "cooccurrence", "lineitem"),
+)
+def q_part_copurchase_lift(spark, sf_dir):
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    pf = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"
+    )
+    pairs = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    f1 = pf.select(F.col("l_partkey").alias("p1"), F.col("n_ord").alias("f1"))
+    f2 = pf.select(F.col("l_partkey").alias("p2"), F.col("n_ord").alias("f2"))
+    return (
+        pairs.join(F.broadcast(f1), "p1")
+        .join(F.broadcast(f2), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / (F.col("f1") * F.col("f2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --- session bounce stats ----------------------------------------------------
+
+
+@register(
+    "session_bounce_stats",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         CAST(sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id,
+         ts
+  FROM tagged
+),
+s AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         date_trunc('day', min(ts)) AS d
+  FROM sess GROUP BY 1, 2
+)
+SELECT d,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounce,
+       round(CAST(count(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+             / count(*), 6) AS bounce_rate
+FROM s GROUP BY d
+""",
+    description="Daily bounce rate: share of 30-min-gap sessions containing "
+    "exactly one event, grouped by session start day — the engagement KPI "
+    "computed on top of the sessionize operator (one user window shuffle, "
+    "then day-level aggregation of per-session scalars). Ratios from "
+    "exact integer counts, rounded 6dp.",
+    tags=("analytics", "sessionize", "events"),
+)
+def q_session_bounce_stats(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        sessionize(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_trunc("day", F.min("ts")).alias("d"),
+        )
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return s.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.cast("long").alias("n_bounce"),
+        F.round(
+            bounce.cast("double") / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+    )
