@@ -173,3 +173,25 @@ def save_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table_name)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """Layout-optimized parquet: sort rows WITHIN each output partition by
+    ``sort_cols`` before writing. Parquet stores per-row-group min/max
+    statistics; a sorted layout makes those ranges narrow and disjoint, so
+    later range/point predicates on the sort key skip whole row groups at
+    scan time (the poor man's Z-order — the single most effective 100 TB
+    data-skipping lever after partition pruning). ``sortWithinPartitions``
+    is a per-partition sort, NOT a global exchange: no extra shuffle is
+    added to the write. For multi-dimensional skipping, put the highest-
+    selectivity column first; for two hot dimensions, consider
+    ``repartitionByRange`` on one + sort on the other."""
+    w = df.sortWithinPartitions(*sort_cols).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

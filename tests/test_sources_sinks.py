@@ -18,7 +18,7 @@ from mapreduce_paradigm_spark.sources.files import (
 )
 from mapreduce_paradigm_spark.sources.tables import load_table
 
-from .conftest import SF_SMOKE
+from .conftest import SF_CORRECT, SF_SMOKE
 
 CUSTOMER_SCHEMA = (
     "c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, c_acctbal DOUBLE, "
@@ -124,3 +124,82 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS cust_b")
         spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+def test_sorted_parquet_rowgroups_carry_disjoint_stats(spark, tmp_path):
+    """write_sorted_parquet must produce row groups whose min/max ranges on
+    the sort key are narrow and ordered — the property parquet scan-time
+    data skipping relies on. Verified against the actual footer statistics
+    via pyarrow, not by re-reading through Spark."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_paradigm_spark.sources.files import write_sorted_parquet
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    out = str(tmp_path / "sorted")
+    # single output partition with several row groups so ordering is testable
+    write_sorted_parquet(
+        li.coalesce(1), out, sort_cols=["l_orderkey"]
+    )
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert files
+    spans = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(0)
+            assert col.path_in_schema == "l_orderkey"
+            st = col.statistics
+            assert st is not None and st.has_min_max
+            spans.append((st.min, st.max))
+    # within-file ordering: each row group's range starts at or after the
+    # previous one's end (sorted write ⇒ non-overlapping except boundaries)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert lo1 <= hi1 and lo2 <= hi2
+        assert hi1 <= lo2
+    # and a point predicate could skip all but one span
+    probe = spans[len(spans) // 2][0]
+    containing = [s for s in spans if s[0] <= probe <= s[1]]
+    assert len(containing) <= 2
+
+
+def test_cached_rollup_feeds_coarser_grains_from_memory(spark):
+    """Materialized-rollup reuse: cache the minute grain once; hour and day
+    plans must both scan the InMemoryRelation, not the raw events table."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    minute = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    try:
+        minute.count()  # materialize
+        hour = minute.groupBy(F.date_trunc("hour", "g").alias("g")).agg(
+            F.sum("n").alias("n")
+        )
+        day = minute.groupBy(F.date_trunc("day", "g").alias("g")).agg(
+            F.sum("n").alias("n")
+        )
+        for df in (hour, day):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan
+        # hour totals from cache equal direct-from-raw totals
+        direct = (
+            ev.groupBy(F.date_trunc("hour", "ts").alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, hour.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+    finally:
+        minute.unpersist()
