@@ -71,12 +71,27 @@ def _gate_priority() -> dict[str, tuple[int, int]]:
     return {n: (last_round[n], passed.get(n, 0)) for n in last_round}
 
 
+# Oldest never-driver-verified queries. Within the never-checked group the
+# tiebreak is registry (module-import) order, which tracks registration
+# recency for NEW queries but not backlog age — these two have waited since
+# round 1 purely because 102 registered > 2×50 gate budget, and round 3's
+# new registrations would otherwise queue ahead of them again. Drop each
+# name once its first green CORRECTNESS row lands.
+_GATE_BACKLOG = ("events_sliding_window_counts", "last_click_before_view")
+
+
 def _ordered_specs():
     specs = all_specs()
     prio = _gate_priority()
     names = list(specs)
     reg_index = {n: i for i, n in enumerate(names)}
-    names.sort(key=lambda n: (*prio.get(n, (0, 0)), reg_index[n]))
+    names.sort(
+        key=lambda n: (
+            n not in _GATE_BACKLOG,
+            *prio.get(n, (0, 0)),
+            reg_index[n],
+        )
+    )
     return [(n, specs[n]) for n in names]
 
 
