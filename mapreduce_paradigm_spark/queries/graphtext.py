@@ -62,17 +62,29 @@ WHERE n_both >= 5
     tags=("text", "llm", "cooccurrence"),
 )
 def q_word_cooccurrence_pmi(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    dw = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
-        ).alias("w"),
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _tracked_persist,
+        release_caches,
     )
-    n = dw.agg(F.count_distinct("doc_id").alias("n_docs"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE scan of the text column: the per-doc vocabulary arrays feed all
+    # three consumers (pairs, df, N) — without the persist each subtree
+    # re-reads and re-tokenizes the corpus (4 parquet scans in the plan)
+    release_caches()
+    words_per_doc = _tracked_persist(
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("ws"),
+        )
+    )
+    dw = words_per_doc.select("doc_id", F.explode("ws").alias("w"))
+    n = words_per_doc.agg(F.count(F.lit(1)).alias("n_docs"))
     df = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    words_per_doc = dw.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("w")).alias("ws")
+    words_per_doc = words_per_doc.select(
+        "doc_id", F.sort_array("ws").alias("ws")
     )
     pair_expr = F.expr(
         "flatten(transform(ws, (x, i) -> "
