@@ -303,3 +303,49 @@ def q_streaming_continuous_rollup_fb(spark, sf_dir):
     return out(minute, "minute").unionAll(out(hour, "hour")).unionAll(
         out(day, "day")
     )
+
+
+@register(
+    "streaming_static_enrichment_join",
+    oracle="""
+WITH tiers AS (
+  SELECT c AS tier_id, 'tier_' || CAST(c AS VARCHAR) AS tier_name
+  FROM range(10) t(c)
+)
+SELECT tier_name,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events JOIN tiers ON user_id % 10 = tier_id
+GROUP BY tier_name
+""",
+    description="Stream-static enrichment join: the event stream joins a "
+    "STATIC dimension table (user tier) inside the streaming query — the "
+    "standard fact-stream × slowly-changing-dim shape. The static side "
+    "is planned as a broadcast against every micro-batch (no streaming "
+    "state involved, unlike a stream-stream join); final complete-mode "
+    "aggregate hash-matches the batch join oracle. Integer-micros sums "
+    "keep the parity exact across any micro-batch split.",
+    tags=("streaming", "join", "events"),
+)
+def q_streaming_static_enrichment_join(spark, sf_dir):
+    from mapreduce_paradigm_spark.streaming import _stream_table
+
+    tiers = spark.range(10).select(
+        F.col("id").alias("tier_id"),
+        F.concat(F.lit("tier_"), F.col("id").cast("string")).alias("tier_name"),
+    )
+    ev = _stream_table(spark, sf_dir, "events")
+    enriched = ev.join(
+        F.broadcast(tiers), F.pmod("user_id", F.lit(10)) == F.col("tier_id")
+    )
+    agg = enriched.groupBy("tier_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("decimal(24,6)")
+            / F.lit(1000000)
+        )
+        .cast("double")
+        .alias("total_value"),
+    )
+    return run_to_memory(agg, output_mode="complete")

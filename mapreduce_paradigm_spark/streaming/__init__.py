@@ -341,7 +341,10 @@ def incremental_index_foreachbatch(
 
 
 def continuous_minute_rollup_foreachbatch(
-    spark: SparkSession, sf_dir: str, state_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Continuous-aggregate maintenance (the streaming half of
     ``events_multigrain_rollup``): each micro-batch's RAW events are
@@ -386,7 +389,10 @@ def continuous_minute_rollup_foreachbatch(
 
     q = (
         ev.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_roll_"))
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_roll_"),
+        )
         .trigger(availableNow=True)
         .start()
     )

@@ -108,3 +108,23 @@ def test_binary_dir_source_feeds_featurizer(spark, tmp_path):
     for i, b in payloads.items():
         assert feats[i]["n_bytes"] == len(b)
         assert feats[i]["head_hex"] == b[:8].hex()
+
+
+def test_continuous_rollup_restart_does_not_double_count(spark, tmp_path):
+    """Exactly-once effect for the sum-merge foreachBatch sink comes from
+    the streaming CHECKPOINT: restarting the query with the same checkpoint
+    must not re-merge committed batches into the state. (A replay with a
+    FRESH checkpoint would re-merge everything — which is why the state +
+    checkpoint pair, not the state alone, is the unit of recovery.)"""
+    from mapreduce_paradigm_spark.streaming import (
+        continuous_minute_rollup_foreachbatch,
+    )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    continuous_minute_rollup_foreachbatch(spark, SF_SMOKE, state, ckpt)
+    first = sorted(map(tuple, spark.read.parquet(state).collect()))
+    # restart with the SAME checkpoint: all batches already committed
+    continuous_minute_rollup_foreachbatch(spark, SF_SMOKE, state, ckpt)
+    second = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert first == second
