@@ -308,3 +308,91 @@ def q_url_parse_suite(spark, sf_dir):
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
     )
+
+
+# --- timezone conversion suite -----------------------------------------------
+
+
+@register(
+    "events_timezone_suite",
+    oracle="""
+SELECT event_id,
+       strftime(timezone('America/New_York', timezone('UTC', ts)),
+                '%Y-%m-%d %H:%M:%S') AS ny_local,
+       strftime(timezone('Asia/Tokyo', timezone('UTC', ts)),
+                '%Y-%m-%d %H:%M:%S') AS tokyo_local,
+       CAST(year(timezone('Asia/Tokyo', timezone('UTC', ts)))
+            - year(ts) AS BIGINT) AS year_shift
+FROM events
+""",
+    description="Timezone conversion suite: event timestamps (stored "
+    "timezone-naive, semantically UTC) rendered as New York and Tokyo "
+    "wall-clock strings, plus the year-boundary shift the Tokyo offset "
+    "causes around New Year — the localization step every multi-region "
+    "report needs. Spark `from_utc_timestamp` == DuckDB "
+    "`timezone(zone, timezone('UTC', ts))` (the inner call pins the "
+    "naive→instant interpretation to UTC, so neither engine's SESSION "
+    "timezone can change the result — the oracle would otherwise follow "
+    "the host tz). Both engines share the IANA tzdb; the fixture is "
+    "January-only so no DST transitions are in play. Per-row codegen, "
+    "no shuffle.",
+    tags=("sql", "datetime", "events"),
+)
+def q_events_timezone_suite(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tokyo = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return ev.select(
+        "event_id",
+        F.date_format(ny, "yyyy-MM-dd HH:mm:ss").alias("ny_local"),
+        F.date_format(tokyo, "yyyy-MM-dd HH:mm:ss").alias("tokyo_local"),
+        (F.year(tokyo) - F.year("ts")).cast("long").alias("year_shift"),
+    )
+
+
+# --- null-safe equality join -------------------------------------------------
+
+
+@register(
+    "nullsafe_bucket_join",
+    oracle="""
+WITH a AS (
+  SELECT CASE WHEN l_linenumber % 3 = 0 THEN NULL
+              ELSE l_linenumber % 3 END AS bucket,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+),
+b AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE o_orderkey % 3 END AS bucket,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT a.bucket, n_lines, n_orders
+FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+""",
+    description="Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): "
+    "NULL keys MATCH each other instead of silently dropping — the "
+    "semantics a dirty-data join needs when NULL means 'unknown bucket' "
+    "rather than 'no bucket'. A plain equi-join here would lose the NULL "
+    "row on both sides; the driver hash gate proves both engines agree "
+    "on the null-match row. Planned as a normal hash join (null-safe "
+    "equality is still an equi-join key, not a theta residual).",
+    tags=("sql", "join", "nulls"),
+)
+def q_nullsafe_bucket_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    a = li.groupBy(
+        F.when(F.col("l_linenumber") % 3 == 0, None)
+        .otherwise(F.col("l_linenumber") % 3)
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+    b = orders.groupBy(
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderkey") % 3)
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return a.join(
+        b, a["bucket"].eqNullSafe(b["bucket"])
+    ).select(a["bucket"], "n_lines", "n_orders")
