@@ -396,3 +396,54 @@ def q_nullsafe_bucket_join(spark, sf_dir):
     return a.join(
         b, a["bucket"].eqNullSafe(b["bucket"])
     ).select(a["bucket"], "n_lines", "n_orders")
+
+
+# --- nested struct operations ------------------------------------------------
+
+
+@register(
+    "orders_struct_ops",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice AS price,
+       round(o_totalprice * 1.1, 2) AS adjusted_price,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       o_orderpriority AS priority
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+    description="Nested STRUCT column surgery: pack order fields into a "
+    "struct, evolve it with withField (add adjusted_price, overwrite a "
+    "member) and dropFields (remove the status member), then project "
+    "nested members back out. The optimizer prunes untouched struct "
+    "members all the way to the scan, so nesting costs nothing it "
+    "doesn't use — the pattern for schema'd event payloads at 100 TB. "
+    "The oracle is the flat equivalent: hash parity proves the struct "
+    "round-trip is lossless.",
+    tags=("sql", "struct", "orders"),
+)
+def q_orders_struct_ops(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    packed = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").alias("odate"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("o"),
+    )
+    evolved = packed.withColumn(
+        "o",
+        F.col("o")
+        .withField("adjusted_price", F.round(F.col("o.price") * 1.1, 2))
+        .withField("order_year", F.year(F.col("o.odate")).cast("long"))
+        .dropFields("status", "odate"),
+    )
+    return evolved.select(
+        "o_orderkey",
+        F.col("o.price").alias("price"),
+        F.col("o.adjusted_price").alias("adjusted_price"),
+        F.col("o.order_year").alias("order_year"),
+        F.col("o.priority").alias("priority"),
+    )

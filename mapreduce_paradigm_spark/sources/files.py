@@ -195,3 +195,15 @@ def write_sorted_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: ``mergeSchema=true`` unions the schemas of
+    every parquet footer under ``path`` (new columns appear as NULL in old
+    files) — the additive-evolution contract a long-lived 100 TB dataset
+    needs as producers add fields. Cost note: merging reads every file
+    footer at planning time, so datasets evolve behind a table format or a
+    pinned explicit schema once footer counts reach the millions; column
+    RENAMES and type changes are NOT evolution (they fork the dataset) —
+    only additions are."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

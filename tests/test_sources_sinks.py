@@ -203,3 +203,30 @@ def test_cached_rollup_feeds_coarser_grains_from_memory(spark):
         )
     finally:
         minute.unpersist()
+
+
+def test_parquet_merge_schema_additive_evolution(spark, tmp_path):
+    """Writer v2 adds a column; mergeSchema read unions both generations,
+    with the new column NULL for v1 rows — and an explicit-schema read of
+    only the old columns still works against both generations."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paradigm_spark.sources.files import read_parquet_merged
+
+    out = str(tmp_path / "evolving")
+    spark.range(0, 5).select(
+        "id", (F.col("id") * 2).alias("a")
+    ).write.parquet(out + "/gen=1")
+    spark.range(5, 8).select(
+        "id", (F.col("id") * 2).alias("a"), F.lit("v2").alias("b")
+    ).write.parquet(out + "/gen=2")
+
+    merged = read_parquet_merged(spark, out)
+    assert set(merged.columns) >= {"id", "a", "b"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert len(rows) == 8
+    assert rows[0]["b"] is None and rows[7]["b"] == "v2"
+    assert all(rows[i]["a"] == i * 2 for i in rows)
+    # old-schema projection keeps working across generations
+    old = spark.read.schema("id long, a long").parquet(out)
+    assert old.count() == 8
