@@ -197,3 +197,20 @@ def test_doc_pack_bins_single_shuffle(spark):
     plan = formatted_plan(_df(spark, "doc_pack_bins"))
     # exactly one Exchange node in the detail section (the source window)
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_struct_ops_prune_dropped_member_from_scan(spark):
+    """Packing a column into a struct and dropFields-ing it must erase it
+    from the parquet ReadSchema entirely (nested-member pruning) — nesting
+    costs nothing it doesn't use."""
+    plan = formatted_plan(_df(spark, "orders_struct_ops"))
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_orderstatus" not in read
+    assert "o_totalprice" in read
+
+
+def test_nullsafe_join_is_hash_join_not_nested_loop(spark):
+    """Null-safe equality (<=>) must still plan as a hash join key — an
+    engine that demotes it to a nested-loop residual would be quadratic."""
+    df = _df(spark, "nullsafe_bucket_join")
+    assert count_occurrences(df, "NestedLoop") == 0
