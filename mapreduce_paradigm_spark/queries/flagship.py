@@ -367,3 +367,56 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.length("word")), 4).alias("avg_word_len"),
         )
     )
+
+
+@register(
+    "proximity_match_slop",
+    oracle=DUCK_POS_WORDS
+    + """, pp AS (
+  SELECT word, doc_id, list_sort(list(pos)) AS positions
+  FROM pw WHERE word <> '' GROUP BY 1, 2
+),
+ax AS (SELECT doc_id, unnest(positions) AS pa FROM pp WHERE word = 'hash'),
+bx AS (SELECT doc_id, unnest(positions) AS pb FROM pp WHERE word = 'join'),
+d AS (
+  SELECT ax.doc_id, CAST(min(abs(pa - pb)) AS BIGINT) AS min_dist
+  FROM ax JOIN bx USING (doc_id)
+  GROUP BY ax.doc_id
+)
+SELECT doc_id, min_dist FROM d WHERE min_dist <= 3
+""",
+    description="Proximity (slop) search on the positional index: documents "
+    "where 'hash' and 'join' occur within 3 raw-token positions, plus the "
+    "actual minimum gap — the search-engine NEAR operator that phrase "
+    "adjacency (phrase_match_table_hash) generalizes to. Spark computes "
+    "the min gap ARRAY-SIDE (nested transform over both position arrays, "
+    "array_min) after one equi-join of the two posting streams per doc — "
+    "positions never explode into rows. The cross is |pa|·|pb| per doc; "
+    "for stop-word-scale position lists switch to the sorted two-pointer "
+    "merge (positions are already sorted) — same join shape. The oracle "
+    "is the row-exploded spec of the same semantics.",
+    tags=("flagship", "index", "search"),
+)
+def q_proximity_match_slop(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.index import positional_postings
+
+    p = positional_postings(load_table(spark, sf_dir, "documents"))
+    a = p.filter(F.col("word") == "hash").select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = p.filter(F.col("word") == "join").select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    min_dist = F.array_min(
+        F.flatten(
+            F.transform(
+                F.col("pa"),
+                lambda x: F.transform(F.col("pb"), lambda y: F.abs(x - y)),
+            )
+        )
+    ).cast("long")
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", min_dist.alias("min_dist"))
+        .filter(F.col("min_dist") <= 3)
+    )
