@@ -420,3 +420,177 @@ def q_proximity_match_slop(spark, sf_dir):
         .select("doc_id", min_dist.alias("min_dist"))
         .filter(F.col("min_dist") <= 3)
     )
+
+
+@register(
+    "bm25_ranking",
+    oracle="""
+WITH dw AS (
+  SELECT doc_id, lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS word
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+        FROM documents)
+  WHERE lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM dw GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM dw WHERE word IN ('hash', 'join', 'batch') GROUP BY 1, 2
+),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+terms AS (
+  SELECT tf.doc_id, tf.word,
+         CAST(round(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+           * 1000000, 0) AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (word) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(CAST(sum(score_micro) AS DECIMAL(24,6)) / 1000000 AS DOUBLE)
+         AS bm25
+FROM terms
+GROUP BY doc_id
+""",
+    description="BM25 ranking (k1=1.2, b=0.75, Lucene idf) for the query "
+    "{hash, join, batch} over the flagship token pipeline — the scoring "
+    "step that turns the inverted index into a search engine. All inputs "
+    "are exact integers (tf, df, N, doc length); each TERM score is "
+    "computed in float64 once, rounded to integer micros, and the "
+    "per-document score is the INTEGER sum of term micros — so the "
+    "result is independent of aggregation order (a plain float Σ over "
+    "terms would vary with partition merge order, the same argument as "
+    "dsum). df/N broadcast; one tf shuffle; score is per-row math.",
+    tags=("flagship", "index", "search"),
+)
+def q_bm25_ranking(spark, sf_dir):
+    from mapreduce_paradigm_spark.functions import doc_words
+
+    terms_wanted = ("hash", "join", "batch")
+    docs = load_table(spark, sf_dir, "documents")
+    dw = doc_words(docs)  # (doc_id, word), normalized, non-empty, NOT distinct
+    dl = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        dw.filter(F.col("word").isin(*terms_wanted))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    score = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    terms = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(score * 1e6, 0).cast("long").alias("score_micro"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.sum("score_micro").cast("decimal(24,6)") / F.lit(1000000))
+        .cast("double")
+        .alias("bm25"),
+    )
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '\\s+'),
+                          x -> lower(regexp_replace(x, '[^A-Za-z]', '', 'g'))),
+           x -> x <> '') AS a
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(a[1:len(a)-3],
+                          (x, i) -> x || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]),
+           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+  FROM arr WHERE len(a) >= 8
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(h[1:len(h)-4],
+                          (x, i) -> least(x, h[i+1], h[i+2], h[i+3], h[i+4]))) AS fps
+  FROM g
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fp,
+       CAST(list_min(fps) AS BIGINT) AS fp_min,
+       CAST(list_max(fps) AS BIGINT) AS fp_max,
+       CAST(list_sum(fps) AS BIGINT) AS fp_sum
+FROM w
+""",
+    description="Winnowing document fingerprints (the MOSS plagiarism-"
+    "detection scheme): hash every word 4-gram, slide a 5-wide window "
+    "over the hash sequence, keep each window's MINIMUM, dedup — a "
+    "position-robust fingerprint set guaranteeing any shared run of "
+    "≥ 8 words between two documents shares a fingerprint. The whole "
+    "pipeline is per-row array expressions (gram build, md5-derived "
+    "cross-engine hashes, sliding min, distinct) — NO shuffle, no "
+    "explode; only the compact per-doc summary (count/min/max/exact "
+    "integer sum) leaves the row. Matching docs at scale = explode fps "
+    "→ the same bucketed pair-join shape as MinHash banding.",
+    tags=("flagship", "dedup", "fingerprint"),
+)
+def q_doc_winnowing_fingerprints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.transform(
+            F.split("text", r"\s+"),
+            lambda x: F.lower(F.regexp_replace(x, "[^A-Za-z]", "")),
+        ),
+        lambda x: x != "",
+    )
+    arr = docs.select("doc_id", words.alias("a")).filter(F.size("a") >= 8)
+    gram = F.expr(
+        "transform(slice(a, 1, size(a) - 3), "
+        "(x, i) -> concat_ws(' ', x, a[i + 1], a[i + 2], a[i + 3]))"
+    )
+    g = arr.select(
+        "doc_id",
+        F.transform(
+            gram,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("h"),
+    )
+    fps = F.array_distinct(
+        F.expr(
+            "transform(slice(h, 1, size(h) - 4), "
+            "(x, i) -> least(x, h[i + 1], h[i + 2], h[i + 3], h[i + 4]))"
+        )
+    )
+    return g.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fp"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+        F.aggregate(
+            fps, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("fp_sum"),
+    )
