@@ -576,3 +576,130 @@ def q_session_bounce_stats(spark, sf_dir):
             bounce.cast("double") / F.count(F.lit(1)), 6
         ).alias("bounce_rate"),
     )
+
+
+# --- RFM segmentation --------------------------------------------------------
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         CAST(datediff('day', max(o_orderdate), DATE '2001-09-01') AS BIGINT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m
+  FROM base
+)
+SELECT o_custkey, recency_days, frequency, monetary, r, f, m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS rfm_segment
+FROM scored
+""",
+    description="RFM segmentation: recency (days before a fixed anchor), "
+    "frequency, exact-micros monetary per customer, each quartiled with "
+    "ntile(4) in a fully tie-broken order (custkey appended) so both "
+    "engines assign identical bucket boundaries, concatenated into the "
+    "marketing-standard 3-digit segment. The global ntile windows run on "
+    "POST-aggregation rows (one per customer) — the safe-global-window "
+    "rule again; at larger customer counts swap ntile for "
+    "approx_percentile cutpoints joined back (same output contract).",
+    tags=("analytics", "window", "orders"),
+)
+def q_customer_rfm_segments(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max("o_orderdate")
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice"), "monetary"),
+    )
+    r = F.ntile(4).over(
+        Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    )
+    f = F.ntile(4).over(
+        Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    )
+    m = F.ntile(4).over(
+        Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    )
+    scored = base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.cast("long").alias("r"),
+        f.cast("long").alias("f"),
+        m.cast("long").alias("m"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    )
+
+
+# --- user journey paths ------------------------------------------------------
+
+
+@register(
+    "user_journey_paths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM seq WHERE rn <= 5 GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+""",
+    description="Journey / path analysis: each user's first five events "
+    "(total order pinned by event_id tiebreak) concatenated into a path "
+    "string, then counted across users — the onboarding-flow analysis "
+    "that shows which early sequences convert. One user-window shuffle "
+    "for the sequence, one aggregation over ~|paths| rows; the ordered "
+    "string_agg runs inside the aggregate buffer, never on the driver.",
+    tags=("analytics", "window", "events"),
+)
+def q_user_journey_paths(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    paths = (
+        seq.filter(F.col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
