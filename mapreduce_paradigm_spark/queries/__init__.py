@@ -4,6 +4,7 @@ from mapreduce_paradigm_spark.queries import (  # noqa: F401
     flagship,
     graphtext,
     llm,
+    mlprep,
     pipeline,
     quality,
     relational,

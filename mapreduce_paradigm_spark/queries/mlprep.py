@@ -1,0 +1,283 @@
+"""Round-4 batch 1: ML feature-preparation tier.
+
+Feature-engineering operators a training-data pipeline runs upstream of a
+model: smoothed target (mean) encoding of a categorical, the pairwise
+correlation matrix feature-selection starts from, lag-1 autocorrelation as a
+per-entity signal feature, and the array higher-order-function suite over
+the embedding column (the vector analog of the map-HOF suite in
+``queries/quality.py``). The reference (single inverted-index pipeline,
+``src/main.cpp``) has no analog for any of these.
+
+All Catalyst-native. Float outputs follow the registry conventions: exact
+integer/decimal accumulation wherever a sum feeds a formula, identical
+double expression trees on both engines, round(4|6) at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_paradigm_spark.functions import dsum
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+# --- smoothed target encoding ------------------------------------------------
+
+
+@register(
+    "segment_target_encoding",
+    oracle="""
+WITH j AS (
+  SELECT c_mktsegment, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+seg AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+  FROM j GROUP BY 1
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS gn,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS gs
+  FROM j
+)
+SELECT c_mktsegment, n_orders,
+       round(s / n_orders, 4) AS mean_price,
+       round((s + 50 * (gs / gn)) / (n_orders + 50), 4) AS enc_price
+FROM seg, g
+""",
+    description="Smoothed target (mean) encoding of a categorical feature — "
+    "the leakage-prone ML-prep step done right: per-segment mean order "
+    "price shrunk toward the global mean with pseudo-count m=50, "
+    "enc = (Σ_seg + m·µ_global) / (n_seg + m). Low-support categories "
+    "collapse to the prior instead of memorizing noise. Sums are exact "
+    "long-micros (dsum) so the double formula — identical expression "
+    "tree on both engines — is bit-deterministic before the final "
+    "round(4). One broadcast dim join + one groupBy; the 1-row global "
+    "aggregate joins back broadcast, so a 100 TB fact table shuffles "
+    "only its (segment, micros) pairs — and with partial aggregation "
+    "that is |segments|·partitions rows, not data-linear.",
+    tags=("mlprep", "agg", "join", "orders"),
+)
+def q_segment_target_encoding(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_totalprice")
+    seg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice"), "s")
+    )
+    g = j.agg(
+        F.count(F.lit(1)).alias("gn"), dsum(F.col("o_totalprice"), "gs")
+    )
+    return seg.crossJoin(F.broadcast(g)).select(
+        "c_mktsegment",
+        "n_orders",
+        F.round(F.col("s") / F.col("n_orders"), 4).alias("mean_price"),
+        F.round(
+            (F.col("s") + F.lit(50) * (F.col("gs") / F.col("gn")))
+            / (F.col("n_orders") + F.lit(50)),
+            4,
+        ).alias("enc_price"),
+    )
+
+
+# --- pairwise correlation matrix ---------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]  # noqa: E203
+]
+
+
+def _corr_matrix_oracle() -> str:
+    aggs = ", ".join(
+        f"round(corr({a}, {b}), 4) AS c{i}"
+        for i, (a, b) in enumerate(_CORR_PAIRS)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{a}' AS x_col, '{b}' AS y_col, c{i} AS corr_val FROM m"
+        for i, (a, b) in enumerate(_CORR_PAIRS)
+    )
+    return f"WITH m AS (SELECT {aggs} FROM lineitem) {arms}"
+
+
+@register(
+    "lineitem_corr_matrix",
+    oracle=_corr_matrix_oracle(),
+    description="Pairwise Pearson correlation matrix of the four numeric "
+    "lineitem measures, unpivoted to (x_col, y_col, corr) rows — the "
+    "feature-selection screen (drop one of any near-collinear pair) "
+    "before model training. All C(4,2)=6 correlations come from ONE "
+    "scan / one aggregate row (each corr is a five-sum combination the "
+    "partial-aggregate tree merges shard-wise), then stack() melts the "
+    "1×6 row to long form driver-free. round(4) absorbs summation-order "
+    "ulps (the convention lineitem_stats_suite already proved "
+    "hash-stable for corr). At 100 TB this stays a single map-side-"
+    "partial scan — the matrix never materializes more than "
+    "|cols|² cells.",
+    tags=("mlprep", "agg", "lineitem"),
+)
+def q_lineitem_corr_matrix(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"c{i}")
+            for i, (a, b) in enumerate(_CORR_PAIRS)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(_CORR_PAIRS)
+    )
+    return m.select(
+        F.expr(
+            f"stack({len(_CORR_PAIRS)}, {stack_args}) "
+            "AS (x_col, y_col, corr_val)"
+        )
+    )
+
+
+# --- per-user lag-1 autocorrelation ------------------------------------------
+
+
+@register(
+    "user_value_autocorr",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS y,
+         lag(CAST(round(value * 1000000, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+         ) AS x
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM seq WHERE x IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS autocorr
+FROM s
+WHERE n >= 10 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+    description="Lag-1 autocorrelation of each user's event-value series — "
+    "the persistence/burstiness feature (near +1: momentum; near 0: "
+    "noise). lag() over the per-user event order pairs x_{t-1} with "
+    "x_t; Pearson corr is then assembled from EXACT integer power sums "
+    "(micros in long, squares accumulated in decimal/HUGEINT — the "
+    "quantity_moment_stats convention) so the only float math is the "
+    "final identical-expression division, round(4). Zero-variance and "
+    "short series are excluded by exact integer predicates, never by a "
+    "float epsilon. One window shuffle + one aggregate, both keyed by "
+    "user_id — a 100 TB event log reuses the same partitioning for "
+    "both stages.",
+    tags=("mlprep", "window", "timeseries", "events"),
+)
+def q_user_value_autocorr(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ym = F.round(F.col("value") * 1e6, 0).cast("long")
+    seq = ev.select(
+        "user_id",
+        ym.alias("y"),
+        F.lag(ym).over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    dec = "decimal(38,0)"
+    s = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).alias("sxx"),
+        F.sum((F.col("y").cast(dec) * F.col("y"))).alias("syy"),
+        F.sum((F.col("x").cast(dec) * F.col("y"))).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        s.filter((F.col("n") >= 10) & (varx > 0) & (vary > 0))
+        .select(
+            "user_id",
+            F.col("n").alias("n_pairs"),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(varx.cast("double") * vary.cast("double")),
+                4,
+            ).alias("autocorr"),
+        )
+    )
+
+
+# --- array higher-order functions over embeddings ----------------------------
+
+
+@register(
+    "embedding_array_hof_suite",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos,
+       round(list_max(e), 6) AS max_val,
+       CAST(list_position(e, list_max(e)) AS BIGINT) AS idx_max,
+       round(list_reduce(list_transform(e, x -> abs(x)),
+                         (a, b) -> a + b), 4) AS l1_norm,
+       round(list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                              list_transform(list_filter(e, x -> x > 0),
+                                             x -> x)),
+                 (a, b) -> a + b), 4) AS pos_mass
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+""",
+    description="Array higher-order-function suite over the embedding "
+    "column — the vector analog of the map-HOF suite: filter/exists "
+    "(positive-coordinate count), array_max + 1-based argmax position, "
+    "and two lambda folds (L1 norm, positive mass). Spark's "
+    "aggregate() and DuckDB's list_reduce are both sequential left "
+    "folds over the same parquet floats cast to double, so the sums are "
+    "bit-identical before round(4) (the dot_product convention from "
+    "operators/similarity.py). Everything is per-row JVM codegen — no "
+    "shuffle, no UDF; at 100 TB this is a pure map stage that reads "
+    "only (vec_id, embedding) columns. The pos_mass fold seeds an "
+    "explicit 0.0 accumulator on both engines so empty filter results "
+    "agree.",
+    tags=("mlprep", "array", "embeddings"),
+)
+def q_embedding_array_hof_suite(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("e", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(F.array_max("e"), 6).alias("max_val"),
+        F.array_position(F.col("e"), F.array_max("e"))
+        .cast("bigint")
+        .alias("idx_max"),
+        F.round(
+            F.aggregate(
+                "e", F.lit(0.0), lambda acc, x: acc + F.abs(x)
+            ),
+            4,
+        ).alias("l1_norm"),
+        F.round(
+            F.aggregate(
+                F.filter("e", lambda x: x > 0),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("pos_mass"),
+    )
