@@ -14,5 +14,6 @@ from mapreduce_paradigm_spark.queries import (  # noqa: F401
     streaming_q,
     subqueries,
     timeseries,
+    warehouse,
     windows,
 )

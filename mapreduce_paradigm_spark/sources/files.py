@@ -197,6 +197,61 @@ def write_sorted_parquet(
     w.parquet(path)
 
 
+def zorder_key_expr(x: str, y: str, bits: int = 10) -> str:
+    """Portable SQL fragment interleaving the low ``bits`` bits of two
+    non-negative BIGINT expressions (x → even bit positions, y → odd): a
+    Z-order / Morton key. Pure floor/div/mod arithmetic, so the same string
+    is valid Spark SQL and DuckDB SQL — `queries/warehouse.py` shares it
+    verbatim between the registered query and its oracle."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(CAST(floor(({x}) / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i)}"
+        )
+        terms.append(
+            f"(CAST(floor(({y}) / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i + 1)}"
+        )
+    return " + ".join(terms)
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    bits: int = 10,
+    num_partitions: int | None = None,
+) -> None:
+    """Z-order-clustered parquet layout: cluster rows by the Morton
+    interleave of two integer dimensions so parquet row-group min/max
+    statistics become narrow on BOTH columns — point/range predicates on
+    either dimension skip most row groups at scan time (what Delta/Iceberg
+    ``OPTIMIZE ZORDER BY`` does, built from plain Catalyst arithmetic).
+
+    One range shuffle on the derived key (``repartitionByRange`` keeps
+    files balanced even when the key distribution is skewed) + an in-
+    partition sort; the key column is projected away before the write, so
+    the layout is invisible to readers except through the stats. Compare
+    ``write_sorted_parquet``: sorting one column leaves the other with
+    full-range row-group spans — the footer-stats test pins the
+    difference. At 100 TB, choose ``bits`` so 2^(2·bits) ≫ row-group
+    count, and mod/bucket raw values into the 2^bits domain first (done
+    here) — Z-order locality only needs the low bits to vary."""
+    from pyspark.sql import functions as F
+
+    key = zorder_key_expr(
+        f"({col_x}) % {1 << bits}", f"({col_y}) % {1 << bits}", bits
+    )
+    zdf = df.withColumn("__zkey", F.expr(key))
+    if num_partitions:
+        zdf = zdf.repartitionByRange(num_partitions, "__zkey")
+    else:
+        zdf = zdf.repartitionByRange("__zkey")
+    zdf.sortWithinPartitions("__zkey").drop("__zkey").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
     """Schema-evolution read: ``mergeSchema=true`` unions the schemas of
     every parquet footer under ``path`` (new columns appear as NULL in old

@@ -169,6 +169,66 @@ def test_sorted_parquet_rowgroups_carry_disjoint_stats(spark, tmp_path):
     assert len(containing) <= 2
 
 
+def test_zorder_parquet_prunes_on_both_dimensions(spark, tmp_path):
+    """write_zorder_parquet must leave row-group min/max spans narrow on
+    BOTH clustered columns, where a single-column sort leaves the other
+    column with full-range spans. Checked against the actual parquet
+    footer statistics via pyarrow."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreduce_paradigm_spark.sources.files import (
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    dims = load_table(spark, SF_CORRECT, "orders").select(
+        (F.col("o_custkey") % 1024).cast("bigint").alias("ck"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            % 1024
+        )
+        .cast("bigint")
+        .alias("dy"),
+        "o_orderkey",
+    )
+
+    def spans(path: str) -> dict[str, list[tuple[int, int]]]:
+        out: dict[str, list[tuple[int, int]]] = {"ck": [], "dy": []}
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                for ci in range(meta.row_group(rg).num_columns):
+                    col = meta.row_group(rg).column(ci)
+                    if col.path_in_schema in out:
+                        st = col.statistics
+                        assert st is not None and st.has_min_max
+                        out[col.path_in_schema].append((st.min, st.max))
+        return out
+
+    def avg_span(ss: list[tuple[int, int]]) -> float:
+        return sum(hi - lo for lo, hi in ss) / len(ss)
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder_parquet(dims, zpath, "ck", "dy", num_partitions=8)
+    spath = str(tmp_path / "dysorted")
+    write_sorted_parquet(
+        dims.repartitionByRange(8, "dy"), spath, sort_cols=["dy"]
+    )
+
+    z, s = spans(zpath), spans(spath)
+    full = 1023
+    # one-column sort: dy narrow but ck row groups span ~the whole domain
+    assert avg_span(s["ck"]) > 0.85 * full
+    # z-order: BOTH dimensions substantially narrower than full range
+    assert avg_span(z["ck"]) < 0.7 * full
+    assert avg_span(z["dy"]) < 0.5 * full
+
+
 def test_cached_rollup_feeds_coarser_grains_from_memory(spark):
     """Materialized-rollup reuse: cache the minute grain once; hour and day
     plans must both scan the InMemoryRelation, not the raw events table."""
