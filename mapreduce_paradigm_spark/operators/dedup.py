@@ -584,3 +584,100 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "t
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def semantic_cluster_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    nlist: int = 8,
+    nassign: int = 2,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cluster the corpus with a
+    spherical-k-means coarse quantizer, then run the EXACT cosine verify
+    tier only WITHIN each cluster — pairs in different clusters are never
+    scored. (Abbas et al. 2023, "SemDeDup": near-dups are overwhelmingly
+    co-located in embedding-space clusters, so the all-pairs O(n²)
+    semantic dedup becomes Σ|cluster|², with cluster counts you choose.)
+    Each vector is assigned to its ``nassign`` nearest clusters
+    (multi-assignment — the IVF multi-probe trick on the build side), so
+    pairs straddling one boundary still co-occur somewhere; candidate
+    pairs are deduped before scoring.
+
+    Deterministic by construction: centroid seeds are the lowest
+    ``xxhash64(id)`` corpus rows (seedless, rerun-stable) refined by
+    ``similarity._lloyd_refine`` (distributed passes, sorted driver
+    reduce), assignment is one ``mapInPandas`` matmul pass, and the
+    in-cluster scorer is literally ``embedding_near_dup_pairs``'s
+    cosine + threshold — so precision equals the exact tier and only
+    recall (pairs co-located in NO shared cluster) is approximate; both
+    are pinned in pytest. 100 TB shape: the cluster equi-join shuffles
+    by cluster_id; cap per-cluster width by raising ``nlist`` (cluster
+    count scales with corpus, Σ|c|² stays bounded) and sub-shard any
+    residual hot cluster with the LSH tier (``embedding_near_dup_lsh``)
+    inside it. Rows-only driver check (k-means is not SQL-expressible).
+    """
+    import numpy as np
+
+    from mapreduce_paradigm_spark.functions import cosine_similarity
+    from mapreduce_paradigm_spark.operators.similarity import (
+        _lloyd_refine,
+        _unit_normalized,
+    )
+
+    spark = emb.sparkSession
+    norm = _unit_normalized(emb, emb_col)
+    cs = (
+        norm.withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h")
+        .limit(nlist)
+        .select("emb_d")
+        .collect()
+    )
+    cmat = np.array([r[0] for r in cs], dtype=np.float64)
+    cmat = _lloyd_refine(norm.select("emb_d"), cmat, lloyd_iters)
+    bc = spark.sparkContext.broadcast((cmat, nassign))
+
+    def assign(batches):
+        import pandas as pd
+
+        C, na = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["emb_d"].to_numpy())
+            ids = pdf["id"].to_numpy()
+            near = np.argsort(-(X @ C.T), axis=1)[:, :na]  # (B, na)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, na),
+                    "cluster_id": near.ravel().astype("int32"),
+                }
+            )
+
+    assigned = norm.select(F.col(id_col).alias("id"), "emb_d").mapInPandas(
+        assign, schema="id BIGINT, cluster_id INT"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .distinct()
+    )
+    raw = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("e"),
+    )
+    return (
+        candidates.join(raw.select(F.col("id").alias("d1"), F.col("e").alias("e1")), "d1")
+        .join(raw.select(F.col("id").alias("d2"), F.col("e").alias("e2")), "d2")
+        .withColumn("cosine", cosine_similarity("e1", "e2"))
+        .filter(F.col("cosine") >= threshold)
+        .select("d1", "d2", F.round("cosine", 4).alias("cosine"))
+    )

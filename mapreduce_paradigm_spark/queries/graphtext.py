@@ -316,3 +316,80 @@ def q_orders_cume_nth_suite(spark, sf_dir):
             F.col("o_totalprice") / F.sum("o_totalprice").over(wpart), 6
         ).alias("price_share"),
     )
+
+
+# --- BFS shortest-path depths ------------------------------------------------
+
+
+@register(
+    "doc_graph_bfs_depths",
+    oracle="""
+WITH RECURSIVE bfs(node, depth) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT e.b, bfs.depth + 1
+  FROM bfs JOIN (
+    SELECT DISTINCT a, b FROM (
+      SELECT doc_id AS a,
+             (doc_id * 31 + k.k) % (SELECT count(*) FROM documents) AS b
+      FROM documents, (VALUES (1), (2), (3)) k(k)
+    ) WHERE a <> b
+  ) e ON e.a = bfs.node
+  WHERE bfs.depth < 4
+)
+SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS depth
+FROM bfs GROUP BY 1
+""",
+    description="Multi-source BFS shortest-path depths (≤ 4 hops) from the "
+    "doc_id % 97 = 0 seed set over the same deterministic 3-out citation "
+    "graph PageRank and triangle counting use — the reachability/"
+    "radius-of-influence primitive (link-spam neighborhoods, citation "
+    "influence, contamination spread). Spark side is synchronous "
+    "frontier expansion: each round joins ONLY the newly-reached "
+    "frontier (min-depth == previous round) against the edge list, "
+    "unions, and re-minimizes — never re-expands settled vertices, so "
+    "round r's join is |frontier_r|·out-degree, not |V|·out-degree. "
+    "Depth is exact integer; the DuckDB oracle unrolls the same "
+    "semantics as a bounded recursive CTE, making an ITERATIVE graph "
+    "algorithm fully hash-checkable (the PageRank convention). At "
+    "100 TB each round is one shuffle keyed by vertex; bound rounds "
+    "(here 4) or stop on an empty frontier via one count scalar.",
+    tags=("graph", "iterative", "documents"),
+)
+def q_doc_graph_bfs_depths(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    edges = (
+        docs.crossJoin(F.broadcast(ncnt))
+        .select(
+            F.col("node").alias("a"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("node") * 31 + F.lit(k), F.col("n_docs"))
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    dist = docs.filter(F.col("node") % 97 == 0).select(
+        "node", F.lit(0).alias("depth")
+    )
+    for r in range(1, 5):
+        frontier = dist.filter(F.col("depth") == r - 1)
+        nxt = frontier.join(edges, frontier.node == edges.a).select(
+            F.col("b").alias("node"), F.lit(r).alias("depth")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("depth").alias("depth"))
+        )
+    return dist.select(
+        F.col("node").alias("doc_id"), F.col("depth").cast("bigint").alias("depth")
+    )

@@ -665,3 +665,23 @@ def q_doc_chunks_udtf(spark, sf_dir):
         "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
         "FROM documents d, LATERAL doc_chunks(d.text) c"
     )
+
+
+@register(
+    "embedding_semantic_cluster_dedup",
+    oracle=None,  # k-means clustering is not SQL-expressible → rows-only
+    description="SemDeDup-style semantic near-dup pairs: spherical-k-means "
+    "coarse clusters (deterministic seedless init + 2 Lloyd rounds), "
+    "exact cosine verify WITHIN clusters only — Σ|cluster|² work instead "
+    "of all-pairs O(n²). Precision equals the exact tier by construction "
+    "(same cosine + threshold); recall and determinism pinned in pytest.",
+    tags=("dedup", "similarity", "llm", "approx"),
+)
+def q_embedding_semantic_cluster_dedup(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import (
+        semantic_cluster_near_dups,
+    )
+
+    return semantic_cluster_near_dups(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.42
+    )

@@ -186,3 +186,72 @@ def q_customer_priority_map_funcs(spark, sf_dir):
         ),
         F.size(F.map_entries("m")).cast("long").alias("n_priorities"),
     )
+
+
+# --- Gopher/C4-style document filter flags -----------------------------------
+
+
+@register(
+    "doc_gopher_filter_flags",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS wd
+  FROM documents
+),
+c AS (
+  SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1, 2
+),
+m AS (
+  SELECT doc_id,
+         CAST(sum(n) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(n) AS BIGINT) AS top_n
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_words,
+       round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS ttr,
+       round(CAST(top_n AS DOUBLE) / n_words, 4) AS top_share,
+       n_words >= 30
+       AND CAST(n_distinct AS DOUBLE) / n_words >= 0.40
+       AND CAST(top_n AS DOUBLE) / n_words <= 0.15 AS keep
+FROM m
+""",
+    description="Gopher/C4-style rule-based document filter, instantiated "
+    "with the rules this corpus can exercise (it has no punctuation or "
+    "line structure): word-count floor, type-token ratio (vocabulary "
+    "diversity — low TTR ⇒ template/spam), and top-word dominance share "
+    "(a single token carrying >15% of the doc ⇒ keyword stuffing), "
+    "combined into one keep/drop decision. All three metrics come from "
+    "ONE (doc, word) count: sum = length, count = vocabulary, max = top "
+    "word — two keyed aggregations, no rescans; flags compare exact "
+    "integer ratios (never rounded floats), so the decision is "
+    "hash-stable cross-engine. The same two-aggregation shape carries "
+    "every additional frequency-based rule at 100 TB; pair with "
+    "doc_repetition_scores (n-gram repetition) and quality_features "
+    "(char-class ratios) for the full filter bank.",
+    tags=("quality", "llm", "documents"),
+)
+def q_doc_gopher_filter_flags(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("wd"),
+    )
+    c = w.groupBy("doc_id", "wd").agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("n").cast("bigint").alias("top_n"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_words")
+    share = F.col("top_n").cast("double") / F.col("n_words")
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round(ttr, 4).alias("ttr"),
+        F.round(share, 4).alias("top_share"),
+        (
+            (F.col("n_words") >= 30) & (ttr >= 0.40) & (share <= 0.15)
+        ).alias("keep"),
+    )

@@ -325,3 +325,31 @@ def test_nfc_normalization_unicode_edges(spark):
 def test_shingles_short_docs_no_error(spark, short_text):
     docs = spark.createDataFrame([(1, short_text)], "doc_id BIGINT, text STRING")
     assert jaccard_pairs(docs, k=3, threshold=0.1).count() == 0
+
+
+def test_semantic_cluster_dedup_subset_recall_and_determinism(spark):
+    from mapreduce_paradigm_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_cluster_near_dups,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    exact = {
+        (r["d1"], r["d2"], r["cosine"])
+        for r in embedding_near_dup_pairs(emb).collect()
+    }
+    sem1 = {
+        (r["d1"], r["d2"], r["cosine"])
+        for r in semantic_cluster_near_dups(emb).collect()
+    }
+    # in-cluster scorer IS the exact tier → precision exact (subset)
+    assert sem1 <= exact
+    # co-located near-dups dominate → recall floor
+    recall = len(sem1 & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    # seedless init + sorted driver reduce → rerun-identical
+    sem2 = {
+        (r["d1"], r["d2"], r["cosine"])
+        for r in semantic_cluster_near_dups(emb).collect()
+    }
+    assert sem1 == sem2
