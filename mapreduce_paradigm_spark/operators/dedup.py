@@ -681,3 +681,88 @@ def semantic_cluster_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("d1", "d2", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def jaccard_pairs_prefix_filter(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold via PREFIX FILTERING (the
+    PPJoin/AllPairs candidate scheme) — a LOSSLESS alternative to the
+    df-cap in ``jaccard_pairs``: if jac(x,y) ≥ t, then under any single
+    global token order the first ``|x| − ⌈t·|x|⌉ + 1`` tokens of x and the
+    corresponding prefix of y must share at least one token (pigeonhole on
+    the required overlap), so generating candidates from PREFIX tokens
+    only and verifying exactly misses nothing. Ordering tokens rarest-
+    first (ascending document frequency, tie-broken by token hash) makes
+    prefix posting lists the SHORTEST ones in the corpus, so the pair
+    explosion is bounded by Σ df_prefix² — at 100 TB this is the standard
+    exact set-similarity-join shape (vs the df-cap tier, which trades a
+    sliver of recall on templated corpora for a hard bound, and the
+    MinHash tier, which trades exactness for one corpus pass).
+
+    Three shuffles: (doc, shingle) → df join, per-doc ranked-set build,
+    prefix-posting pair explode; verification is an array_intersect on
+    the two (already grouped) shingle sets — no re-scan of the corpus.
+    """
+    release_caches()
+    sh = hashed_shingles(docs, k, text_col).distinct()
+    sh = _tracked_persist(sh)
+    dfreq = sh.groupBy("sid").agg(F.count("*").alias("df"))
+    docsets = (
+        sh.join(dfreq, "sid")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "sid"))).alias(
+                "ranked"
+            ),
+            F.count("*").alias("sz"),
+        )
+        .select(
+            "doc_id",
+            "sz",
+            F.expr("transform(ranked, s -> s.sid)").alias("sids"),
+        )
+    )
+    docsets = _tracked_persist(docsets)
+    plen = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
+    ).cast("int")
+    prefixes = docsets.select(
+        "doc_id", F.explode(F.slice("sids", 1, plen)).alias("sid")
+    )
+    cand = (
+        prefixes.groupBy("sid")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> transform("
+                    "slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.d1", "p.d2")
+        .distinct()
+    )
+    a = docsets.select(
+        F.col("doc_id").alias("d1"),
+        F.col("sz").alias("s1"),
+        F.col("sids").alias("sids1"),
+    )
+    b = docsets.select(
+        F.col("doc_id").alias("d2"),
+        F.col("sz").alias("s2"),
+        F.col("sids").alias("sids2"),
+    )
+    n_common = F.size(F.array_intersect("sids1", "sids2"))
+    jac = n_common / (F.col("s1") + F.col("s2") - n_common)
+    return (
+        cand.join(a, "d1")
+        .join(b, "d2")
+        .filter(jac >= threshold)
+        .select("d1", "d2", jac.alias("jaccard"))
+    )

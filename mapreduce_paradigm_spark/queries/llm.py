@@ -685,3 +685,43 @@ def q_embedding_semantic_cluster_dedup(spark, sf_dir):
     return semantic_cluster_near_dups(
         load_table(spark, sf_dir, "embeddings"), threshold=0.42
     )
+
+
+@register(
+    "ngram_jaccard_prefix_filter",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, c / (s1.sz + s2.sz - c) AS jaccard
+FROM common
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE c / (s1.sz + s2.sz - c) >= 0.5
+""",
+    description="Exact 3-gram Jaccard pairs via PREFIX FILTERING (PPJoin "
+    "candidate scheme): rank each doc's shingles rarest-first under one "
+    "global (df, hash) order, explode only the first |d|−⌈t·|d|⌉+1 "
+    "tokens, verify candidates exactly with array_intersect. LOSSLESS by "
+    "the prefix-filter theorem — the oracle is the full UNCAPPED "
+    "self-join, and the hash match proves the candidate scheme drops "
+    "nothing — while the exploded posting lists are the corpus's "
+    "rarest (shortest) ones, the property that makes exact set-"
+    "similarity join feasible at 100 TB. Complements ngram_jaccard_"
+    "pairs (df-capped, bounded-but-lossy on templates) and MinHash "
+    "(one-pass, approximate).",
+    bench=True,
+    tags=("dedup", "llm"),
+)
+def q_ngram_jaccard_prefix_filter(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter,
+    )
+
+    return jaccard_pairs_prefix_filter(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )

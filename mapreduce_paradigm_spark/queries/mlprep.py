@@ -281,3 +281,118 @@ def q_embedding_array_hof_suite(spark, sf_dir):
             4,
         ).alias("pos_mass"),
     )
+
+
+# --- feature scaling (min-max + z-score) -------------------------------------
+
+
+@register(
+    "customer_feature_scaling",
+    oracle="""
+WITH m AS (
+  SELECT c_custkey, c_acctbal,
+         CAST(round(c_acctbal * 1000000, 0) AS BIGINT) AS v
+  FROM customer
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS HUGEINT) AS s,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sxx,
+         min(v) AS mn, max(v) AS mx
+  FROM m
+)
+SELECT c_custkey, c_acctbal,
+       round(CAST(v - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE), 4)
+           AS bal_minmax,
+       round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt(CAST(sxx AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+             4) AS bal_zscore
+FROM m, g
+""",
+    description="Feature scaling suite: min-max normalization to [0,1] and "
+    "population z-score of customer balance — the two standard numeric "
+    "feature transforms, computed from ONE global aggregate (count, "
+    "exact long-micros sum, exact decimal sum of squares, min, max) "
+    "broadcast back to the row level via a 1-row cross join. Mean and "
+    "variance come from exact integer power sums (the "
+    "quantity_moment_stats convention), so both engines evaluate the "
+    "identical double expression tree — no Welford-order or "
+    "ddof-definition drift — before round(4). At 100 TB: one "
+    "partial-aggregated scan for the stats, one map-side pass for the "
+    "transform; the stats row is broadcast, nothing else moves.",
+    tags=("mlprep", "agg", "customer"),
+)
+def q_customer_feature_scaling(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    m = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.col("c_acctbal") * 1e6, 0).cast("long").alias("v"),
+    )
+    dec = "decimal(38,0)"
+    g = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast(dec).alias("s"),
+        F.sum(F.col("v").cast(dec) * F.col("v")).alias("sxx"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("sxx").cast("double") / F.col("n") - mean * mean
+    return m.crossJoin(F.broadcast(g)).select(
+        "c_custkey",
+        "c_acctbal",
+        F.round(
+            (F.col("v") - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn")).cast("double"),
+            4,
+        ).alias("bal_minmax"),
+        F.round(
+            (F.col("v").cast("double") - mean) / F.sqrt(var), 4
+        ).alias("bal_zscore"),
+    )
+
+
+# --- activity heatmap (dow × hour) -------------------------------------------
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle="""
+WITH c AS (
+  SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow_sun1,
+         CAST(hour(ts) AS INTEGER) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT dow_sun1, hr, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY dow_sun1), 6) AS share_of_dow
+FROM c
+""",
+    description="Day-of-week × hour activity heatmap with per-day share "
+    "normalization — the seasonality profile (and the input grid any "
+    "time-of-day feature encoding starts from). One aggregate over at "
+    "most 7×24 cells + a ratio-to-report window on the aggregated "
+    "grid; day-of-week uses the cross-engine Sunday=1 alignment the "
+    "date-function suite established. The full-data shuffle carries "
+    "only (dow, hour) pairs and partial counts — at 100 TB this is "
+    "map-side-combined into ≤168 rows per partition.",
+    tags=("mlprep", "timeseries", "agg", "events"),
+)
+def q_events_dow_hour_heatmap(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow_sun1"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy("dow_sun1")
+    return c.select(
+        "dow_sun1",
+        "hr",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wd), 6).alias(
+            "share_of_dow"
+        ),
+    )

@@ -548,3 +548,78 @@ def q_campaign_session_overlap(spark, sf_dir):
             F.round(F.sum("s_value"), 6).alias("total_value"),
         )
     )
+
+
+# --- recency-weighted mean (EWMA over a bounded window) ----------------------
+
+
+def _ewma8_oracle() -> str:
+    # weight for offset j from the current row (j=0 is current) is
+    # 2^(s-1-j), where s = least(rows_so_far, 8); floor(power(2, s-1-j))
+    # evaluates to 0 exactly when offset j has no row (j >= s), so the
+    # COALESCE'd terms vanish consistently with the Spark array fold.
+    terms = ["y * CAST(floor(power(2, s - 1)) AS BIGINT)"]
+    for j in range(1, 8):
+        terms.append(
+            f"COALESCE(lag(y, {j}) OVER w, 0)"
+            f" * CAST(floor(power(2, s - 1 - {j})) AS BIGINT)"
+        )
+    ws = " + ".join(terms)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS y,
+         least(CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+         ) AS BIGINT), 8) AS s,
+         ts
+  FROM events
+)
+SELECT user_id, event_id,
+       round(CAST({ws} AS DOUBLE)
+             / (CAST(power(2, s) AS BIGINT) - 1) / 1000000, 4) AS ewma8
+FROM seq
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "user_value_ewma8",
+    oracle=_ewma8_oracle(),
+    description="Bounded exponentially-weighted moving average (halving "
+    "weights, 8-event horizon) of each user's value series — the "
+    "recency-weighted feature online models consume. With decay 1/2 the "
+    "weights are exact powers of two, so the weighted sum is EXACT "
+    "integer arithmetic (micros × 2^i via one zip_with over the "
+    "windowed array; normalizer 2^s − 1), and the only float math is "
+    "one identical-tree division, round(4) — an EWMA that hash-matches "
+    "cross-engine, which a float-recurrence implementation never "
+    "would. The oracle unrolls the same weights as 8 lag() terms. One "
+    "window shuffle keyed by user; the 8-element frame keeps per-row "
+    "state O(1) at 100 TB (vs an unbounded-history recurrence, which "
+    "is inherently sequential and unmergeable).",
+    tags=("timeseries", "window", "mlprep", "events"),
+)
+def q_user_value_ewma8(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    ym = F.round(F.col("value") * 1e6, 0).cast("long")
+    step = ev.select(
+        "user_id", "event_id", F.collect_list(ym).over(w).alias("a")
+    )
+    ws = F.expr(
+        "aggregate(zip_with(a, sequence(1, size(a)), "
+        "(x, i) -> x * shiftleft(1L, i - 1)), 0L, (acc, x) -> acc + x)"
+    )
+    norm = F.expr("cast(shiftleft(1L, size(a)) - 1 as double)")
+    return step.select(
+        "user_id",
+        "event_id",
+        F.round(ws.cast("double") / norm / F.lit(1000000.0), 4).alias(
+            "ewma8"
+        ),
+    )
