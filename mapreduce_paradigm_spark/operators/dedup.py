@@ -703,16 +703,21 @@ def jaccard_pairs_prefix_filter(
     sliver of recall on templated corpora for a hard bound, and the
     MinHash tier, which trades exactness for one corpus pass).
 
-    Three shuffles: (doc, shingle) → df join, per-doc ranked-set build,
-    prefix-posting pair explode; verification is an array_intersect on
-    the two (already grouped) shingle sets — no re-scan of the corpus.
+    Plan shape: ONE grouped pass builds posting lists + df together
+    (shingle_postings), the per-doc ranked sets come from exploding those
+    postings back (reusing the grouped result instead of joining the raw
+    stream against a df table — one fewer full-stream shuffle), prefix
+    postings pair-explode into candidates, and verification is an
+    array_intersect on the two (already grouped) shingle sets plus the
+    PPJoin length filter — no re-scan of the corpus.
     """
     release_caches()
-    sh = hashed_shingles(docs, k, text_col).distinct()
-    sh = _tracked_persist(sh)
-    dfreq = sh.groupBy("sid").agg(F.count("*").alias("df"))
+    # ONE grouped pass gives both shingle df AND the posting lists; per-doc
+    # ranked sets are rebuilt from the postings explode — no (doc, shingle)
+    # × df join, one fewer full-stream shuffle than the naive 4-stage plan.
+    postings = _tracked_persist(shingle_postings(docs, k, text_col))
     docsets = (
-        sh.join(dfreq, "sid")
+        postings.select("sid", "df", F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
         .agg(
             F.array_sort(F.collect_list(F.struct("df", "sid"))).alias(
@@ -760,9 +765,17 @@ def jaccard_pairs_prefix_filter(
     )
     n_common = F.size(F.array_intersect("sids1", "sids2"))
     jac = n_common / (F.col("s1") + F.col("s2") - n_common)
+    # PPJoin length filter: jac >= t forces t·|larger| <= |smaller| (since
+    # overlap <= min and union >= max), so size-mismatched candidates are
+    # discarded BEFORE the O(|set|) array_intersect evaluates — a cheap
+    # integer predicate pruning the expensive verification, lossless.
+    length_ok = (
+        F.col("s1") >= F.lit(threshold) * F.col("s2")
+    ) & (F.col("s2") >= F.lit(threshold) * F.col("s1"))
     return (
         cand.join(a, "d1")
         .join(b, "d2")
+        .filter(length_ok)
         .filter(jac >= threshold)
         .select("d1", "d2", jac.alias("jaccard"))
     )
