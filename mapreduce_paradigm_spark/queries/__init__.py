@@ -1,6 +1,7 @@
 """Query library — importing this package registers every QuerySpec."""
 
 from mapreduce_paradigm_spark.queries import (  # noqa: F401
+    analytics_ext,
     flagship,
     graphtext,
     llm,
