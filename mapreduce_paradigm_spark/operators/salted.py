@@ -85,9 +85,8 @@ def salted_join(
         "_salt", F.pmod(F.xxhash64(src), F.lit(buckets)).cast("int")
     )
     s = small.withColumn(
-        "_salt",
-        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).cast("int"),
-    )
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
     return b.join(
         s,
         (F.col(big_key) == F.col(small_key)) & (b["_salt"] == s["_salt"]),
