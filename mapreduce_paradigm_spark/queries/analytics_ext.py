@@ -323,3 +323,203 @@ def q_revenue_by_segment_salted_join(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         _dsum(F.col("o_totalprice"), "revenue"),
     )
+
+
+# --- overlapping-interval merge (islands) ------------------------------------
+
+
+@register(
+    "user_activity_interval_merge",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s <= max(e) OVER (
+             PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) THEN 0 ELSE 1 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (
+             PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island_id
+  FROM marked
+)
+SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+       min(s) AS span_start, max(e) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(datediff('second', min(s), max(e)) AS BIGINT) AS span_seconds
+FROM islands
+GROUP BY user_id, island_id
+""",
+    description="Overlapping-interval merge (union of intervals): each "
+    "event opens a 30-minute activity interval; per user, intervals "
+    "whose start falls inside the running maximum end of all earlier "
+    "intervals merge into one island (the classic cumulative-max "
+    "gaps-and-islands construction — correct even when a long interval "
+    "SWALLOWS later short ones, which naive lag()-based sessionization "
+    "gets wrong). Output: consolidated spans with event counts and "
+    "covered seconds — interval coverage for billing/SLA/activity "
+    "accounting. Two same-partitioning window passes + one aggregate, "
+    "all keyed by user; at 100 TB nothing shuffles twice. The "
+    "timestamp-typed running max and integer datediff keep every "
+    "output exactly representable cross-engine.",
+    tags=("analytics", "window", "intervals", "events"),
+)
+def q_user_activity_interval_merge(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") <= F.max("e").over(wprev), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    islands = marked.withColumn(
+        "island_id", F.sum("new_island").over(wrun)
+    )
+    return islands.groupBy(
+        "user_id", F.col("island_id").cast("bigint").alias("island_id")
+    ).agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            F.unix_timestamp(F.max("e")) - F.unix_timestamp(F.min("s"))
+        )
+        .cast("bigint")
+        .alias("span_seconds"),
+    )
+
+
+# --- consecutive-event streaks -----------------------------------------------
+
+
+@register(
+    "user_event_streaks",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn_all,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type,
+         CAST(count(*) AS BIGINT) AS streak_len
+  FROM seq GROUP BY user_id, event_type, rn_all - rn_type
+)
+SELECT user_id, event_type,
+       max(streak_len) AS max_streak,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM runs
+GROUP BY user_id, event_type
+""",
+    description="Consecutive-event streaks per (user, type) via the "
+    "rn − rn_type gaps-and-islands identity: within a user's total event "
+    "order, a run of equal types has constant (global rank − per-type "
+    "rank), so grouping on that difference materializes every run "
+    "without self-joins or iteration. Output: longest streak and run "
+    "count — the habit/burst signal (and the repetition analog of the "
+    "SCD2 run collapse, which keeps run EDGES where this keeps run "
+    "LENGTHS). Both window ranks share one user-keyed partitioning; "
+    "the two aggregates run on collapsed keys. Integer-only outputs.",
+    tags=("analytics", "window", "events"),
+)
+def q_user_event_streaks(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "grp"
+        ),
+    )
+    runs = seq.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_len")
+    )
+    return runs.groupBy("user_id", "event_type").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+    )
+
+
+# --- Benford leading-digit profile -------------------------------------------
+
+
+@register(
+    "orders_benford_digits",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+       round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p
+FROM c, t
+""",
+    description="Benford's-law leading-digit profile of order totals — the "
+    "classic fraud/data-fabrication screen (organic multiplicative "
+    "amounts follow P(d)=log10(1+1/d); fabricated ones don't). Leading "
+    "digit via integer→string head (no float log tricks), observed "
+    "share from exact counts, expected share as the same closed form "
+    "on both engines. One aggregate to ≤9 rows + a broadcast total; "
+    "compare observed vs expected with the chi-squared shape "
+    "(priority_status_chi2) for an alerting pipeline. Map-side "
+    "partials make this corpus-size-independent after the scan.",
+    tags=("analytics", "quality", "agg", "orders"),
+)
+def q_orders_benford_digits(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+            "observed_p"
+        ),
+        F.round(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+            / F.log(F.lit(10.0)),
+            6,
+        ).alias("benford_p"),
+    )
