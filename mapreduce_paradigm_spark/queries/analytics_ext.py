@@ -523,3 +523,180 @@ def q_orders_benford_digits(spark, sf_dir):
             6,
         ).alias("benford_p"),
     )
+
+
+# --- calendar dimension generation -------------------------------------------
+
+
+@register(
+    "calendar_dim_from_orders",
+    oracle="""
+WITH b AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+         CAST(max(o_orderdate) AS DATE) AS hi
+  FROM orders
+),
+d AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+      AS cal_date
+  FROM b
+)
+SELECT strftime(cal_date, '%Y-%m-%d') AS cal_date,
+       CAST(year(cal_date) AS INTEGER) AS yr,
+       CAST(quarter(cal_date) AS INTEGER) AS qtr,
+       CAST(month(cal_date) AS INTEGER) AS mth,
+       CAST(dayofweek(cal_date) + 1 AS INTEGER) AS dow_sun1,
+       cal_date = last_day(cal_date) AS is_month_end
+FROM d
+""",
+    description="Calendar dimension generated from the fact table's own "
+    "date bounds: a dense day spine (sequence/explode — never a driver "
+    "loop) decorated with year/quarter/month, the cross-engine "
+    "Sunday=1 day-of-week, and a month-end flag — the conformed "
+    "dimension every warehouse join-dates against (and the left side "
+    "of gap-free reporting joins, cf. events_hourly_gap_fill). The "
+    "2-row bounds aggregate is the only scan; the spine is generated, "
+    "so at 100 TB this costs one reduced scalar pair regardless of "
+    "fact volume.",
+    tags=("warehouse", "calendar", "generator"),
+)
+def q_calendar_dim_from_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    d = b.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("cal_date")
+    )
+    return d.select(
+        F.date_format("cal_date", "yyyy-MM-dd").alias("cal_date"),
+        F.year("cal_date").cast("int").alias("yr"),
+        F.quarter("cal_date").cast("int").alias("qtr"),
+        F.month("cal_date").cast("int").alias("mth"),
+        F.dayofweek("cal_date").cast("int").alias("dow_sun1"),
+        (F.col("cal_date") == F.last_day("cal_date")).alias(
+            "is_month_end"
+        ),
+    )
+
+
+# --- survivorship-policy dedup (keep best copy) ------------------------------
+
+
+@register(
+    "dedup_keep_best_copy",
+    oracle="""
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(max(n_chars * 10000000000 + doc_id) % 10000000000 AS BIGINT)
+           AS keep_doc_id,
+       CAST(max(n_chars * 10000000000 + doc_id) // 10000000000 AS BIGINT)
+           AS keep_n_chars
+FROM documents
+GROUP BY 1
+""",
+    description="Survivorship-policy dedup: within each exact-duplicate "
+    "group (whitespace-normalized text hash), keep the BEST copy — "
+    "longest raw form, doc_id as tie-break — rather than dedup_exact's "
+    "min-id policy. The (quality, id) argmax is packed into one BIGINT "
+    "(quality·10^10 + id: exact while quality < 9.2·10^8 and id < "
+    "10^10 — asserted bounds for this corpus; at larger id spaces use "
+    "max(struct) which both engines order lexicographically) so a "
+    "single portable max aggregate carries both fields through the "
+    "shuffle — same single-exchange shape as dedup_exact, and the "
+    "pattern extends to any scored survivorship rule (quality_features "
+    "output, recency, source priority).",
+    tags=("dedup", "llm", "agg"),
+)
+def q_dedup_keep_best_copy(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = F.col("n_chars") * F.lit(10000000000) + F.col("doc_id")
+    return (
+        docs.select(
+            F.md5(normalized_text(F.col("text"))).alias("text_hash"),
+            packed.alias("pk"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            (F.max("pk") % F.lit(10000000000))
+            .cast("bigint")
+            .alias("keep_doc_id"),
+            F.floor(F.max("pk") / F.lit(10000000000))
+            .cast("bigint")
+            .alias("keep_n_chars"),
+        )
+    )
+
+
+# --- DAU / WAU stickiness ----------------------------------------------------
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events
+),
+dau AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1
+),
+contrib AS (
+  SELECT CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS target_d,
+         user_id
+  FROM du
+),
+wau AS (
+  SELECT target_d AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM contrib GROUP BY 1
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS d, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+""",
+    description="DAU/WAU stickiness: daily actives over trailing-7-day "
+    "actives — the product-engagement ratio. Trailing DISTINCT counts "
+    "don't slide (distinct is not subtractable), so instead of a "
+    "range self-join each (day, user) pair CONTRIBUTES itself to its "
+    "next 7 days (sequence/explode, bounded ×7 blow-up of the already-"
+    "deduped day-user pairs) and WAU is a plain count-distinct per "
+    "target day; days with no activity drop via the inner join. At "
+    "100 TB the deduped (day, user) stream is orders of magnitude "
+    "smaller than raw events, the ×7 fan-out is map-side, and both "
+    "counts partial-aggregate; swap count_distinct for HLL sketch "
+    "union (priority_customer_hll_rollup pattern) when user "
+    "cardinality per window outgrows exact counting.",
+    tags=("analytics", "engagement", "agg", "events"),
+)
+def q_dau_wau_stickiness(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                "d", F.date_add("d", 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("d_target"),
+        "user_id",
+    )
+    wau = contrib.groupBy(F.col("d_target").alias("d")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )
