@@ -700,3 +700,177 @@ def q_dau_wau_stickiness(spark, sf_dir):
             "stickiness"
         ),
     )
+
+
+# --- funnel time-to-convert --------------------------------------------------
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+WITH fv AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+  GROUP BY 1
+),
+lat AS (
+  SELECT fv.user_id,
+         CAST(datediff('second', fv.first_view, fp.first_purchase)
+              AS BIGINT) AS secs
+  FROM fv JOIN fp ON fv.user_id = fp.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converters,
+       CAST(min(secs) AS BIGINT) AS min_secs,
+       quantile_cont(secs, 0.5) AS p50_secs,
+       quantile_cont(secs, 0.9) AS p90_secs,
+       CAST(max(secs) AS BIGINT) AS max_secs
+FROM lat
+""",
+    description="Funnel time-to-convert: for users whose first purchase "
+    "follows their first view, the view→purchase latency distribution "
+    "(min/p50/p90/max seconds) — the metric that turns the funnel's "
+    "WHO into HOW FAST. First-touch timestamps are per-user min "
+    "aggregates (partial-combined map-side); latencies are exact "
+    "integer seconds, and the exact interpolated percentiles are the "
+    "proven percentile==quantile_cont pair. Two user-keyed aggregates "
+    "+ one join on the same key — a 100 TB event log shuffles once per "
+    "stage on user_id; swap exact percentiles for approx_percentile "
+    "at extreme converter counts.",
+    tags=("analytics", "funnel", "percentiles", "events"),
+)
+def q_funnel_time_to_convert(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = fv.join(fp, "user_id").select(
+        (
+            F.unix_timestamp("first_purchase")
+            - F.unix_timestamp("first_view")
+        )
+        .cast("bigint")
+        .alias("secs")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.min("secs").cast("bigint").alias("min_secs"),
+        F.expr("percentile(secs, 0.5)").alias("p50_secs"),
+        F.expr("percentile(secs, 0.9)").alias("p90_secs"),
+        F.max("secs").cast("bigint").alias("max_secs"),
+    )
+
+
+# --- cohort LTV curve --------------------------------------------------------
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+WITH om AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+         o_totalprice
+  FROM orders
+),
+cohort AS (SELECT o_custkey, min(m) AS m0,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS _x
+           FROM om GROUP BY 1),
+csize AS (SELECT m0, CAST(count(*) AS BIGINT) AS cohort_users
+          FROM cohort GROUP BY 1),
+rev AS (
+  SELECT cohort.m0 AS cohort_month, om.m - cohort.m0 AS month_offset,
+         CAST(sum(CAST(round(om.o_totalprice * 1000000, 0) AS BIGINT))
+              AS BIGINT) AS micros
+  FROM om JOIN cohort ON om.o_custkey = cohort.o_custkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_month, month_offset,
+         sum(micros) OVER (
+             PARTITION BY cohort_month ORDER BY month_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_micros
+  FROM rev
+)
+SELECT cum.cohort_month, cum.month_offset,
+       CAST(cum_micros AS DOUBLE) / 1000000.0 AS cum_revenue,
+       CAST(cum_micros // cohort_users AS DOUBLE) / 1000000.0
+           AS ltv_per_user
+FROM cum JOIN csize ON cum.cohort_month = csize.m0
+""",
+    description="Cohort LTV curve: cumulative revenue per first-order-month "
+    "cohort across month offsets, normalized per cohort user — the "
+    "lifetime-value trajectory that prices acquisition. Builds on the "
+    "retention-cohort integer month arithmetic; revenue accumulates in "
+    "EXACT long micros, and the running total is a window over the "
+    "already-aggregated (cohort × offset) grid — cheap however large "
+    "the fact table — with the ABC-classification rationale for why a "
+    "float running sum would not hash cross-engine. Cohort sizes join "
+    "back broadcast. The _x count in the cohort CTE is vestigial-free: "
+    "it is projected away by the join.",
+    tags=("analytics", "cohort", "window", "orders"),
+)
+def q_cohort_ltv_curve(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m"),
+        "o_totalprice",
+    )
+    cohort = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    csize = cohort.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    rev = (
+        om.join(cohort, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).alias("month_offset"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 1e6, 0).cast("long")
+            )
+            .cast("bigint")
+            .alias("micros")
+        )
+    )
+    wcum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort_month",
+        "month_offset",
+        F.sum("micros").over(wcum).alias("cum_micros"),
+    )
+    cum_rev = F.col("cum_micros").cast("double") / F.lit(1000000.0)
+    return cum.join(
+        F.broadcast(csize),
+        cum.cohort_month == csize.m0,
+    ).select(
+        "cohort_month",
+        "month_offset",
+        cum_rev.alias("cum_revenue"),
+        (
+            F.expr("cum_micros div cohort_users").cast("double")
+            / F.lit(1000000.0)
+        ).alias("ltv_per_user"),
+    )
