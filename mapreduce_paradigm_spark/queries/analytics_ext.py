@@ -874,3 +874,129 @@ def q_cohort_ltv_curve(spark, sf_dir):
             / F.lit(1000000.0)
         ).alias("ltv_per_user"),
     )
+
+
+# --- month-over-month rank movers --------------------------------------------
+
+
+@register(
+    "brand_rank_moves_monthly",
+    oracle="""
+WITH rev AS (
+  SELECT p_brand,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+         CAST(sum(CAST(round(l_extendedprice * 1000000, 0) AS BIGINT))
+              AS BIGINT) AS micros
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT p_brand, m,
+         CAST(rank() OVER (PARTITION BY m
+                           ORDER BY micros DESC, p_brand) AS BIGINT) AS rnk
+  FROM rev
+)
+SELECT p_brand, m, rnk,
+       lag(rnk) OVER (PARTITION BY p_brand ORDER BY m) AS prev_rnk,
+       lag(rnk) OVER (PARTITION BY p_brand ORDER BY m) - rnk AS rank_gain
+FROM ranked
+""",
+    description="Month-over-month rank movers: monthly brand revenue ranks "
+    "(exact-micros revenue, brand tie-break → total order) and each "
+    "brand's rank change vs its previous month — the 'top movers' "
+    "leaderboard-delta every BI dashboard carries. Two windows over the "
+    "AGGREGATED (brand × month) grid, partitioned differently (by "
+    "month for the rank, by brand for the lag) — both trivially cheap "
+    "because they run on ~|brands|·|months| rows, never on the fact "
+    "table; the single data-scale shuffle is the revenue groupBy. "
+    "First-month rows keep NULL prev/gain (standard SQL lag "
+    "semantics, matched cross-engine).",
+    tags=("analytics", "window", "lineitem"),
+)
+def q_brand_rank_moves_monthly(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 1e6, 0).cast("long"))
+            .cast("bigint")
+            .alias("micros")
+        )
+    )
+    wrank = Window.partitionBy("m").orderBy(
+        F.desc("micros"), F.asc("p_brand")
+    )
+    ranked = rev.select(
+        "p_brand", "m", F.rank().over(wrank).cast("bigint").alias("rnk")
+    )
+    wlag = Window.partitionBy("p_brand").orderBy("m")
+    return ranked.select(
+        "p_brand",
+        "m",
+        "rnk",
+        F.lag("rnk").over(wlag).alias("prev_rnk"),
+        (F.lag("rnk").over(wlag) - F.col("rnk")).alias("rank_gain"),
+    )
+
+
+# --- keyword-in-context (KWIC) snippets --------------------------------------
+
+
+@register(
+    "kwic_snippets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, a,
+         unnest(a) AS w,
+         generate_subscripts(a, 1) AS p
+  FROM toks
+)
+SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       array_to_string(a[greatest(1, p - 2):least(len(a), p + 2)], ' ')
+           AS snippet
+FROM hits WHERE w = 'spark'
+""",
+    description="Keyword-in-context (KWIC) snippet extraction: every "
+    "occurrence of the query term with its ±2-token window — what a "
+    "search engine renders under each hit, and the context-window "
+    "extraction LLM retrieval pipelines run after index lookup. "
+    "posexplode finds all positions (not just the first — the "
+    "positional-index semantics, cf. proximity_match_slop), the "
+    "snippet is an in-array slice of the SAME tokenization, so no "
+    "second pass over the text and no shuffle at all — pure per-row "
+    "codegen; at 100 TB this is a map stage over only matching docs "
+    "once a pushed-down term filter (or the positional index) prunes "
+    "the scan.",
+    tags=("text", "search", "flagship", "documents"),
+)
+def q_kwic_snippets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim("text")), r"\s+").alias("a"),
+    )
+    hits = toks.select(
+        "doc_id", "a", F.posexplode("a").alias("p0", "w")
+    ).filter(F.col("w") == "spark")
+    p = F.col("p0") + 1
+    start = F.greatest(F.lit(1), p - 2)
+    end = F.least(F.size("a"), p + 2)
+    return hits.select(
+        "doc_id",
+        p.cast("bigint").alias("pos"),
+        F.array_join(
+            F.slice("a", start, end - start + 1), " "
+        ).alias("snippet"),
+    )
