@@ -262,3 +262,31 @@ def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
     RENAMES and type changes are NOT evolution (they fork the dataset) —
     only additions are."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width text reader (COBOL/mainframe export layout): each
+    ``(name, start, length, type)`` spec — 1-based start, inclusive length —
+    becomes ``trim(substring(line, start, length)) :: type``. The whole
+    record parse is one projection of JVM substring/cast expressions over
+    ``spark.read.text``: no UDF, no regex, whole-stage codegen, and the
+    line scan parallelizes by file split exactly like CSV. Types use the
+    PERMISSIVE philosophy of read_csv via try_cast — a malformed numeric
+    field becomes NULL, never a job failure at terabyte scale; route
+    NULL-bearing rows to quarantine downstream if auditing is required.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    return raw.select(
+        *[
+            F.expr(
+                f"try_cast(trim(substring(value, {start}, {length})) AS {dtype})"
+            ).alias(name)
+            for name, start, length, dtype in colspecs
+        ]
+    )

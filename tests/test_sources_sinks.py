@@ -290,3 +290,27 @@ def test_parquet_merge_schema_additive_evolution(spark, tmp_path):
     # old-schema projection keeps working across generations
     old = spark.read.schema("id long, a long").parquet(out)
     assert old.count() == 8
+
+
+def test_fixed_width_reader_parses_columns_and_quarantines(spark, tmp_path):
+    """read_fixed_width must slice 1-based column specs, cast types, and
+    turn malformed numerics into NULL (try_cast) instead of failing."""
+    from mapreduce_paradigm_spark.sources.files import read_fixed_width
+
+    p = tmp_path / "fw.txt"
+    p.write_text(
+        "0001alpha     0042\n"
+        "0002beta      00xx\n"  # malformed int field -> NULL
+        "0003gamma     1234\n"
+    )
+    df = read_fixed_width(
+        spark,
+        str(p),
+        [
+            ("id", 1, 4, "INT"),
+            ("name", 5, 10, "STRING"),
+            ("qty", 15, 4, "INT"),
+        ],
+    )
+    rows = {r["id"]: (r["name"], r["qty"]) for r in df.collect()}
+    assert rows == {1: ("alpha", 42), 2: ("beta", None), 3: ("gamma", 1234)}
