@@ -779,3 +779,60 @@ def jaccard_pairs_prefix_filter(
         .filter(jac >= threshold)
         .select("d1", "d2", jac.alias("jaccard"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT c(A→B) = |A∩B| / |A|: how much of A
+    reappears in B — the quote/partial-copy/boilerplate-inclusion signal
+    that symmetric Jaccard misses by construction (a short doc fully
+    embedded in a long one has tiny Jaccard but containment 1.0; this is
+    the RefinedWeb/CCNet-style subsumption check). Emits BOTH directions
+    (d1→d2 and d2→d1) whenever either side's containment clears the
+    threshold, with sizes so consumers can pick a survivorship rule
+    (typically: drop the contained, keep the container).
+
+    Same inverted-list shape as ``jaccard_pairs`` — posting lists, in-array
+    pair explode, sizes joined back — so the df-cap and 100 TB arguments
+    carry over unchanged; only the final scoring expression differs.
+    """
+    release_caches()
+    postings = shingle_postings(docs, k, text_col)
+    if max_shingle_df is not None:
+        postings = postings.filter(F.col("df") <= max_shingle_df)
+    postings = _tracked_persist(postings)
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    common = _pairs_from_postings(postings)
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    both = common.join(s1, F.col("d1") == F.col("s1.doc_id")).join(
+        s2, F.col("d2") == F.col("s2.doc_id")
+    )
+    c12 = F.col("n_common") / F.col("s1.sz")
+    c21 = F.col("n_common") / F.col("s2.sz")
+    fwd = both.select(
+        F.col("d1").alias("src"),
+        F.col("d2").alias("dst"),
+        F.col("s1.sz").alias("src_sz"),
+        F.col("s2.sz").alias("dst_sz"),
+        c12.alias("containment"),
+    )
+    rev = both.select(
+        F.col("d2").alias("src"),
+        F.col("d1").alias("dst"),
+        F.col("s2.sz").alias("src_sz"),
+        F.col("s1.sz").alias("dst_sz"),
+        c21.alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(
+        F.col("containment") >= threshold
+    )

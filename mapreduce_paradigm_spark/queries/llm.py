@@ -725,3 +725,50 @@ def q_ngram_jaccard_prefix_filter(spark, sf_dir):
     return jaccard_pairs_prefix_filter(
         load_table(spark, sf_dir, "documents"), k=3, threshold=0.5
     )
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+both_dirs AS (
+  SELECT d1 AS src, d2 AS dst, s1.sz AS src_sz, s2.sz AS dst_sz,
+         c / s1.sz AS containment
+  FROM common JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id
+  UNION ALL
+  SELECT d2, d1, s2.sz, s1.sz, c / s2.sz
+  FROM common JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id
+)
+SELECT src, dst, CAST(src_sz AS BIGINT) AS src_sz,
+       CAST(dst_sz AS BIGINT) AS dst_sz, containment
+FROM both_dirs WHERE containment >= 0.55
+""",
+    description="Asymmetric shingle containment |A∩B|/|A| ≥ 0.55 — the "
+    "quote/partial-copy/subsumption signal symmetric Jaccard structurally "
+    "misses (a doc fully embedded in a longer one scores Jaccard "
+    "small/|union| but containment 1.0). Both directions emitted with "
+    "sizes so a survivorship rule can drop the contained copy. Same "
+    "inverted-list plan as the Jaccard tier; containment is an exact "
+    "integer ratio, hash-stable by construction.",
+    tags=("dedup", "llm"),
+)
+def q_ngram_containment_pairs(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.55
+    ).select(
+        "src",
+        "dst",
+        F.col("src_sz").cast("bigint").alias("src_sz"),
+        F.col("dst_sz").cast("bigint").alias("dst_sz"),
+        "containment",
+    )
