@@ -62,3 +62,20 @@ def reads_only_columns(df: DataFrame, table_fragment: str, allowed: set[str]) ->
             if not names or not (names <= allowed):
                 return False
     return found
+
+
+def observe_counts(df: DataFrame, name: str = "audit"):
+    """Attach zero-cost observable metrics to a DataFrame: returns
+    ``(df', observation)`` where ``observation.get`` yields the audit
+    counters (row count here; add any aggregate expression) AFTER the next
+    action on ``df'``. Metrics ride the existing execution — no second
+    scan, no accumulator races (Spark dedups task retries for observe,
+    unlike raw accumulators) — which is how a 100 TB pipeline records
+    rows-in/rows-out/nulls-quarantined per stage without paying for a
+    count() pass. The pytest in tests/test_pipeline_ops.py pins the
+    contract."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs

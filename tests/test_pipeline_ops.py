@@ -217,3 +217,19 @@ def test_doc_pack_bins_capacity_property(spark):
             max_seen = max(max_seen, r["bin_id"])
         # dense bins 0..max (greedy never skips a bin)
         assert {r["bin_id"] for r in docs} == set(range(max_seen + 1))
+
+
+def test_observed_metrics_ride_the_action(spark):
+    """observe_counts must report the audit row count from the SAME
+    execution that produced the result — no extra scan/action needed."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paradigm_spark.plans import observe_counts
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_CORRECT, "lineitem").filter(
+        F.col("l_quantity") > 25
+    )
+    audited, obs = observe_counts(li, "filtered_rows")
+    n = audited.count()
+    assert obs.get["rows"] == n > 0
