@@ -772,3 +772,87 @@ def q_ngram_containment_pairs(spark, sf_dir):
         F.col("dst_sz").cast("bigint").alias("dst_sz"),
         "containment",
     )
+
+
+@register(
+    "source_distinctive_terms",
+    oracle=r"""
+WITH w AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS wd
+  FROM documents
+),
+sc AS (
+  SELECT source, wd, CAST(count(*) AS BIGINT) AS n_s FROM w GROUP BY 1, 2
+),
+stot AS (SELECT source, CAST(sum(n_s) AS BIGINT) AS t_s FROM sc GROUP BY 1),
+g AS (SELECT wd, CAST(sum(n_s) AS BIGINT) AS n_g FROM sc GROUP BY 1),
+gtot AS (SELECT CAST(sum(n_s) AS BIGINT) AS t_g FROM sc),
+scored AS (
+  SELECT sc.source, sc.wd, sc.n_s,
+         round(ln((CAST(sc.n_s AS DOUBLE) / t_s)
+                  / (CAST(n_g AS DOUBLE) / t_g)), 6) AS lift,
+         row_number() OVER (
+             PARTITION BY sc.source
+             ORDER BY (CAST(sc.n_s AS DOUBLE) / t_s)
+                      / (CAST(n_g AS DOUBLE) / t_g) DESC, sc.wd
+         ) AS rnk
+  FROM sc
+  JOIN stot ON sc.source = stot.source
+  JOIN g ON sc.wd = g.wd
+  CROSS JOIN gtot
+  WHERE sc.n_s >= 5
+)
+SELECT source, wd AS word, n_s, lift, CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= 5
+""",
+    description="Distinctive terms per source (the c-TF-IDF / log-lift "
+    "idea behind BERTopic's class-based scoring): each source's term "
+    "share divided by the corpus-wide term share, ln-scored, top-5 per "
+    "source — the corpus-profiling step that tells you WHAT each crawl "
+    "source contributes (and flags template-dominated sources before "
+    "mixture weighting). All ratios are exact-integer before one "
+    "deterministic ln (the PMI/tfidf convention); ranking is tie-broken "
+    "by word for a total order, and the rank window runs on the "
+    "aggregated (source × word) grid. The global-share join is "
+    "broadcast-sized (vocabulary), the only data-scale shuffle is the "
+    "(source, word) count. min-support n_s ≥ 5 keeps the oracle "
+    "non-vacuous at every fixture size.",
+    tags=("text", "llm", "analytics", "documents"),
+)
+def q_source_distinctive_terms(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("wd"),
+    )
+    sc = w.groupBy("source", "wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    stot = sc.groupBy("source").agg(
+        F.sum("n_s").cast("bigint").alias("t_s")
+    )
+    g = sc.groupBy("wd").agg(F.sum("n_s").cast("bigint").alias("n_g"))
+    gtot = sc.agg(F.sum("n_s").cast("bigint").alias("t_g"))
+    lift_raw = (F.col("n_s").cast("double") / F.col("t_s")) / (
+        F.col("n_g").cast("double") / F.col("t_g")
+    )
+    wrank = Window.partitionBy("source").orderBy(
+        F.desc(lift_raw), F.asc("wd")
+    )
+    scored = (
+        sc.filter(F.col("n_s") >= 5)
+        .join(F.broadcast(stot), "source")
+        .join(F.broadcast(g), "wd")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            F.col("wd").alias("word"),
+            "n_s",
+            F.round(F.log(lift_raw), 6).alias("lift"),
+            F.row_number().over(wrank).cast("bigint").alias("rnk"),
+        )
+    )
+    return scored.filter(F.col("rnk") <= 5)
