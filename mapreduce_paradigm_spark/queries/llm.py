@@ -856,3 +856,73 @@ def q_source_distinctive_terms(spark, sf_dir):
         )
     )
     return scored.filter(F.col("rnk") <= 5)
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS wd
+  FROM documents
+),
+dw AS (
+  SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS n_dw
+  FROM w GROUP BY 1, 2
+),
+uni AS (SELECT wd, CAST(sum(n_dw) AS BIGINT) AS n_w FROM dw GROUP BY 1),
+tot AS (SELECT CAST(sum(n_dw) AS BIGINT) AS n FROM dw),
+terms AS (
+  SELECT doc_id, n_dw,
+         CAST(round(ln(CAST(n AS DOUBLE) / n_w) * 1000000, 0) AS BIGINT)
+             AS nll_micro
+  FROM dw JOIN uni USING (wd) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(sum(n_dw) AS BIGINT) AS n_tokens,
+       CAST(sum(n_dw * nll_micro) AS DOUBLE)
+           / sum(n_dw) / 1000000.0 AS avg_nll
+FROM terms
+GROUP BY doc_id
+""",
+    description="Unigram negative-log-likelihood per document — the "
+    "perplexity-proxy quality score (docs whose tokens are corpus-"
+    "typical score low; OOV-heavy or fabricated text scores high): "
+    "avg over tokens of −ln p(w), with p(w) the corpus unigram "
+    "distribution the corpus itself induces. Each distinct word's NLL "
+    "is one deterministic ln on an exact-integer ratio, rounded to "
+    "INTEGER micros and integer-weighted-summed per doc (the BM25 "
+    "convention — a float Σ over a doc's words would vary with "
+    "aggregation order), then one exact decimal division. Unigram "
+    "frequencies broadcast; one (doc, word) shuffle. This is the "
+    "cheap tier of model-based filtering (CCNet's KenLM perplexity at "
+    "100 TB uses exactly this plan shape with a better p).",
+    tags=("quality", "llm", "text", "documents"),
+)
+def q_doc_unigram_logprob(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("wd"),
+    )
+    dw = w.groupBy("doc_id", "wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dw")
+    )
+    uni = dw.groupBy("wd").agg(F.sum("n_dw").cast("bigint").alias("n_w"))
+    tot = dw.agg(F.sum("n_dw").cast("bigint").alias("n"))
+    nll_micro = F.round(
+        F.log(F.col("n").cast("double") / F.col("n_w")) * 1e6, 0
+    ).cast("bigint")
+    terms = (
+        dw.join(F.broadcast(uni), "wd")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "n_dw", nll_micro.alias("nll_micro"))
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("n_dw").cast("bigint").alias("n_tokens"),
+        (
+            F.sum(F.col("n_dw") * F.col("nll_micro")).cast("double")
+            / F.sum("n_dw")
+            / F.lit(1000000.0)
+        ).alias("avg_nll"),
+    )
