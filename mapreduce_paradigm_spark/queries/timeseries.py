@@ -573,7 +573,7 @@ WITH seq AS (
              PARTITION BY user_id ORDER BY ts, event_id
          ) AS BIGINT), 8) AS s,
          ts
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT user_id, event_id,
        round(CAST({ws} AS DOUBLE)
@@ -601,7 +601,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     tags=("timeseries", "window", "mlprep", "events"),
 )
 def q_user_value_ewma8(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values are excluded explicitly ON BOTH SIDES: Spark's
+    # collect_list silently skips nulls while the oracle's lag-unroll
+    # would count the row — a latent divergence on null-bearing data.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
