@@ -10,6 +10,7 @@ from mapreduce_paradigm_spark.queries import (  # noqa: F401
     quality,
     relational,
     rollup_sampling,
+    search_rank,
     sqlx,
     statistics,
     streaming_q,

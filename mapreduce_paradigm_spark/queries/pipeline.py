@@ -589,3 +589,75 @@ def q_embedding_pq_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return pq_topk_cosine(emb, queries, k=5, m=8, ksub=16, refine=4)
+
+
+# --- entity resolution -------------------------------------------------------
+
+
+@register(
+    "part_name_er_blocked_pairs",
+    oracle="""
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+         split_part(p_name, ' ', 2) AS block_key,
+         split_part(p_name, ' ', 1) AS qualifier
+  FROM part GROUP BY p_name
+),
+cand AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         a.n_parts AS n_a, b.n_parts AS n_b,
+         CAST(levenshtein(a.qualifier, b.qualifier) AS BIGINT) AS qual_dist
+  FROM names a JOIN names b
+    ON a.block_key = b.block_key AND a.p_name < b.p_name
+)
+SELECT name_a, name_b, n_a, n_b, qual_dist
+FROM cand WHERE qual_dist <= 2
+""",
+    description="Entity-resolution blocked fuzzy matching on part names "
+    "('qualifier noun' two-token names). The corpus-scale step is ONE "
+    "aggregate to the distinct-name vocabulary (with per-name part "
+    "counts); blocking and verification then run on vocabulary-scale "
+    "data: BLOCK on the noun token (equi-join — candidates exist only "
+    "within a block), VERIFY with Levenshtein on the qualifier (<= 2), "
+    "name_a < name_b canonicalization so each pair emits once. This is "
+    "the standard record-linkage shape (blocking + edit-distance "
+    "comparison) with the critical scale property made explicit: the "
+    "quadratic runs over DISTINCT entity keys, never corpus rows — a "
+    "first draft that self-joined raw parts produced 106k pairs at "
+    "sf0.01 and grows O(corpus²/blocks); this form's pair count is "
+    "SF-invariant. For open-vocabulary keys (urls, author strings) where "
+    "even distinct keys are corpus-scale, block on the RAREST token "
+    "under a global df order (the PPJoin prefix-filter machinery in "
+    "operators/dedup.py) and salt residual hot blocks. Levenshtein runs "
+    "JVM-side (builtin), integer output — no float boundary anywhere.",
+    tags=("pipeline", "dedup", "join"),
+)
+def q_part_name_er_blocked_pairs(spark, sf_dir):
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            "p_name",
+            "n_parts",
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block_key"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("qualifier"),
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a"),
+        "block_key", F.col("qualifier").alias("qual_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_b"),
+        "block_key", F.col("qualifier").alias("qual_b"),
+    )
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a", "name_b", "n_a", "n_b",
+            F.levenshtein("qual_a", "qual_b").cast("long").alias("qual_dist"),
+        )
+        .filter(F.col("qual_dist") <= 2)
+    )

@@ -1,0 +1,234 @@
+"""Search-ranking extensions: language-model retrieval and hybrid fusion.
+
+The reference stops at building the inverted index (src/main.cpp:97-188);
+a search engine on top of it needs scoring. BM25 (queries/flagship.py)
+covers the probabilistic-IR family; this module adds the query-likelihood
+language-model family (Dirichlet smoothing, Zhai & Lafferty SIGIR'01) and
+reciprocal-rank fusion (Cormack et al. SIGIR'09) of the lexical and the
+dense (embedding-cosine) rankings — the standard hybrid-search shape.
+
+Hash-stability discipline (same as bm25_ranking): every per-term float
+score is computed ONCE in float64, rounded to integer micros, and
+documents aggregate INTEGER micros — so scores and the ranks derived from
+them are independent of partition merge order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_paradigm_spark.functions import doc_words
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+_QL_TERMS = ("hash", "join", "batch")
+_QL_MU = 100  # Dirichlet pseudo-count; fixture docs are short (~tens of tokens)
+
+# Shared DuckDB tokenization (identical to the bm25_ranking oracle).
+_DUCK_DW = """
+dw AS (
+  SELECT doc_id, lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS word
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+        FROM documents)
+  WHERE lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) <> ''
+)"""
+
+
+@register(
+    "query_likelihood_dirichlet",
+    oracle=f"""
+WITH {_DUCK_DW},
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM dw GROUP BY 1),
+coll AS (SELECT CAST(count(*) AS BIGINT) AS c_total FROM dw),
+cf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cf
+  FROM dw WHERE word IN ('hash', 'join', 'batch') GROUP BY 1
+),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM dw WHERE word IN ('hash', 'join', 'batch') GROUP BY 1, 2
+),
+grid AS (SELECT dl.doc_id, dl.dl, cf.word, cf.cf FROM dl CROSS JOIN cf),
+terms AS (
+  SELECT g.doc_id,
+         CAST(round(
+           ln((COALESCE(tf.tf, 0) + {_QL_MU} * (CAST(g.cf AS DOUBLE) / c_total))
+              / (g.dl + {_QL_MU})) * 1000000, 0) AS BIGINT) AS score_micro
+  FROM grid g
+  LEFT JOIN tf ON g.doc_id = tf.doc_id AND g.word = tf.word
+  CROSS JOIN coll
+),
+scored AS (
+  SELECT doc_id, CAST(sum(score_micro) AS BIGINT) AS ql_micro
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CAST(ql_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS ql,
+       CAST(row_number() OVER (ORDER BY ql_micro DESC, doc_id ASC) AS BIGINT)
+         AS rnk
+FROM scored
+ORDER BY rnk LIMIT 50
+""",
+    description="Dirichlet-smoothed query-likelihood retrieval (Zhai & "
+    "Lafferty, mu=100) for the query {hash, join, batch}: score(d) = "
+    "sum_q ln((tf + mu*cf/C) / (dl + mu)) over ALL documents (smoothing "
+    "scores zero-tf docs too, unlike BM25's match-only scoring), top-50. "
+    "The doc x query-term grid is |docs|*|Q| rows — linear in the corpus, "
+    "built by cross-joining per-doc lengths against a BROADCAST 3-row "
+    "term-stats table (cf/C are collection constants); tf joins in by "
+    "(doc_id, word). Per-term float math runs once, rounds to integer "
+    "micros, and documents integer-sum — rank order is engine- and "
+    "merge-order-independent. The final global top-50 is the only "
+    "single-partition step (50 rows). At 100 TB the collection stats come "
+    "from the same aggregate pass that builds dl; nothing else changes.",
+    tags=("flagship", "index", "search"),
+)
+def q_query_likelihood_dirichlet(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    dw = doc_words(docs)
+    dl = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    coll = dw.agg(F.count(F.lit(1)).alias("c_total"))
+    in_q = dw.filter(F.col("word").isin(*_QL_TERMS))
+    cf = in_q.groupBy("word").agg(F.count(F.lit(1)).alias("cf"))
+    tf = in_q.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    grid = dl.crossJoin(F.broadcast(cf)).crossJoin(F.broadcast(coll))
+    score = F.log(
+        (F.coalesce(F.col("tf"), F.lit(0))
+         + F.lit(_QL_MU) * (F.col("cf").cast("double") / F.col("c_total")))
+        / (F.col("dl") + F.lit(_QL_MU))
+    )
+    terms = grid.join(tf, ["doc_id", "word"], "left").select(
+        "doc_id", F.round(score * 1e6, 0).cast("long").alias("score_micro")
+    )
+    scored = terms.groupBy("doc_id").agg(F.sum("score_micro").alias("ql_micro"))
+    w = Window.orderBy(F.col("ql_micro").desc(), F.col("doc_id").asc())
+    return (
+        scored.select(
+            "doc_id",
+            (F.col("ql_micro").cast("decimal(24,6)") / F.lit(1000000))
+            .cast("double")
+            .alias("ql"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle="""
+WITH dw AS (
+  SELECT doc_id, lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS word
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+        FROM documents)
+  WHERE lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM dw GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM dw WHERE word IN ('hash', 'join', 'batch') GROUP BY 1, 2
+),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+bm AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(round(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1) * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) * 1000000, 0)
+           AS BIGINT)) AS BIGINT) AS bm25_micro
+  FROM tf JOIN df USING (word) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+  GROUP BY tf.doc_id
+),
+text_rank AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC)
+              AS BIGINT) AS r_text
+  FROM bm
+),
+vec_rank AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT)
+           AS r_vec
+  FROM (
+    SELECT b.vec_id,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cos
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id = 0
+  )
+  QUALIFY r_vec <= 100
+),
+fused AS (
+  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, t.r_text, v.r_vec,
+         COALESCE(CAST(round(1000000.0 / (60 + t.r_text), 0) AS BIGINT), 0)
+         + COALESCE(CAST(round(1000000.0 / (60 + v.r_vec), 0) AS BIGINT), 0)
+           AS rrf_micro
+  FROM text_rank t FULL OUTER JOIN vec_rank v ON t.doc_id = v.doc_id
+)
+SELECT doc_id, r_text, r_vec,
+       CAST(CAST(rrf_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS rrf,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT)
+         AS rnk
+FROM fused
+ORDER BY rnk LIMIT 20
+""",
+    description="Hybrid search via reciprocal-rank fusion (Cormack et al., "
+    "k=60): the lexical ranking (BM25, query {hash, join, batch}) and the "
+    "dense ranking (cosine neighbors of embedding vec_id=0, top-100, "
+    "doc_id-linked) fused as sum of 1/(60+rank), top-20. The two ranked "
+    "lists are tiny relative to the corpus (matches only / top-100), so "
+    "the fusion join, the full-outer missing-list semantics (a doc absent "
+    "from one list contributes 0, never NULL-poisons), and the final "
+    "top-20 all run on candidate-scale data; corpus-scale work is exactly "
+    "one tokenization pass + one embedding scan (the broadcast-query "
+    "mapInPandas top-k from operators/similarity.py — corpus never "
+    "shuffles). RRF contributions round to integer micros before the sum "
+    "so fused order is engine-independent.",
+    tags=("flagship", "search", "similarity", "llm"),
+)
+def q_hybrid_rrf_fusion(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.similarity import topk_cosine
+    from mapreduce_paradigm_spark.registry import all_specs
+
+    # Lexical side: reuse the registered BM25 builder (identical plan).
+    # round-trip double -> micros is exact (micro magnitudes << 2^53), but
+    # truncating cast is not: round first.
+    bm = all_specs()["bm25_ranking"].builder(spark, sf_dir).select(
+        "doc_id", F.round(F.col("bm25") * 1e6, 0).cast("long").alias("bm25_micro")
+    )
+    wt = Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+    text_rank = bm.select(
+        "doc_id", F.row_number().over(wt).cast("long").alias("r_text")
+    )
+
+    # Dense side: exact cosine top-100 for the single query vector 0.
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec_rank = (
+        topk_cosine(emb, emb.filter(F.col("vec_id") == 0), k=100)
+        .select(F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").cast("long").alias("r_vec"))
+    )
+
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1000000.0) / (F.lit(60) + r), 0).cast("long"), F.lit(0)
+    )
+    fused = (
+        text_rank.join(vec_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id", "r_text", "r_vec",
+            (contrib(F.col("r_text")) + contrib(F.col("r_vec"))).alias("rrf_micro"),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (
+        fused.select(
+            "doc_id", "r_text", "r_vec",
+            (F.col("rrf_micro").cast("decimal(24,6)") / F.lit(1000000))
+            .cast("double")
+            .alias("rrf"),
+            F.row_number().over(wf).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 20)
+    )
