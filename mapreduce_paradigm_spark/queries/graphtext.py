@@ -393,3 +393,120 @@ def q_doc_graph_bfs_depths(spark, sf_dir):
     return dist.select(
         F.col("node").alias("doc_id"), F.col("depth").cast("bigint").alias("depth")
     )
+
+
+# --- local clustering coefficient --------------------------------------------
+
+
+@register(
+    "doc_graph_clustering_coeff",
+    oracle="""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+e0 AS (
+  SELECT doc_id AS a, (doc_id * 31 + k.k) % n_docs AS b
+  FROM documents, n, (VALUES (1), (2), (3)) k(k)
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM e0 WHERE a <> b
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tv AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT v1 AS v FROM tri UNION ALL
+    SELECT v2 AS v FROM tri UNION ALL
+    SELECT v3 AS v FROM tri
+  ) GROUP BY 1
+)
+SELECT d.v AS node, d.deg, COALESCE(tv.n_tri, 0) AS n_tri,
+       round(2.0 * COALESCE(tv.n_tri, 0) / (d.deg * (d.deg - 1)), 6) AS cc
+FROM deg d LEFT JOIN tv ON d.v = tv.v
+WHERE d.deg >= 2
+""",
+    description="Per-vertex local clustering coefficient on the citation "
+    "graph: cc(v) = 2*T(v) / (deg(v)*(deg(v)-1)), where T(v) counts "
+    "triangles through v — the per-node community-density signal (global "
+    "triangle count says a corpus HAS dense pockets; cc says WHICH nodes "
+    "sit in them — link-farm members score near 1). Reuses the "
+    "doc_graph_triangles join exactly (canonical lo<hi edges, two-hop "
+    "join, each triangle once), then fans each triangle to its 3 "
+    "vertices — triangle-scale rows, not corpus-scale — and joins "
+    "against degrees. Inputs to cc are exact integers; one float "
+    "division rounded at 6dp. At 100 TB the same degree-orientation "
+    "switch as triangles (low-degree -> high-degree) bounds the join at "
+    "O(m^1.5); degree and triangle-count aggregates share the vertex "
+    "key partitioning.",
+    tags=("graph", "join", "documents"),
+)
+def q_doc_graph_clustering_coeff(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _tracked_persist,
+        release_caches,
+    )
+
+    release_caches()
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    e0 = docs.crossJoin(F.broadcast(ncnt)).select(
+        F.col("node").alias("a"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.col("node") * 31 + F.lit(k), F.col("n_docs"))
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("b"),
+    )
+    # feeds degrees AND the two-hop triangle join; tracked so the next
+    # dedup-family query's release_caches() frees it
+    e = _tracked_persist(
+        e0.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1 = e.select(F.col("a").alias("v1"), F.col("b").alias("v2"))
+    e2 = e.select(F.col("a").alias("v2"), F.col("b").alias("v3"))
+    e3 = e.select(F.col("a").alias("v1"), F.col("b").alias("v3"))
+    tri = e1.join(e2, "v2").join(e3, ["v1", "v3"]).select("v1", "v2", "v3")
+    tv = (
+        tri.select(F.col("v1").alias("v"))
+        .unionByName(tri.select(F.col("v2").alias("v")))
+        .unionByName(tri.select(F.col("v3").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    out = (
+        deg.join(tv, "v", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            F.col("v").alias("node"),
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("n_tri", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("cc"),
+        )
+    )
+    return out

@@ -926,3 +926,76 @@ def q_doc_unigram_logprob(spark, sf_dir):
             / F.lit(1000000.0)
         ).alias("avg_nll"),
     )
+
+
+@register(
+    "source_mixture_reweighting",
+    oracle="""
+WITH tok AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per_source
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       round(CAST(p.n_tokens AS DOUBLE) / t.total_tokens, 6) AS cur_share,
+       round(CAST(t.total_tokens AS DOUBLE)
+             / (t.n_sources * p.n_tokens), 6) AS weight
+FROM per_source p CROSS JOIN tot t
+""",
+    description="Training-mixture reweighting (the bookkeeping step of "
+    "DoReMi-style domain weighting): per-source document and token "
+    "counts, the source's current token share, and the sampling weight "
+    "that moves the mixture to a UNIFORM target share (weight = "
+    "target_share / cur_share = total / (n_sources * tokens_s)); feed "
+    "any other target by swapping the numerator. Downstream, "
+    "mixture_sample_by_source applies such weights as deterministic "
+    "hash-threshold keep rates. One corpus-scale aggregate (token "
+    "counts per source — the tokenization is per-row codegen, no "
+    "shuffle of text); everything after runs on n_sources rows against "
+    "a broadcast 1-row total. Shares/weights are single divisions of "
+    "exact integers, rounded 6dp — hash-stable.",
+    tags=("llm", "sampling"),
+)
+def q_source_mixture_reweighting(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    per_source = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias(
+            "cur_share"
+        ),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens")),
+            6,
+        ).alias("weight"),
+    )

@@ -1394,3 +1394,50 @@ def q_large_volume_customer_orders(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "supplier_profit_by_nation_year",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+    description="TPC-H Q9 shape (product-type profit by supplier nation and "
+    "year), adapted to this schema: the testdata has no partsupp table, so "
+    "profit is discounted revenue without the ps_supplycost * l_quantity "
+    "subtrahend — the PLAN shape (the point of Q9) is unchanged: a "
+    "5-table star join where the part filter (p_name LIKE '%red%') "
+    "SEMI-REDUCES the fact table early, all three dimensions broadcast, "
+    "and orders joins on the fact's own key. The one corpus-scale "
+    "exchange is the final (nation, year) aggregate of exact 6dp "
+    "decimal sums (dsum). At 100 TB the orders join is the pressure "
+    "point: co-locate by bucketing both fact tables on orderkey "
+    "(sources/files.py bucketed tables prove the shuffle-free form).",
+    tags=("tpch", "join", "aggregation"),
+)
+def q_supplier_profit_by_nation_year(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit"))
+    )

@@ -793,3 +793,66 @@ def q_qty_ks_statistic_flags(spark, sf_dir):
             F.max("tr").cast("bigint").alias("n_r"),
         )
     )
+
+
+@register(
+    "value_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  WHERE e.value IS NOT NULL
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       round(max(d.med), 6) AS med,
+       round(max(m.mad), 6) AS mad,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE d.adev > 4.4478 * m.mad) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+""",
+    description="Robust outlier detection via median/MAD (the mean/std "
+    "z-score's heavy-tail-safe sibling — events_hourly_anomaly_zscore "
+    "breaks when outliers inflate the std they're judged against): per "
+    "event type, median, MAD (median absolute deviation), and the count "
+    "of values beyond 3 * 1.4826 * MAD (the normal-consistency constant, "
+    "folded to one literal so both engines multiply identically). Two "
+    "aggregate passes by construction — MAD needs the median first — "
+    "with the per-type medians joined back BROADCAST (group-count-scale, "
+    "never data-scale); exact interpolated percentiles (Spark percentile "
+    "== DuckDB quantile_cont) at bench scale, swap in approx_percentile "
+    "for the sketch tier at 100 TB (quantity_approx_percentiles shows "
+    "that path). The comparison runs on raw doubles: both engines "
+    "compute bit-identical med/MAD, so the strict > threshold cut is "
+    "engine-stable with no epsilon.",
+    tags=("statistics", "anomaly"),
+)
+def q_value_mad_outliers(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("adev") > F.lit(4.4478) * F.col("mad")).alias(
+                "n_outliers"
+            ),
+        )
+    )

@@ -628,3 +628,212 @@ def q_user_value_ewma8(spark, sf_dir):
             "ewma8"
         ),
     )
+
+
+# --- seasonal-naive forecast backtest ----------------------------------------
+
+
+@register(
+    "revenue_seasonal_naive_backtest",
+    oracle="""
+WITH monthly AS (
+  SELECT n.n_name AS nation, date_trunc('month', o.o_orderdate) AS month,
+         CAST(sum(CAST(round(o.o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS rev_micro
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+bt AS (
+  SELECT a.nation, a.month, a.rev_micro AS actual, f.rev_micro AS forecast,
+         abs(a.rev_micro - f.rev_micro) AS abs_err,
+         CAST(round(
+           2000000.0 * abs(a.rev_micro - f.rev_micro)
+           / (abs(a.rev_micro) + abs(f.rev_micro)), 0) AS BIGINT) AS smape_micro
+  FROM monthly a
+  JOIN monthly f
+    ON a.nation = f.nation AND f.month = a.month - INTERVAL 12 MONTH
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_months,
+       CAST(CAST(CAST(CAST(round(CAST(sum(abs_err) AS DOUBLE) / count(*), 0)
+            AS BIGINT) AS DECIMAL(24,6)) / 1000000 AS DECIMAL(24,6))
+            AS DOUBLE) AS mae,
+       CAST(CAST(CAST(CAST(round(CAST(sum(smape_micro) AS DOUBLE) / count(*), 0)
+            AS BIGINT) AS DECIMAL(24,6)) / 1000000 AS DECIMAL(24,6))
+            AS DOUBLE) AS smape
+FROM bt GROUP BY nation
+""",
+    description="Seasonal-naive forecast backtest (the forecasting BASELINE "
+    "every real model must beat): forecast(month) = actual(month - 12) for "
+    "monthly revenue per nation, scored with MAE and sMAPE over every "
+    "backtestable month. The monthly grid is built once (orders joined to "
+    "broadcast customer->nation dims, one aggregate); forecast alignment "
+    "is a self-join of that AGGREGATED grid on (nation, month-12) — "
+    "calendar-exact join beats lag(12) windows, which silently misalign "
+    "when a month is missing. Error arithmetic is integer end-to-end: "
+    "revenues accumulate as exact micros, per-month sMAPE is one float "
+    "ratio rounded to micros, and both scores are integer sums divided "
+    "once — engine- and merge-order-independent. Grid size is "
+    "nations x months (thousands of rows at any corpus scale): the "
+    "backtest join costs nothing; the single corpus-scale stage is the "
+    "monthly aggregate.",
+    tags=("timeseries", "forecast"),
+)
+def q_revenue_seasonal_naive_backtest(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 1e6, 0).cast("long")).alias(
+                "rev_micro"
+            )
+        )
+    )
+    a = monthly.alias("a")
+    f = monthly.alias("f")
+    bt = a.join(
+        f,
+        (F.col("a.nation") == F.col("f.nation"))
+        & (F.col("f.month") == F.add_months(F.col("a.month"), -12)),
+    ).select(
+        F.col("a.nation").alias("nation"),
+        F.abs(F.col("a.rev_micro") - F.col("f.rev_micro")).alias("abs_err"),
+        F.round(
+            F.lit(2000000.0)
+            * F.abs(F.col("a.rev_micro") - F.col("f.rev_micro"))
+            / (F.abs(F.col("a.rev_micro")) + F.abs(F.col("f.rev_micro"))),
+            0,
+        )
+        .cast("long")
+        .alias("smape_micro"),
+    )
+    return bt.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        (
+            F.round(F.sum("abs_err").cast("double") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .cast("decimal(24,6)")
+            / F.lit(1000000)
+        )
+        .cast("double")
+        .alias("mae"),
+        (
+            F.round(F.sum("smape_micro").cast("double") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .cast("decimal(24,6)")
+            / F.lit(1000000)
+        )
+        .cast("double")
+        .alias("smape"),
+    )
+
+
+# --- CUSUM changepoint scan --------------------------------------------------
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS v_micro
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v_micro) AS BIGINT) AS total
+  FROM v GROUP BY 1
+),
+pre AS (
+  SELECT v.user_id, v.ts, s.n, s.total,
+         CAST(sum(v_micro) OVER (
+           PARTITION BY v.user_id ORDER BY v.ts, v.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+         CAST(row_number() OVER (
+           PARTITION BY v.user_id ORDER BY v.ts, v.event_id) AS BIGINT) AS t
+  FROM v JOIN stats s ON v.user_id = s.user_id
+),
+scored AS (
+  SELECT user_id, ts, n, abs(n * p - t * total) AS s_abs,
+         CAST(row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY abs(n * p - t * total) DESC, ts ASC) AS BIGINT) AS r
+  FROM pre WHERE n >= 20
+)
+SELECT user_id, ts AS cp_ts,
+       CAST(CAST(CAST(CAST(round(CAST(s_abs AS DOUBLE) / n, 0) AS BIGINT)
+            AS DECIMAL(24,6)) / 1000000 AS DECIMAL(24,6)) AS DOUBLE) AS cusum_max
+FROM scored WHERE r = 1
+""",
+    description="CUSUM changepoint scan per user: the classic mean-shift "
+    "detector max_t |sum_{i<=t}(v_i - mean)|, reporting the argmax "
+    "timestamp (the estimated changepoint) and the peak CUSUM value for "
+    "every user with >= 20 measurements. Exactness trick: the float "
+    "recurrence sum(v - mean) is replaced by the integer identity "
+    "n*cusum_t = n*P_t - t*T (P = prefix sum, T = total, both exact "
+    "micros), so the ENTIRE scan — including the argmax, where a float "
+    "epsilon would pick a different row — runs on integers; one final "
+    "division renders the score. Two window passes and one broadcast-able "
+    "per-user stats join, all sharing the user-key partitioning; ties "
+    "broken (earliest ts) deterministically. This is drift detection for "
+    "per-entity metric streams — the per-series shape that the global KS "
+    "statistic (qty_ks_statistic_flags) complements distributionally.",
+    tags=("timeseries", "anomaly"),
+)
+def q_events_cusum_changepoint(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    v = events.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("v_micro"),
+    )
+    stats = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v_micro").alias("total")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pre = (
+        v.join(F.broadcast(stats), "user_id")
+        .select(
+            "user_id",
+            "ts",
+            "n",
+            "total",
+            F.sum("v_micro").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+            F.row_number().over(wo).cast("long").alias("t"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    s_abs = F.abs(F.col("n") * F.col("p") - F.col("t") * F.col("total"))
+    wr = Window.partitionBy("user_id").orderBy(s_abs.desc(), F.col("ts").asc())
+    return (
+        pre.select(
+            "user_id",
+            "ts",
+            "n",
+            s_abs.alias("s_abs"),
+            F.row_number().over(wr).cast("long").alias("r"),
+        )
+        .filter(F.col("r") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("cp_ts"),
+            (
+                F.round(F.col("s_abs").cast("double") / F.col("n"), 0)
+                .cast("long")
+                .cast("decimal(24,6)")
+                / F.lit(1000000)
+            )
+            .cast("double")
+            .alias("cusum_max"),
+        )
+    )
