@@ -241,3 +241,63 @@ def connected_components_star(
     cur.unpersist()
     e.unpersist()
     return result
+
+
+def kcore_vertices(
+    edges: DataFrame,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every vertex has
+    degree >= k. Classic iterative peeling — repeatedly delete vertices
+    with degree < k (deleting one vertex lowers neighbors' degrees, so the
+    fixpoint needs iteration). Returns ``(v, deg)`` with each survivor's
+    degree INSIDE the core.
+
+    Distributed shape: the edge list is the only corpus-scale state; each
+    round is one degree aggregate + one semi-join filter of the edge list
+    against surviving vertices (both keyed by vertex — AQE reuses the
+    partitioning), and the driver sees a single scalar (surviving edge
+    count) per round. Rounds are bounded by the peeling depth (the
+    degeneracy ordering's longest chain), typically tens even on web-scale
+    graphs; ``max_iter`` guards pathological chains with a loud
+    ``ConvergenceError`` rather than returning a non-core silently.
+    ``localCheckpoint`` per round keeps the logical plan flat (same
+    rationale as ``connected_components``).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            return e.sparkSession.createDataFrame([], "v long, deg long")
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        nxt = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            return (
+                nxt.select(F.col("a").alias("v"))
+                .unionByName(nxt.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            )
+        e, n_edges = nxt, n_nxt
+    raise ConvergenceError(f"kcore did not stabilize in {max_iter} rounds")

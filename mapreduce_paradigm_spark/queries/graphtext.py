@@ -510,3 +510,60 @@ def q_doc_graph_clustering_coeff(spark, sf_dir):
         )
     )
     return out
+
+
+# --- k-core decomposition ----------------------------------------------------
+
+
+def _irregular_graph(spark, sf_dir):
+    """Deterministic IRREGULAR doc graph (variable out-degree 1-4 plus hub
+    edges every 7th doc onto 16 hub vertices): the citation graph used by
+    PageRank/triangles is 3-out-regular, which makes k-core membership
+    all-or-nothing; peeling is only meaningful with degree variance."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    base = docs.crossJoin(F.broadcast(ncnt))
+    fan = base.select(
+        F.col("node").alias("a"),
+        F.explode(
+            F.slice(
+                F.array(
+                    *[
+                        F.pmod(F.col("node") * 31 + F.lit(j * j), F.col("n_docs"))
+                        for j in (1, 2, 3, 4)
+                    ]
+                ),
+                F.lit(1),
+                F.lit(1) + F.pmod(F.col("node"), F.lit(4)),
+            )
+        ).alias("b"),
+    )
+    hubs = base.filter(F.pmod(F.col("node"), F.lit(7)) == 0).select(
+        F.col("node").alias("a"), F.pmod(F.col("node"), F.lit(16)).alias("b")
+    )
+    return fan.unionByName(hubs)
+
+
+@register(
+    "doc_graph_kcore",
+    oracle=None,  # iterative fixpoint; exact peel pinned by pytest oracle
+    description="k-core decomposition (k=4) of an irregular deterministic "
+    "doc graph via distributed peeling (operators/components.py "
+    "kcore_vertices): repeatedly drop vertices with degree < k until the "
+    "fixpoint — the standard dense-subgraph extractor (spam/link-farm "
+    "cores, community nuclei; for corpus curation, the boilerplate-"
+    "entangled core of a near-dup graph). Each round is one degree "
+    "aggregate plus one semi-join edge filter, both keyed by vertex; the "
+    "driver sees only a scalar edge count per round, and rounds are "
+    "bounded by peeling depth with a loud ConvergenceError guard. "
+    "Returns each survivor with its in-core degree. Exactness is pinned "
+    "by a pure-Python peeling oracle in pytest (driver check is "
+    "rows-only: the fixpoint is not expressible in one SQL query).",
+    tags=("graph", "iterative", "documents"),
+)
+def q_doc_graph_kcore(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.components import kcore_vertices
+
+    return kcore_vertices(_irregular_graph(spark, sf_dir), k=4)

@@ -74,3 +74,40 @@ def test_retention_cohort_triangle(spark):
         assert all(o >= 0 for o in offsets)
         # offset-0 row counts the whole cohort: no later month exceeds it
         assert max(offsets.values()) == offsets[0]
+
+
+def test_kcore_matches_python_peeling(spark):
+    from collections import defaultdict
+
+    from mapreduce_paradigm_spark.queries.graphtext import _irregular_graph
+    from mapreduce_paradigm_spark.registry import all_specs
+
+    from .conftest import SF_CORRECT
+
+    raw = _irregular_graph(spark, SF_CORRECT).collect()
+    edges = {
+        (min(r["a"], r["b"]), max(r["a"], r["b"])) for r in raw if r["a"] != r["b"]
+    }
+    k = 4
+    while True:
+        deg: dict[int, int] = defaultdict(int)
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    want: dict[int, int] = defaultdict(int)
+    for a, b in edges:
+        want[a] += 1
+        want[b] += 1
+
+    got = {
+        r["v"]: r["deg"]
+        for r in all_specs()["doc_graph_kcore"].builder(spark, SF_CORRECT).collect()
+    }
+    assert got == dict(want)
+    assert len(got) > 0
+    assert all(d >= k for d in got.values())
