@@ -396,3 +396,85 @@ def q_events_dow_hour_heatmap(spark, sf_dir):
             "share_of_dow"
         ),
     )
+
+
+# --- weight-of-evidence / information value ----------------------------------
+
+
+@register(
+    "quantity_woe_iv",
+    oracle="""
+WITH base AS (
+  SELECT CAST(floor((l_quantity - 1) / 5) + 1 AS BIGINT) AS bin,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+  FROM lineitem
+),
+bins AS (
+  SELECT bin,
+         CAST(count(*) FILTER (WHERE bad = 0) AS BIGINT) AS n_good,
+         CAST(count(*) FILTER (WHERE bad = 1) AS BIGINT) AS n_bad
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_good) AS BIGINT) AS tot_good,
+         CAST(sum(n_bad) AS BIGINT) AS tot_bad
+  FROM bins
+)
+SELECT CAST(b.bin AS BIGINT) AS bin, b.n_good, b.n_bad,
+       round(ln((CAST(b.n_good AS DOUBLE) * t.tot_bad)
+                / (CAST(b.n_bad AS DOUBLE) * t.tot_good)), 6) AS woe,
+       round((CAST(b.n_good AS DOUBLE) / t.tot_good
+              - CAST(b.n_bad AS DOUBLE) / t.tot_bad)
+             * ln((CAST(b.n_good AS DOUBLE) * t.tot_bad)
+                  / (CAST(b.n_bad AS DOUBLE) * t.tot_good)), 6) AS iv_contrib
+FROM bins b CROSS JOIN tot t
+WHERE b.n_good > 0 AND b.n_bad > 0
+""",
+    description="Weight-of-evidence binning + information value (the "
+    "credit-scoring / feature-screening standard): l_quantity bucketed "
+    "into 10 fixed bins (floor((q-1)/5)+1; Spark width_bucket has no "
+    "DuckDB twin so both engines share the explicit form), binary "
+    "target = returnflag 'R', per-bin WoE = ln(good-share / bad-share) "
+    "and its IV contribution (sum of iv_contrib = the feature's IV). "
+    "One conditional-aggregate pass builds all bins (no per-bin scans), "
+    "totals ride a broadcast 1-row cross join; WoE's argument is a "
+    "ratio of exact integer products, so the ln sees bit-identical "
+    "input on both engines (the tfidf convention). Zero-count bins are "
+    "excluded by integer predicate (standard practice is merging or "
+    "Laplace-smoothing them; exclusion keeps the oracle trivially "
+    "equivalent). Scale: cost == one groupBy on a 10-value key; for "
+    "equi-DEPTH bins swap in the price_equidepth_histogram edges.",
+    tags=("mlprep", "statistics"),
+)
+def q_quantity_woe_iv(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.floor((F.col("l_quantity") - 1) / 5) + 1).cast("long").alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.count_if(F.col("bad") == 0).alias("n_good"),
+        F.count_if(F.col("bad") == 1).alias("n_bad"),
+    )
+    tot = bins.agg(
+        F.sum("n_good").alias("tot_good"), F.sum("n_bad").alias("tot_bad")
+    )
+    woe = F.log(
+        (F.col("n_good").cast("double") * F.col("tot_bad"))
+        / (F.col("n_bad").cast("double") * F.col("tot_good"))
+    )
+    share_gap = (
+        F.col("n_good").cast("double") / F.col("tot_good")
+        - F.col("n_bad").cast("double") / F.col("tot_bad")
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_good") > 0) & (F.col("n_bad") > 0))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_good",
+            "n_bad",
+            F.round(woe, 6).alias("woe"),
+            F.round(share_gap * woe, 6).alias("iv_contrib"),
+        )
+    )

@@ -1441,3 +1441,102 @@ def q_supplier_profit_by_nation_year(spark, sf_dir):
         )
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit"))
     )
+
+
+@register(
+    "acctbal_band_join",
+    oracle="""
+WITH c AS (SELECT c_custkey, CAST(round(c_acctbal * 1000000, 0) AS BIGINT) AS cb
+           FROM customer),
+s AS (SELECT s_suppkey, CAST(round(s_acctbal * 1000000, 0) AS BIGINT) AS sb
+      FROM supplier)
+SELECT c.c_custkey, s.s_suppkey,
+       CAST(CAST(CAST(c.cb - s.sb AS DECIMAL(24,6)) / 1000000
+            AS DECIMAL(24,6)) AS DOUBLE) AS bal_diff
+FROM c JOIN s ON abs(c.cb - s.sb) <= 1000000
+""",
+    description="Banded theta join (|c_acctbal - s_acctbal| <= 1.00) done "
+    "the way it scales: balances quantize to exact integer micros, each "
+    "supplier row fans out to its bucket and both band-adjacent buckets "
+    "(bucket width == band width, so every qualifying pair shares a "
+    "bucket), the join is a plain EQUI-join on bucket id, and the exact "
+    "band predicate verifies residually on integers. The oracle's naive "
+    "theta join is the semantic spec; its only physical strategy is a "
+    "broadcast-nested-loop O(|C| x |S|) scan, which at 100 TB is the "
+    "difference between a job that finishes and one that doesn't — the "
+    "bucketed form's cost is |matches| + 3|S|, both sides shuffle-"
+    "partitioned by bucket id (band-skew handled by AQE or bucket "
+    "salting). Same trick as the similarity band joins (SimHash "
+    "pigeonhole chunks) applied to a numeric band predicate; the "
+    "sessionize/as-of family covers the time-axis analog.",
+    tags=("join", "band"),
+)
+def q_acctbal_band_join(spark, sf_dir):
+    band = 1_000_000  # micros == 1.00; bucket width == band width
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 1e6, 0).cast("long").alias("cb")
+    ).withColumn("bucket", F.floor(F.col("cb") / band))
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.round(F.col("s_acctbal") * 1e6, 0).cast("long").alias("sb")
+    ).select(
+        "s_suppkey",
+        "sb",
+        F.explode(
+            F.array(
+                F.floor(F.col("sb") / band) - 1,
+                F.floor(F.col("sb") / band),
+                F.floor(F.col("sb") / band) + 1,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        c.join(s, "bucket")
+        .filter(F.abs(F.col("cb") - F.col("sb")) <= band)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            ((F.col("cb") - F.col("sb")).cast("decimal(24,6)") / F.lit(1000000))
+            .cast("double")
+            .alias("bal_diff"),
+        )
+    )
+
+
+@register(
+    "order_month_multiset_ops",
+    oracle="""
+WITH f AS (SELECT date_trunc('month', o_orderdate) AS month
+           FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT date_trunc('month', o_orderdate) AS month
+      FROM orders WHERE o_orderstatus = 'O'),
+x AS (SELECT month, 'except_all' AS op FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM o)),
+i AS (SELECT month, 'intersect_all' AS op FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM o))
+SELECT op, month, CAST(count(*) AS BIGINT) AS multiplicity
+FROM (SELECT * FROM x UNION ALL SELECT * FROM i)
+GROUP BY 1, 2
+""",
+    description="Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) "
+    "— multiplicity-aware difference and intersection of the order-month "
+    "multisets of 'F'- vs 'O'-status orders, reported as per-month "
+    "multiplicities. Distinct from the set-semantics pair "
+    "(except_no_f_orders / intersect_f_and_o_customers): EXCEPT ALL "
+    "keeps max(0, m1(x) - m2(x)) copies and INTERSECT ALL min(m1(x), "
+    "m2(x)) — the SQL-standard forms Spark implements as a single "
+    "hash aggregate computing both sides' counts per key (explain shows "
+    "one Exchange on the value, no join): exactly the shape you want at "
+    "100 TB, cost == one groupBy. The final multiplicity rollup keeps "
+    "the compare compact; the operators under test run BEFORE it.",
+    tags=("setops",),
+)
+def q_order_month_multiset_ops(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(month)
+    o = orders.filter(F.col("o_orderstatus") == "O").select(month)
+    x = f.exceptAll(o).select("month", F.lit("except_all").alias("op"))
+    i = f.intersectAll(o).select("month", F.lit("intersect_all").alias("op"))
+    return (
+        x.unionByName(i)
+        .groupBy("op", "month")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
