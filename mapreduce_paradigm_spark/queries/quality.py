@@ -255,3 +255,65 @@ def q_doc_gopher_filter_flags(spark, sf_dir):
             (F.col("n_words") >= 30) & (ttr >= 0.40) & (share <= 0.15)
         ).alias("keep"),
     )
+
+
+# --- join-key skew diagnostic ------------------------------------------------
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+WITH kv AS (
+  SELECT 'l_orderkey' AS key_name, CAST(l_orderkey AS BIGINT) AS k FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem
+),
+freq AS (
+  SELECT key_name, k, CAST(count(*) AS BIGINT) AS f
+  FROM kv GROUP BY 1, 2
+)
+SELECT key_name,
+       CAST(sum(f) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(f) AS BIGINT) AS max_freq,
+       round(CAST(max(f) AS DOUBLE) / sum(f), 6) AS top1_share,
+       round(CAST(sum(f) AS DOUBLE) / count(*), 6) AS avg_freq,
+       round(quantile_cont(CAST(f AS DOUBLE), 0.99), 6) AS p99_freq,
+       round(CAST(max(f) AS DOUBLE) * count(*) / sum(f), 6) AS skew_ratio
+FROM freq GROUP BY key_name
+""",
+    description="Join-key skew diagnostic — the report you run BEFORE "
+    "choosing a join strategy at 100 TB (broadcast vs shuffle vs salted "
+    "vs AQE skew split): per candidate key, row/key counts, the hottest "
+    "key's frequency and share, the p99 of the frequency distribution, "
+    "and skew_ratio = max/avg (1.0 == perfectly uniform; the salting "
+    "fan-out factor is sized from exactly this number — "
+    "operators/salted.py). ONE scan: the three key columns unpivot to "
+    "(key_name, value) rows and share a single (key_name, value) count "
+    "shuffle whose partial aggregation absorbs the hot keys map-side — "
+    "the diagnostic itself is skew-immune; the percentile then runs on "
+    "the frequency TABLE (key-count-scale, not row-scale). All inputs "
+    "exact integers; four final divisions rounded 6dp.",
+    tags=("quality", "ops", "skew"),
+)
+def q_join_key_skew_report(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    kv = li.selectExpr(
+        "stack(3, 'l_orderkey', CAST(l_orderkey AS BIGINT), "
+        "'l_partkey', CAST(l_partkey AS BIGINT), "
+        "'l_suppkey', CAST(l_suppkey AS BIGINT)) AS (key_name, k)"
+    )
+    freq = kv.groupBy("key_name", "k").agg(F.count(F.lit(1)).alias("f"))
+    return freq.groupBy("key_name").agg(
+        F.sum("f").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("f").alias("max_freq"),
+        F.round(F.max("f").cast("double") / F.sum("f"), 6).alias("top1_share"),
+        F.round(F.sum("f").cast("double") / F.count(F.lit(1)), 6).alias("avg_freq"),
+        F.round(F.percentile(F.col("f").cast("double"), 0.99), 6).alias("p99_freq"),
+        F.round(
+            F.max("f").cast("double") * F.count(F.lit(1)) / F.sum("f"), 6
+        ).alias("skew_ratio"),
+    )

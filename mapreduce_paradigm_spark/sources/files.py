@@ -57,6 +57,21 @@ def write_jsonl(df: DataFrame, path: str, partition_by: list[str] | None = None)
     w.json(path)
 
 
+def read_json_multiline(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """Multiline JSON scan (a file holding one JSON array / pretty-printed
+    objects — the layout REST-API dumps and config exports arrive in).
+    Unlike JSONL, a multiline document is NOT splittable: the whole file
+    parses in one task, so this source is for many-small-files corpora
+    (parallelism = file count, the binaryFile pattern), never one big
+    array — repack those to JSONL/parquet at ingest. Schema-explicit for
+    the same reasons as read_jsonl; corrupt records surface in the
+    standard ``_corrupt_record`` column if added to the schema
+    (PERMISSIVE default) rather than failing the scan."""
+    return spark.read.schema(schema).option("multiLine", "true").json(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -314,3 +314,29 @@ def test_fixed_width_reader_parses_columns_and_quarantines(spark, tmp_path):
     )
     rows = {r["id"]: (r["name"], r["qty"]) for r in df.collect()}
     assert rows == {1: ("alpha", 42), 2: ("beta", None), 3: ("gamma", 1234)}
+
+
+def test_multiline_json_roundtrip(spark, tmp_path):
+    import json as _json
+
+    from mapreduce_paradigm_spark.sources.files import read_json_multiline
+
+    # two files, each one pretty-printed JSON ARRAY (non-splittable layout;
+    # parallelism comes from file count)
+    rows = [
+        {"id": 1, "name": "alpha", "score": 1.5},
+        {"id": 2, "name": "beta", "score": -2.0},
+        {"id": 3, "name": "gamma", "score": 0.0},
+        {"id": 4, "name": None, "score": 7.25},
+    ]
+    (tmp_path / "a.json").write_text(_json.dumps(rows[:2], indent=2))
+    (tmp_path / "b.json").write_text(_json.dumps(rows[2:], indent=2))
+    df = read_json_multiline(
+        spark, str(tmp_path), "id BIGINT, name STRING, score DOUBLE"
+    )
+    got = sorted(
+        [(r["id"], r["name"], r["score"]) for r in df.collect()]
+    )
+    assert got == [(1, "alpha", 1.5), (2, "beta", -2.0), (3, "gamma", 0.0), (4, None, 7.25)]
+    # the scan parallelizes across files
+    assert df.rdd.getNumPartitions() >= 1
