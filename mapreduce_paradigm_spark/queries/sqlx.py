@@ -447,3 +447,43 @@ def q_orders_struct_ops(spark, sf_dir):
         F.col("o.order_year").alias("order_year"),
         F.col("o.priority").alias("priority"),
     )
+
+
+@register(
+    "part_binary_bit_funcs",
+    oracle="""
+SELECT p_partkey,
+       base64(encode(p_name)) AS name_b64,
+       hex(encode(p_name)) AS name_hex,
+       sha256(p_name) AS name_sha256,
+       CAST(bit_count(CAST(p_partkey AS BIGINT)) AS INTEGER) AS key_bits,
+       xor(CAST(p_partkey AS BIGINT), 255) AS key_xor,
+       CAST(p_partkey AS BIGINT) << 3 AS key_shl,
+       CAST(p_partkey AS BIGINT) >> 1 AS key_shr
+FROM part
+""",
+    description="Binary / bit-manipulation function suite (the remaining "
+    "engine-portable scalar family): base64 and hex encodings of UTF-8 "
+    "bytes, SHA-256 content digests (lowercase hex both engines — the "
+    "content-addressing primitive behind dedup_exact's md5 tier), "
+    "bit_count (popcount — the SimHash Hamming primitive exposed as SQL), "
+    "xor and arithmetic shifts on 64-bit keys (hash mixing / bucket "
+    "arithmetic). Pure per-row codegen, no shuffle; cross-engine parity "
+    "notes: Spark hex() and DuckDB hex(encode()) are both uppercase, "
+    "Spark sha2(x, 256) == DuckDB sha256(x), Spark bit_count returns INT "
+    "(DuckDB BIGINT — cast), and Spark's ^ is DuckDB's xor() (DuckDB ^ "
+    "is exponentiation).",
+    tags=("functions", "sql"),
+)
+def q_part_binary_bit_funcs(spark, sf_dir):
+    key = F.col("p_partkey").cast("long")
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.base64(F.col("p_name").cast("binary")).alias("name_b64"),
+        F.hex(F.col("p_name").cast("binary")).alias("name_hex"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha256"),
+        F.bit_count(key).alias("key_bits"),
+        key.bitwiseXOR(F.lit(255)).alias("key_xor"),
+        F.shiftleft(key, 3).alias("key_shl"),
+        F.shiftright(key, 1).alias("key_shr"),
+    )

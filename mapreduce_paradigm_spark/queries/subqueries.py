@@ -355,3 +355,38 @@ def q_idle_customer_balance_by_code(spark, sf_dir):
         GROUP BY code
         """
     )
+
+
+@register(
+    "parts_not_in_nullable_subquery",
+    oracle="""
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey NOT IN (
+  SELECT nullif(l_partkey, -1) FROM lineitem WHERE l_quantity >= 48
+)
+""",
+    description="NOT IN against a NULLABLE subquery column — the "
+    "three-valued-logic join Spark plans as a NULL-AWARE anti join "
+    "(a regular anti join is WRONG here: one NULL in the in-list must "
+    "annihilate every row, because x NOT IN (..., NULL) is UNKNOWN, "
+    "never TRUE). The nullif() wrapper forces the nullable type while "
+    "leaving survivors at runtime, so the query exercises the null-aware "
+    "plan without a vacuous 0-row result; the plan pin in test_plans.py "
+    "asserts the single-key BroadcastHashJoin LeftAnti that Spark's NAAJ "
+    "optimization emits (the build side streams once, broadcast — the "
+    "naive correlated form is a nested loop). The IN-list quantity "
+    "filter pushes to the parquet scan on the build side.",
+    tags=("subquery", "join", "nulls"),
+)
+def q_parts_not_in_nullable_subquery(spark, sf_dir):
+    from mapreduce_paradigm_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey NOT IN (
+          SELECT nullif(l_partkey, -1) FROM lineitem WHERE l_quantity >= 48
+        )
+        """
+    )

@@ -223,3 +223,16 @@ def test_keep_latest_compaction_uses_window_group_limit(spark):
     # and materializing it sorted.
     plan = formatted_plan(_df(spark, "events_keep_latest_per_user_type"))
     assert "WindowGroupLimit" in plan
+
+
+def test_not_in_nullable_plans_null_aware_anti_join(spark):
+    # NOT IN (nullable subquery) must stay a broadcast hash LeftAnti (Spark's
+    # null-aware anti join), never a nested-loop or a plain (wrong) anti join
+    # over a join condition with OR-isnull — and the build-side filter must
+    # reach the scan.
+    df = _df(spark, "parts_not_in_nullable_subquery")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_pushed_filters(df, "GreaterThanOrEqual(l_quantity,48.0)")
