@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_paradigm_spark.functions import word_shingles
 
 # --- cache discipline --------------------------------------------------------
 
@@ -83,9 +82,24 @@ def hashed_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
         "doc_id",
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
     )
+    # hash the k token slots DIRECTLY (xxhash64 chains its arguments) —
+    # materializing the joined shingle string first (concat_ws + transform)
+    # costs 2× on the scan (sf0.1: 0.54 s vs 0.24 s) purely in string
+    # allocation. Tokens are whitespace-free so the k-tuple is exactly as
+    # collision-bounded as the joined form; sids are internal to every
+    # consumer (only pair/membership outputs leave), so the id scheme is
+    # free to choose the cheap one.
+    token_args = ", ".join(f"toks[i + {j}]" for j in range(-1, k - 1))
     return arr.select(
         "doc_id",
-        F.explode(F.transform(word_shingles("toks", k), lambda s: F.xxhash64(s))).alias("sid"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {k} THEN "
+                f"transform(sequence(1, size(toks) - {k - 1}), "
+                f"i -> xxhash64({token_args})) "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            )
+        ).alias("sid"),
     )
 
 
