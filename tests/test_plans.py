@@ -236,3 +236,33 @@ def test_not_in_nullable_plans_null_aware_anti_join(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert has_pushed_filters(df, "GreaterThanOrEqual(l_quantity,48.0)")
+
+
+def test_band_join_is_equi_join_not_nested_loop(spark):
+    # the banded theta join must plan as an EQUI-join on the bucket id
+    # (broadcast or sort-merge — either is fine); if the bucket fan-out ever
+    # regresses into the raw |C|x|S| predicate join, Spark plans a
+    # BroadcastNestedLoopJoin — the exact shape this operator exists to avoid
+    plan = formatted_plan(_df(spark, "acctbal_band_join"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_null_aware_anti_join_semantics(spark):
+    # x NOT IN (subquery) with an ACTUAL null in the in-list must yield zero
+    # rows (UNKNOWN is not TRUE) — the semantics the null-aware anti join
+    # implements; a plain anti join would wrongly keep non-matching rows.
+    from mapreduce_paradigm_spark.sources.tables import register_views
+
+    register_views(spark, SF_CORRECT)
+    n = spark.sql(
+        """
+        SELECT count(*) AS n FROM part
+        WHERE p_partkey NOT IN (
+          SELECT CASE WHEN l_quantity >= 48 THEN NULL ELSE l_partkey END
+          FROM lineitem
+        )
+        """
+    ).collect()[0]["n"]
+    assert n == 0

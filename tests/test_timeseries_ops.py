@@ -111,3 +111,62 @@ def test_kcore_matches_python_peeling(spark):
     assert got == dict(want)
     assert len(got) > 0
     assert all(d >= k for d in got.values())
+
+
+def _half_up(x: float) -> int:
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def test_cusum_matches_python_scan(spark):
+    """The integer identity n*P_t - t*T must reproduce the float CUSUM
+    argmax exactly: recompute per-user scans in Python on micro ints."""
+    from collections import defaultdict
+
+    from mapreduce_paradigm_spark.registry import all_specs
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    got = {
+        r["user_id"]: (r["cp_ts"], r["cusum_max"])
+        for r in all_specs()["events_cusum_changepoint"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    rows = (
+        load_table(spark, SF_CORRECT, "events")
+        .filter("value IS NOT NULL")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r["user_id"]].append(
+            (r["ts"], r["event_id"], _half_up(r["value"] * 1e6))
+        )
+    checked = 0
+    for uid, evs in series.items():
+        if len(evs) < 20:
+            assert uid not in got
+            continue
+        evs.sort(key=lambda e: (e[0], e[1]))
+        total = sum(v for _, _, v in evs)
+        n = len(evs)
+        p = 0
+        best = (-1, None)
+        for t, (ts, _, v) in enumerate(evs, start=1):
+            p += v
+            s_abs = abs(n * p - t * total)
+            if s_abs > best[0]:
+                best = (s_abs, ts)
+        want_ts = best[1]
+        # Spark F.round is half-up; Python round is half-even
+        import math
+
+        want_max = math.floor(best[0] / n + 0.5) / 1e6
+        assert got[uid][0] == want_ts, uid
+        assert abs(got[uid][1] - want_max) < 1e-9, uid
+        checked += 1
+    assert checked > 0
