@@ -34,6 +34,7 @@ def connected_components(
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 20,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """``(doc_id, component)`` for every vertex in ``edges``; component =
     the minimum doc_id reachable. Deterministic.
@@ -60,8 +61,15 @@ def connected_components(
     from pyspark.sql.types import NumericType
 
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # undirected: both directions once
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # undirected: both directions once. ``edges_unique`` asserts the input
+    # is already a set of asymmetric pairs (src < dst, no duplicates) — the
+    # contract of every pair generator in operators/dedup.py (their final
+    # groupBy(d1, d2) guarantees it) — in which case the two-direction
+    # union is duplicate-free BY CONSTRUCTION and the distinct would be a
+    # wasted full shuffle of the edge list.
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    if not edges_unique:
+        sym = sym.distinct()
     sym = sym.persist()
     labels = (
         sym.select(F.col("a").alias("v"))
@@ -128,6 +136,7 @@ def connected_components_star(
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 40,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Large-star/small-star connected components — same contract as
     ``connected_components`` (vertex → min reachable id), O(log² n) rounds
@@ -153,12 +162,14 @@ def connected_components_star(
     )
     # canonical undirected form (small, large) — the star rewrites keep
     # edges in this orientation, so equality-by-subtract is well-defined
-    cur = (
-        e.filter(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("s"), F.greatest("a", "b").alias("g"))
-        .distinct()
-        .persist()
+    cur = e.filter(F.col("a") != F.col("b")).select(
+        F.least("a", "b").alias("s"), F.greatest("a", "b").alias("g")
     )
+    # see connected_components: asymmetric-unique input pairs ARE the
+    # canonical form already — the distinct would re-shuffle for nothing
+    if not edges_unique:
+        cur = cur.distinct()
+    cur = cur.persist()
     cur.count()
 
     def _star(edges_sl: DataFrame, large: bool) -> DataFrame:

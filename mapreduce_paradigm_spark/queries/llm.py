@@ -231,7 +231,8 @@ def q_dedup_clusters(spark, sf_dir):
     from mapreduce_paradigm_spark.operators.components import connected_components
 
     pairs = jaccard_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
-    return connected_components(pairs)
+    # jaccard_pairs emits asymmetric-unique (d1 < d2) pairs by construction
+    return connected_components(pairs, edges_unique=True)
 
 
 @register(
@@ -252,7 +253,7 @@ def q_dedup_clusters_star(spark, sf_dir):
     from mapreduce_paradigm_spark.operators.components import connected_components_star
 
     pairs = jaccard_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
-    return connected_components_star(pairs)
+    return connected_components_star(pairs, edges_unique=True)
 
 
 @register(
@@ -381,7 +382,7 @@ def q_dedup_keep_one_near(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, k=3, threshold=0.5)
-    labels = connected_components_star(pairs)
+    labels = connected_components_star(pairs, edges_unique=True)
     non_survivors = labels.filter(F.col("doc_id") != F.col("component"))
     return docs.join(non_survivors, "doc_id", "left_anti").select("doc_id")
 
