@@ -468,10 +468,15 @@ GROUP BY doc_id
 )
 def q_bm25_ranking(spark, sf_dir):
     from mapreduce_paradigm_spark.functions import doc_words
+    from mapreduce_paradigm_spark.operators.dedup import _tracked_persist
 
     terms_wanted = ("hash", "join", "batch")
     docs = load_table(spark, sf_dir, "documents")
-    dw = doc_words(docs)  # (doc_id, word), normalized, non-empty, NOT distinct
+    # (doc_id, word), normalized, non-empty, NOT distinct; persisted so the
+    # dl and tf subtrees share ONE tokenization scan (no release_caches
+    # here: hybrid_rrf_fusion composes this builder and frees the cache
+    # itself)
+    dw = _tracked_persist(doc_words(docs))
     dl = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -85,8 +85,17 @@ ORDER BY rnk LIMIT 50
     tags=("flagship", "index", "search"),
 )
 def q_query_likelihood_dirichlet(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _tracked_persist,
+        release_caches,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    dw = doc_words(docs)
+    # ONE corpus tokenization: dl, C, cf and tf all consume this stream —
+    # unpersisted, each subtree re-scans and re-tokenizes (4 parquet scans
+    # showed up in the plan audit; PLANS.md)
+    release_caches()
+    dw = _tracked_persist(doc_words(docs))
     dl = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     coll = dw.agg(F.count(F.lit(1)).alias("c_total"))
     in_q = dw.filter(F.col("word").isin(*_QL_TERMS))
