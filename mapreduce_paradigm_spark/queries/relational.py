@@ -1469,6 +1469,7 @@ FROM c JOIN s ON abs(c.cb - s.sb) <= 1000000
     "salting). Same trick as the similarity band joins (SimHash "
     "pigeonhole chunks) applied to a numeric band predicate; the "
     "sessionize/as-of family covers the time-axis analog.",
+    bench=True,
     tags=("join", "band"),
 )
 def q_acctbal_band_join(spark, sf_dir):

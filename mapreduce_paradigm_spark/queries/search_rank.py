@@ -82,6 +82,7 @@ ORDER BY rnk LIMIT 50
     "merge-order-independent. The final global top-50 is the only "
     "single-partition step (50 rows). At 100 TB the collection stats come "
     "from the same aggregate pass that builds dl; nothing else changes.",
+    bench=True,
     tags=("flagship", "index", "search"),
 )
 def q_query_likelihood_dirichlet(spark, sf_dir):
@@ -195,6 +196,7 @@ ORDER BY rnk LIMIT 20
     "mapInPandas top-k from operators/similarity.py — corpus never "
     "shuffles). RRF contributions round to integer micros before the sum "
     "so fused order is engine-independent.",
+    bench=True,
     tags=("flagship", "search", "similarity", "llm"),
 )
 def q_hybrid_rrf_fusion(spark, sf_dir):
