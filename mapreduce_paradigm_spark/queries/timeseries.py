@@ -837,3 +837,99 @@ def q_events_cusum_changepoint(spark, sf_dir):
             .alias("cusum_max"),
         )
     )
+
+
+# --- dow-hour seasonal adjustment --------------------------------------------
+
+
+@register(
+    "events_seasonal_adjusted_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hstart,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+cells AS (
+  SELECT event_type, dayofweek(hstart) AS dow, hour(hstart) AS hod,
+         CAST(count(*) AS BIGINT) AS k_cell,
+         CAST(sum(n) AS BIGINT) AS s_cell
+  FROM hourly GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS h_total,
+         CAST(sum(n) AS BIGINT) AS s_total
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hstart, h.n,
+       round(CAST(c.s_cell AS DOUBLE) * t.h_total
+             / (c.k_cell * t.s_total), 4) AS seasonal_index,
+       round(CAST(h.n AS DOUBLE) * c.k_cell * t.s_total
+             / (c.s_cell * t.h_total), 4) AS deseasonalized
+FROM hourly h
+JOIN cells c ON h.event_type = c.event_type
+            AND dayofweek(h.hstart) = c.dow AND hour(h.hstart) = c.hod
+JOIN tot t ON h.event_type = t.event_type
+WHERE c.s_cell > 0
+""",
+    description="Day-of-week x hour-of-day seasonal adjustment of hourly "
+    "event counts: seasonal_index(cell) = cell mean / overall mean, "
+    "deseasonalized(hour) = n / index — the classical-decomposition "
+    "seasonal step that must run BEFORE thresholding or z-scoring an "
+    "hourly metric (events_hourly_anomaly_zscore flags against a flat "
+    "baseline; a 9am spike is only anomalous relative to 9am's own "
+    "norm). Three aggregates over the same hourly grid (hour roll-up is "
+    "the single corpus-scale pass; cells and totals are grid-scale), "
+    "both profile joins broadcast-able (168 cells x types, 1 row x "
+    "type). Index and adjusted values are single divisions of exact "
+    "integer products rounded 4dp — hash-stable; Spark dayofweek == "
+    "DuckDB dayofweek+1 is NOT true (both are 1-7 Sunday-based here, "
+    "Spark dayofweek Sunday=1, DuckDB dayofweek Sunday=0 — the join "
+    "uses each engine's own cells consistently, so the convention "
+    "cancels out and never crosses engines).",
+    tags=("timeseries", "anomaly"),
+)
+def q_events_seasonal_adjusted_hourly(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hstart")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cells = hourly.groupBy(
+        "event_type",
+        F.dayofweek("hstart").alias("dow"),
+        F.hour("hstart").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("k_cell"), F.sum("n").alias("s_cell"))
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("h_total"), F.sum("n").alias("s_total")
+    )
+    h = hourly.select(
+        "event_type",
+        "hstart",
+        "n",
+        F.dayofweek("hstart").alias("dow"),
+        F.hour("hstart").alias("hod"),
+    )
+    return (
+        h.join(F.broadcast(cells), ["event_type", "dow", "hod"])
+        .join(F.broadcast(tot), "event_type")
+        .filter(F.col("s_cell") > 0)
+        .select(
+            "event_type",
+            "hstart",
+            "n",
+            F.round(
+                F.col("s_cell").cast("double")
+                * F.col("h_total")
+                / (F.col("k_cell") * F.col("s_total")),
+                4,
+            ).alias("seasonal_index"),
+            F.round(
+                F.col("n").cast("double")
+                * F.col("k_cell")
+                * F.col("s_total")
+                / (F.col("s_cell") * F.col("h_total")),
+                4,
+            ).alias("deseasonalized"),
+        )
+    )
