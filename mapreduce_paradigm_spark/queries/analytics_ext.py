@@ -1000,3 +1000,80 @@ def q_kwic_snippets(spark, sf_dir):
             F.slice("a", start, end - start + 1), " "
         ).alias("snippet"),
     )
+
+
+# --- 2D skyline (Pareto frontier) --------------------------------------------
+
+
+@register(
+    "orders_price_date_skyline",
+    oracle="""
+WITH grid AS (
+  SELECT CAST(round(o_totalprice * 1000000, 0) AS BIGINT) AS p_micro,
+         o_orderdate, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+),
+flagged AS (
+  SELECT p_micro, o_orderdate, n_orders,
+         max(epoch(o_orderdate)) OVER (
+           ORDER BY p_micro DESC, o_orderdate DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_prev_date
+  FROM grid
+)
+SELECT CAST(CAST(CAST(p_micro AS DECIMAL(24,6)) / 1000000 AS DECIMAL(24,6))
+            AS DOUBLE) AS o_totalprice,
+       o_orderdate, n_orders
+FROM flagged
+WHERE best_prev_date IS NULL OR epoch(o_orderdate) > best_prev_date
+""",
+    description="2D skyline (Pareto frontier) over (o_totalprice DESC, "
+    "o_orderdate DESC): the orders no other order beats on BOTH price and "
+    "recency — the multi-criteria top-k generalization (maximal vectors, "
+    "Borzsony et al. ICDE'01). Algorithm: on the distinct (price, date) "
+    "grid sorted by (price DESC, date DESC), a point survives iff its "
+    "date strictly exceeds the running max date of all prior rows — an "
+    "O(n log n) single window pass, never the O(n²) dominance self-join. "
+    "The Spark plan is the textbook DISTRIBUTED skyline: phase 1 computes "
+    "LOCAL skylines inside arbitrary hash buckets (local pruning is "
+    "semantically invisible — a locally dominated point is globally "
+    "dominated under any partitioning), shrinking the input massively "
+    "before phase 2 runs the same window globally on survivors; only the "
+    "(tiny) frontier-candidate set ever single-partitions. Prices "
+    "compare as exact integer micros; date ties in both dims collapse "
+    "into grid cells with counts (equal points co-survive by "
+    "definition).",
+    tags=("analytics", "window", "skyline"),
+)
+def q_orders_price_date_skyline(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    grid = orders.groupBy(
+        F.round(F.col("o_totalprice") * 1e6, 0).cast("long").alias("p_micro"),
+        "o_orderdate",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+    def skyline(df, partition_cols):
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(F.col("p_micro").desc(), F.col("o_orderdate").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        best_prev = F.max(F.unix_timestamp("o_orderdate")).over(w)
+        return df.withColumn("bp", best_prev).filter(
+            F.col("bp").isNull() | (F.unix_timestamp("o_orderdate") > F.col("bp"))
+        ).drop("bp")
+
+    # phase 1: local skylines in 32 hash buckets (bucket column is only a
+    # window partition key — any assignment is correct)
+    local = skyline(
+        grid.withColumn("b", F.pmod(F.xxhash64("p_micro", "o_orderdate"), F.lit(32))),
+        ["b"],
+    ).drop("b")
+    # phase 2: exact global pass over the surviving candidates
+    return skyline(local, []).select(
+        (F.col("p_micro").cast("decimal(24,6)") / F.lit(1000000))
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "n_orders",
+    )

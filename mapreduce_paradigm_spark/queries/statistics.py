@@ -856,3 +856,78 @@ def q_value_mad_outliers(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "nation_return_rate_wilson",
+    oracle="""
+WITH base AS (
+  SELECT n.n_name AS nation,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT) AS n_returned
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+),
+scored AS (
+  SELECT nation, n_items, n_returned,
+         round(CAST(n_returned AS DOUBLE) / n_items, 6) AS rate,
+         round((CAST(n_returned AS DOUBLE) / n_items + 1.9208 / n_items
+                - 1.96 * sqrt((CAST(n_returned AS DOUBLE) / n_items)
+                              * (1 - CAST(n_returned AS DOUBLE) / n_items) / n_items
+                              + 0.9604 / (n_items * n_items)))
+               / (1 + 3.8416 / n_items), 6) AS wilson_lower
+  FROM base
+)
+SELECT nation, n_items, n_returned, rate, wilson_lower,
+       CAST(row_number() OVER (ORDER BY wilson_lower DESC, nation ASC) AS BIGINT)
+         AS rnk
+FROM scored
+""",
+    description="Wilson-score lower bound (95%) on per-nation return "
+    "rates, ranked by the BOUND rather than the raw rate — the correct "
+    "way to rank proportions with unequal sample sizes (a 2/2 = 100% "
+    "nation must not outrank a 980/1000 = 98% one; raw-rate ranking is "
+    "the classic small-sample fallacy). z² constants are folded to "
+    "literals (1.9208 = z²/2, 3.8416 = z², 0.9604 = z²/4) so both "
+    "engines evaluate the identical expression tree over exact integer "
+    "counts — one float formula per GROUP, rounded 6dp, never per row. "
+    "One fact-table aggregate (dims broadcast); the ranking runs on "
+    "25 nation rows.",
+    tags=("statistics", "ranking"),
+)
+def q_nation_return_rate_wilson(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        )
+    )
+    p = F.col("n_returned").cast("double") / F.col("n_items")
+    wilson = (
+        p
+        + F.lit(1.9208) / F.col("n_items")
+        - F.lit(1.96)
+        * F.sqrt(
+            p * (F.lit(1) - p) / F.col("n_items")
+            + F.lit(0.9604) / (F.col("n_items") * F.col("n_items"))
+        )
+    ) / (F.lit(1) + F.lit(3.8416) / F.col("n_items"))
+    w = Window.orderBy(F.col("wilson_lower").desc(), F.col("nation").asc())
+    return base.select(
+        "nation",
+        "n_items",
+        "n_returned",
+        F.round(p, 6).alias("rate"),
+        F.round(wilson, 6).alias("wilson_lower"),
+    ).withColumn("rnk", F.row_number().over(w).cast("long"))
