@@ -931,3 +931,157 @@ def q_nation_return_rate_wilson(spark, sf_dir):
         F.round(p, 6).alias("rate"),
         F.round(wilson, 6).alias("wilson_lower"),
     ).withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "signup_purchase_survival_km",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup') AS s,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY 1
+),
+obs AS (SELECT max(ts) AS obs_end FROM events),
+durs AS (
+  SELECT CAST(floor(CAST(date_diff('microsecond', s,
+           CASE WHEN p IS NOT NULL AND p > s THEN p ELSE obs_end END) AS DOUBLE)
+           / 3600000000) AS BIGINT) AS dur_h,
+         CASE WHEN p IS NOT NULL AND p > s THEN 1 ELSE 0 END AS ev
+  FROM f CROSS JOIN obs WHERE s IS NOT NULL
+),
+grid AS (
+  SELECT dur_h, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(count(*) - sum(ev) AS BIGINT) AS c
+  FROM durs GROUP BY 1
+),
+risk AS (
+  SELECT dur_h, d, c,
+         CAST(sum(d + c) OVER () AS BIGINT)
+         - COALESCE(CAST(sum(d + c) OVER (
+             ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS n_risk
+  FROM grid
+),
+terms AS (
+  SELECT dur_h, d, c, n_risk,
+         CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+              WHEN n_risk > d
+              THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                              * 1000000, 0) AS BIGINT)
+              ELSE NULL END AS lt
+  FROM risk
+),
+km AS (
+  SELECT dur_h, d, c, n_risk,
+         CASE WHEN count(*) FILTER (WHERE lt IS NULL) OVER (
+                ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) > 0 THEN NULL
+              ELSE CAST(sum(lt) OVER (
+                ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS BIGINT) END AS log_s_micro
+  FROM terms
+)
+SELECT dur_h, d, c, n_risk,
+       CAST(CAST(COALESCE(log_s_micro, 0) AS DECIMAL(24,6)) / 1000000
+            AS DOUBLE) * CASE WHEN log_s_micro IS NULL THEN CAST('nan' AS DOUBLE)
+                              ELSE 1 END AS log_survival,
+       CASE WHEN log_s_micro IS NULL THEN 0.0
+            ELSE round(exp(CAST(CAST(log_s_micro AS DECIMAL(24,6)) / 1000000
+                                AS DOUBLE)), 6) END AS survival
+FROM km
+""",
+    description="Kaplan-Meier product-limit survival curve for signup -> "
+    "first-purchase latency with RIGHT-CENSORING (users who never "
+    "convert are censored at the observation end, not dropped — dropping "
+    "them is the classic conversion-latency bias). Durations bucket to "
+    "hours; per bucket d events / c censored; risk sets come from one "
+    "cumulative window over the AGGREGATED grid (<= observation-span "
+    "rows, the only single-partition step); S(t) = prod (1 - d/n) "
+    "accumulates as an INTEGER cumulative sum of per-bucket "
+    "ln((n-d)/n) micros — the product becomes merge-order-independent "
+    "integer addition (same discipline as BM25/QL scoring), with the "
+    "n==d terminal case (S=0, log -inf) handled by an explicit identical "
+    "CASE on both engines (NULL log, NaN marker, survival 0). The "
+    "corpus-scale work is one per-user aggregate; everything after runs "
+    "on the duration grid.",
+    tags=("statistics", "timeseries", "survival"),
+)
+def q_signup_purchase_survival_km(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    f = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    obs = events.agg(F.max("ts").alias("obs_end"))
+    conv = F.col("p").isNotNull() & (F.col("p") > F.col("s"))
+    # timestampdiff(MICROSECOND) is NTZ-safe and timezone-free (unix_micros
+    # requires TIMESTAMP and would drag the session zone into the math)
+    delta_us = F.expr(
+        "timestampdiff(MICROSECOND, s, "
+        "CASE WHEN p IS NOT NULL AND p > s THEN p ELSE obs_end END)"
+    )
+    durs = (
+        f.filter(F.col("s").isNotNull())
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.floor(delta_us.cast("double") / F.lit(3600000000))
+            .cast("long")
+            .alias("dur_h"),
+            conv.cast("int").alias("ev"),
+        )
+    )
+    grid = durs.groupBy("dur_h").agg(
+        F.sum("ev").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).alias("c"),
+    )
+    w_all = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    risk = grid.withColumn(
+        "n_risk",
+        F.sum(F.col("d") + F.col("c")).over(w_all)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    lt = (
+        F.when(F.col("d") == 0, F.lit(0).cast("long"))
+        .when(
+            F.col("n_risk") > F.col("d"),
+            F.round(
+                F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk"))
+                * 1e6,
+                0,
+            ).cast("long"),
+        )
+        .otherwise(F.lit(None).cast("long"))
+    )
+    terms = risk.withColumn("lt", lt)
+    km = terms.withColumn(
+        "log_s_micro",
+        F.when(
+            F.count_if(F.col("lt").isNull()).over(w_cum) > 0, F.lit(None)
+        ).otherwise(F.sum("lt").over(w_cum)),
+    )
+    log_survival = (
+        F.coalesce(F.col("log_s_micro"), F.lit(0)).cast("decimal(24,6)")
+        / F.lit(1000000)
+    ).cast("double") * F.when(
+        F.col("log_s_micro").isNull(), F.lit(float("nan"))
+    ).otherwise(F.lit(1.0))
+    survival = F.when(F.col("log_s_micro").isNull(), F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(
+                (F.col("log_s_micro").cast("decimal(24,6)") / F.lit(1000000)).cast(
+                    "double"
+                )
+            ),
+            6,
+        )
+    )
+    return km.select(
+        "dur_h", "d", "c", "n_risk",
+        log_survival.alias("log_survival"),
+        survival.alias("survival"),
+    )
