@@ -216,3 +216,79 @@ FROM orders
 GROUP BY ALL
 """
     )
+
+
+@register(
+    "lineitem_pit_customer_status",
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+         lag(o_orderstatus) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev_status
+  FROM orders
+),
+scd2 AS (
+  SELECT o_custkey AS custkey,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         o_orderstatus AS status,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w AS valid_to
+  FROM ordered
+  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+shipped AS (
+  SELECT o.o_custkey AS custkey, l.l_shipdate,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0)
+              AS BIGINT) AS rev_micro
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT d.status AS status_at_ship,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(s.rev_micro) AS BIGINT) AS rev_micro
+FROM shipped s
+JOIN scd2 d ON s.custkey = d.custkey
+           AND s.l_shipdate >= d.valid_from
+           AND (d.valid_to IS NULL OR s.l_shipdate < d.valid_to)
+GROUP BY d.status
+""",
+    description="Point-in-time (as-of) join against the SCD2 dimension "
+    "customer_status_scd2 builds: each shipment joins the status version "
+    "whose [valid_from, valid_to) interval contains its ship date — "
+    "'which era was the customer in WHEN the item shipped', the "
+    "time-travel-correct lookup that a naive join to the CURRENT "
+    "dimension row silently gets wrong (training-data leakage in "
+    "feature pipelines, restated revenue in BI). Non-circular by "
+    "construction: ship dates trail order dates, so items land in "
+    "LATER status eras than the order that created them. Plan: equi-join "
+    "on custkey with the interval predicate as residual — fact and "
+    "dimension share the custkey partitioning (the dimension is "
+    "run-collapsed, orders-of-magnitude smaller than the fact side); "
+    "intervals partition each customer's timeline, so exactly one "
+    "version matches per row (no post-dedup). Revenue in exact micros.",
+    tags=("warehouse", "scd", "join", "asof"),
+)
+def q_lineitem_pit_customer_status(spark, sf_dir):
+    from mapreduce_paradigm_spark.registry import all_specs
+
+    scd2 = all_specs()["customer_status_scd2"].builder(spark, sf_dir)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    shipped = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6, 0)
+        .cast("long")
+        .alias("rev_micro"),
+    )
+    pit = shipped.join(
+        scd2,
+        (shipped.custkey == scd2.custkey)
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+    )
+    return pit.groupBy(F.col("status").alias("status_at_ship")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev_micro").alias("rev_micro"),
+    )

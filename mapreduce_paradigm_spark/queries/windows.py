@@ -356,3 +356,58 @@ def q_events_sliding_window_counts(spark, sf_dir):
             "n",
         )
     )
+
+
+@register(
+    "sessionize_native_session_window",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_id
+  FROM tagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessioned
+GROUP BY user_id, session_id
+""",
+    description="Gap sessionization via Spark's NATIVE batch "
+    "session_window() aggregate — the built-in form of the two-window "
+    "custom operator (sessionize_30min): one groupBy, Spark merges "
+    "overlapping per-event candidate windows internally (window.start = "
+    "first event, window.end = last event + gap). Boundary semantics "
+    "differ from the custom operator at EXACTLY gap==30min: session "
+    "windows are half-open [start, end), so an event landing on the "
+    "boundary starts a NEW session (oracle uses >=), while the custom "
+    "lag() form merges it (uses >) — the kind of off-by-inclusive that "
+    "silently splits sessions; pinned here so both conventions stay "
+    "deliberate. Scale: the native aggregate needs only ONE shuffle on "
+    "user_id (same as the custom form) and is the path that also runs "
+    "under Structured Streaming state (streaming_session_windows).",
+    tags=("window", "sessionize", "events"),
+)
+def q_sessionize_native_session_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
