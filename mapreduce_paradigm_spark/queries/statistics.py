@@ -1085,3 +1085,154 @@ def q_signup_purchase_survival_km(spark, sf_dir):
         log_survival.alias("log_survival"),
         survival.alias("survival"),
     )
+
+
+@register(
+    "ab_conversion_ztest",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+         CASE WHEN min(ts) FILTER (WHERE event_type = 'purchase')
+                   > min(ts) FILTER (WHERE event_type = 'signup')
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converted
+  FROM events GROUP BY user_id
+  HAVING min(ts) FILTER (WHERE event_type = 'signup') IS NOT NULL
+),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS conv
+  FROM assigned GROUP BY grp
+),
+wide AS (
+  SELECT max(CASE WHEN grp = 0 THEN n END) AS n0,
+         max(CASE WHEN grp = 0 THEN conv END) AS c0,
+         max(CASE WHEN grp = 1 THEN n END) AS n1,
+         max(CASE WHEN grp = 1 THEN conv END) AS c1
+  FROM g
+)
+SELECT n0, c0, n1, c1,
+       round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+       round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+       round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z,
+       abs((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+           / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1.0 / n0 + 1.0 / n1))) > 1.96 AS significant_95
+FROM wide
+""",
+    description="Two-proportion z-test on a deterministic 50/50 user split "
+    "(user_id parity — reproducible assignment, no RNG state; swap in a "
+    "salted hash for real experiments): per-user conversion (first "
+    "purchase AFTER first signup — an everyone-converts metric gives "
+    "pooled variance 0 and a 0/0 z; ANSI mode made that loud), group rates, pooled-variance z statistic and the 95% "
+    "significance verdict — the A/B readout every experimentation "
+    "pipeline computes, and the two-sample special case of the "
+    "chi-squared independence test (priority_status_chi2; z² == that "
+    "chi2 on a 2x2 table). One per-user aggregate (corpus-scale) then a "
+    "2-row group rollup pivoted wide; the z formula is one float "
+    "expression over exact integer counts, written identically in both "
+    "engines, rounded 6dp. The strict > on the significance cut "
+    "compares bit-identical doubles.",
+    tags=("statistics", "abtest"),
+)
+def q_ab_conversion_ztest(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    assigned = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+        )
+        .filter(F.col("s").isNotNull())
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("long").alias("grp"),
+            F.when(F.col("p") > F.col("s"), 1).otherwise(0).cast("long").alias("converted"),
+        )
+    )
+    g = assigned.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("c1"),
+    )
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (r1 - r0) / F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.round(r0, 6).alias("rate0"),
+        F.round(r1, 6).alias("rate1"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+@register(
+    "word_zipf_fit",
+    oracle="""
+WITH dw AS (
+  SELECT lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS word
+  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents)
+  WHERE lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) <> ''
+),
+freq AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM dw GROUP BY 1),
+ranked AS (
+  SELECT word, f,
+         CAST(row_number() OVER (ORDER BY f DESC, word ASC) AS BIGINT) AS r
+  FROM freq QUALIFY r <= 100
+),
+pts AS (SELECT r, f, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+        FROM ranked)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope,
+       round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
+             / count(*), 6) AS intercept
+FROM pts
+""",
+    description="Zipf's-law fit of the corpus rank-frequency curve: OLS "
+    "slope of ln(freq) on ln(rank) over the top-100 words — natural "
+    "text sits near slope -1; strong deviation flags synthetic, "
+    "templated, or heavily duplicated corpora (a one-number corpus "
+    "health metric beside doc-level quality scores). One corpus-scale "
+    "word count; ranking and the closed-form OLS run on 100 rows. The "
+    "ln inputs are exact integers (rank, count) so both engines feed "
+    "identical doubles into the identical slope expression (the "
+    "price_qty_ols_by_flag discipline), rounded 6dp. The top-100 "
+    "cut is tie-broken (f DESC, word ASC) for a deterministic point "
+    "set.",
+    tags=("statistics", "text", "llm"),
+)
+def q_word_zipf_fit(spark, sf_dir):
+    from mapreduce_paradigm_spark.functions import doc_words
+
+    dw = doc_words(load_table(spark, sf_dir, "documents"))
+    freq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("word").asc())
+    ranked = freq.withColumn("r", F.row_number().over(w).cast("long")).filter(
+        F.col("r") <= 100
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    intercept = (F.sum("y") - slope * F.sum("x")) / n
+    return pts.agg(
+        n.alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
