@@ -478,3 +478,91 @@ def q_quantity_woe_iv(spark, sf_dir):
             F.round(share_gap * woe, 6).alias("iv_contrib"),
         )
     )
+
+
+# --- Theil-Sen robust slope --------------------------------------------------
+
+
+@register(
+    "user_value_theil_sen",
+    oracle="""
+WITH pts AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list(
+             [CAST(date_diff('microsecond', TIMESTAMP '2024-01-01', ts) AS DOUBLE),
+              CAST(CAST(round(value * 1000000, 0) AS BIGINT) AS DOUBLE)])),
+           p -> p) AS a
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= 2
+),
+slopes AS (
+  SELECT user_id,
+         list_sort(flatten(list_transform(a, (p, i) ->
+           list_transform(a[i+1:len(a)],
+             q -> CASE WHEN q[1] <> p[1]
+                       THEN (q[2] - p[2]) / (q[1] - p[1]) * 3600000000.0
+                       END)))) AS sl
+  FROM pts
+),
+cleaned AS (
+  SELECT user_id, list_filter(sl, x -> x IS NOT NULL) AS sl FROM slopes
+)
+SELECT user_id,
+       CAST(len(sl) AS BIGINT) AS n_pairs,
+       round((sl[(len(sl) + 1) // 2]
+              + sl[len(sl) // 2 + 1]) / 2, 6) AS theil_slope
+FROM cleaned WHERE len(sl) >= 1
+""",
+    description="Theil-Sen robust trend per user: the MEDIAN of all "
+    "pairwise slopes (value-micros per hour) — up to ~29% outlier "
+    "contamination leaves the estimate intact, where the per-user OLS "
+    "slope (user_value_trend) follows a single wild point. Pairwise "
+    "slopes generate IN-ARRAY per group (the jaccard-postings "
+    "combination-explode trick on the per-user point array — no "
+    "self-join, no row explosion; O(n²) confined within each group, "
+    "fine for per-entity series, cap or sample points for groups "
+    "beyond ~10³), and the median is the same explicit sorted-array "
+    "middle formula on both engines (trusting two quantile "
+    "implementations to interpolate identically is exactly the kind "
+    "of cross-engine assumption this registry avoids). Slope inputs "
+    "are exact integer micros; equal-timestamp pairs are excluded by "
+    "integer predicate. One shuffle (the per-user collect).",
+    tags=("mlprep", "statistics", "robust"),
+)
+def q_user_value_theil_sen(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = (
+        events.select(
+            "user_id",
+            F.array(
+                F.expr(
+                    "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01', ts) AS DOUBLE)"
+                ),
+                F.round(F.col("value") * 1e6, 0).cast("long").cast("double"),
+            ).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("a"))
+        .filter(F.size("a") >= 2)
+    )
+    slopes = pts.select(
+        "user_id",
+        F.expr(
+            "array_sort(filter(flatten(transform(a, (p, i) -> "
+            "transform(slice(a, i + 2, size(a)), q -> "
+            "CASE WHEN q[0] <> p[0] "
+            "THEN (q[1] - p[1]) / (q[0] - p[0]) * 3600000000.0 END))), "
+            "x -> x IS NOT NULL))"
+        ).alias("sl"),
+    ).filter(F.size("sl") >= 1)
+    m = F.size("sl")
+    med = (
+        F.element_at("sl", ((m + 1) / 2).cast("int"))
+        + F.element_at("sl", (m / 2 + 1).cast("int"))
+    ) / 2
+    return slopes.select(
+        "user_id",
+        m.cast("long").alias("n_pairs"),
+        F.round(med, 6).alias("theil_slope"),
+    )
