@@ -1000,3 +1000,106 @@ def q_source_mixture_reweighting(spark, sf_dir):
             6,
         ).alias("weight"),
     )
+
+
+@register(
+    "doc_content_defined_chunks",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM toks
+),
+flagged AS (
+  SELECT doc_id, i, a[i] AS tok,
+         CASE WHEN i >= 4 AND
+                   CAST('0x' || substr(md5(a[i-3] || ' ' || a[i-2] || ' ' ||
+                                           a[i-1] || ' ' || a[i]), 1, 8)
+                        AS BIGINT) % 16 = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM pos
+),
+chunked AS (
+  SELECT doc_id, i, tok,
+         COALESCE(CAST(sum(boundary) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) AS chunk_id
+  FROM flagged
+)
+SELECT doc_id, chunk_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+FROM chunked
+GROUP BY doc_id, chunk_id
+""",
+    description="Content-defined chunking (the CDC/Rabin-split family FastCDC "
+    "and storage dedup use, applied at token granularity): a chunk boundary "
+    "falls AFTER token i whenever the hash of the trailing 4-token window "
+    "hits 0 mod 16 (expected chunk ~16 tokens) — boundaries derive from "
+    "CONTENT, so inserting a sentence early in a doc only re-chunks its "
+    "neighborhood, leaving every downstream chunk hash intact (fixed-width "
+    "chunking — doc_chunks_udtf — shifts and invalidates them all: THE "
+    "property chunk-level dedup needs). Window hashes use the md5-hex-"
+    "prefix fold both engines share (the winnowing convention; xxhash64 "
+    "has no DuckDB twin so it stays internal-only). Plan: per-token rows "
+    "explode once, ONE doc-keyed window pass assigns chunk ids, one "
+    "aggregate rebuilds chunk hashes from order-pinned token lists — all "
+    "sharing the doc_id partitioning; per-doc cost is linear in tokens.",
+    tags=("llm", "dedup", "text"),
+)
+def q_doc_content_defined_chunks(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("a")
+    )
+    win4 = F.expr(
+        "concat_ws(' ', a[i-4], a[i-3], a[i-2], a[i-1])"
+    )  # a[] is 0-based in Spark SQL: tokens i-3..i in 1-based terms
+    flagged = (
+        toks.select("doc_id", "a", F.explode(F.sequence(F.lit(1), F.size("a"))).alias("i"))
+        .select(
+            "doc_id",
+            "i",
+            F.expr("a[i-1]").alias("tok"),
+            F.when(
+                (F.col("i") >= 4)
+                & (
+                    F.conv(F.substring(F.md5(win4), 1, 8), 16, 10).cast("long")
+                    % 16
+                    == 0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("boundary"),
+        )
+    )
+    wprev = (
+        W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunked = flagged.select(
+        "doc_id",
+        "i",
+        "tok",
+        F.coalesce(F.sum("boundary").over(wprev), F.lit(0)).alias("chunk_id"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
