@@ -1077,3 +1077,82 @@ def q_orders_price_date_skyline(spark, sf_dir):
         "o_orderdate",
         "n_orders",
     )
+
+
+# --- revenue concentration (Gini / HHI) --------------------------------------
+
+
+@register(
+    "nation_revenue_concentration",
+    oracle="""
+WITH per_cust AS (
+  SELECT n.n_name AS nation, c.c_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nation, rev,
+         CAST(row_number() OVER (
+           PARTITION BY nation ORDER BY rev ASC, c_custkey ASC
+         ) AS BIGINT) AS i,
+         CAST(rev AS DOUBLE) / sum(rev) OVER (PARTITION BY nation) AS share
+  FROM per_cust
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round((2.0 * sum(i * rev)) / (count(*) * sum(rev))
+             - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini,
+       round(sum(share * share), 6) AS hhi
+FROM ranked
+GROUP BY nation
+""",
+    description="Revenue concentration per nation: the Gini coefficient "
+    "via the sorted-rank identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n "
+    "(exact INTEGER sums all the way to one final division — no "
+    "Lorenz-curve interpolation) and the Herfindahl-Hirschman index "
+    "(sum of squared revenue shares) beside it — whale-dependence "
+    "metrics for revenue risk, and for corpus curation the same math "
+    "flags source/domain concentration. One fact aggregate to "
+    "per-customer revenues, one nation-keyed window for ranks and "
+    "share denominators (same partitioning, no extra shuffle), one "
+    "final rollup. Ranks tie-break on custkey so i*x_i is "
+    "deterministic (ties in rev permute i but x equal ⇒ sum "
+    "invariant; the tiebreak still pins the plan).",
+    tags=("analytics", "statistics"),
+)
+def q_nation_revenue_concentration(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 1e6, 0).cast("long")).alias("rev")
+        )
+    )
+    wr = Window.partitionBy("nation").orderBy(
+        F.col("rev").asc(), F.col("c_custkey").asc()
+    )
+    ws = Window.partitionBy("nation")
+    ranked = per_cust.select(
+        "nation",
+        "rev",
+        F.row_number().over(wr).cast("long").alias("i"),
+        (F.col("rev").cast("double") / F.sum("rev").over(ws)).alias("share"),
+    )
+    return ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("rev")))
+            / (F.count(F.lit(1)) * F.sum("rev"))
+            - (F.count(F.lit(1)) + 1).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+    )

@@ -661,3 +661,67 @@ def q_part_name_er_blocked_pairs(spark, sf_dir):
         )
         .filter(F.col("qual_dist") <= 2)
     )
+
+
+# --- rendezvous (HRW) sharding -----------------------------------------------
+
+
+@register(
+    "doc_rendezvous_sharding",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, s.shard,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s.shard AS VARCHAR)) AS score
+  FROM documents, (SELECT unnest(generate_series(0, 7)) AS shard) s
+),
+assigned AS (
+  SELECT doc_id, CAST(arg_max(shard, score) AS BIGINT) AS shard
+  FROM scored GROUP BY doc_id
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS membership_md5
+FROM assigned GROUP BY shard
+""",
+    description="Rendezvous (highest-random-weight) sharding: each doc "
+    "lands on the shard maximizing md5(doc:shard) — the deterministic "
+    "routing scheme whose defining property is MINIMAL disruption "
+    "(removing one shard remaps ONLY that shard's docs, ~1/K of the "
+    "corpus, vs naive mod-K hashing remapping nearly everything — "
+    "pinned in pytest). This is how a 100 TB pipeline assigns docs to "
+    "index/ANN/dedup partitions that must survive cluster resizes. "
+    "Per-doc cost is K hashes in one projection (explode x argmax, no "
+    "shuffle until the per-shard rollup); md5 keeps the score portable "
+    "across engines (arg_max on the hex string == Spark max_by — both "
+    "compare lexicographically). Shard membership is checksummed "
+    "order-pinned for the hash compare.",
+    tags=("pipeline", "sharding"),
+)
+def q_doc_rendezvous_sharding(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("shard")
+    ).select(
+        "doc_id",
+        "shard",
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("shard").cast("string"))
+        ).alias("score"),
+    )
+    assigned = scored.groupBy("doc_id").agg(
+        F.max_by("shard", "score").cast("long").alias("shard")
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("membership_md5"),
+    )

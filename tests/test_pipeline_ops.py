@@ -233,3 +233,40 @@ def test_observed_metrics_ride_the_action(spark):
     audited, obs = observe_counts(li, "filtered_rows")
     n = audited.count()
     assert obs.get["rows"] == n > 0
+
+
+def test_rendezvous_minimal_disruption(spark):
+    """HRW's defining property: dropping shard 7 must remap ONLY the docs
+    that lived on shard 7 — every other doc keeps its assignment."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+
+    def assign(n_shards):
+        scored = docs.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard")
+        ).select(
+            "doc_id",
+            "shard",
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.col("shard").cast("string")
+                )
+            ).alias("score"),
+        )
+        return {
+            r["doc_id"]: r["shard"]
+            for r in scored.groupBy("doc_id")
+            .agg(F.max_by("shard", "score").alias("shard"))
+            .collect()
+        }
+
+    with8 = assign(8)
+    with7 = assign(7)  # shard 7 removed
+    moved = {d for d in with8 if with8[d] != with7[d]}
+    assert moved == {d for d, s in with8.items() if s == 7}
+    assert 0 < len(moved) < len(with8)
