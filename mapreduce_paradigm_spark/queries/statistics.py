@@ -1236,3 +1236,56 @@ def q_word_zipf_fit(spark, sf_dir):
         F.round(slope, 6).alias("zipf_slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+@register(
+    "price_exact_median_histogram",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(CAST(CAST(round(quantile_cont(
+         CAST(round(l_extendedprice * 1000000, 0) AS BIGINT), 0.5) * 1, 0)
+         AS BIGINT) AS DECIMAL(24,6)) / 1000000 AS DECIMAL(24,6)) AS DOUBLE)
+         AS median_price
+FROM lineitem
+""",
+    description="EXACT global median by iterative histogram refinement "
+    "(operators/quantiles.py): each pass histograms the surviving value "
+    "range into 1024 buckets, the driver sees ONLY the 1024 counts, "
+    "picks the bucket holding the target rank, and narrows — 3 passes "
+    "settle a 10^12-micro range, each one scan + tiny aggregate, no "
+    "global sort, no per-group value buffers (the failure modes of "
+    "sort-based and percentile()-based medians at 100 TB; the sketch "
+    "tier quantity_approx_percentiles trades exactness for ONE pass). "
+    "Driver-side loop but never driver-side data: the classic "
+    "distributed-selection construction. Result hash-matches the "
+    "engine-native exact median oracle; both middle order statistics "
+    "are found exactly (even-count average, micros-exact so the mean "
+    "of two longs renders through the shared micros->decimal->double "
+    "path).",
+    tags=("statistics", "percentile", "iterative"),
+)
+def q_price_exact_median_histogram(spark, sf_dir):
+    from decimal import Decimal
+
+    from mapreduce_paradigm_spark.operators.quantiles import kth_smallest_long
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 1e6, 0).cast("long").alias("p_micro")
+    )
+    li = li.persist()
+    n = li.count()
+    k1, k2 = (n + 1) // 2, n // 2 + 1
+    v1 = kth_smallest_long(li, "p_micro", k1)
+    v2 = v1 if k2 == k1 else kth_smallest_long(li, "p_micro", k2)
+    li.unpersist()
+    # (v1+v2)/2 in micros, rendered as exact decimal — micros are integers
+    # so the midpoint is exact at half-micro precision; round to micro like
+    # the oracle's quantile_cont output (integer inputs -> .0 or .5 -> the
+    # round(x, 0) both engines share)
+    # integer half-up (prices are positive): matches DuckDB round(x.5)=away
+    # from zero, where Python round() would banker-round to even
+    mid_micro = (v1 + v2 + 1) // 2
+    med = float(Decimal(mid_micro) / Decimal(1000000))
+    return li.sparkSession.createDataFrame(
+        [(n, med)], "n_rows LONG, median_price DOUBLE"
+    )
