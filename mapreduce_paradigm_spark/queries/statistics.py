@@ -1289,3 +1289,129 @@ def q_price_exact_median_histogram(spark, sf_dir):
     return li.sparkSession.createDataFrame(
         [(n, med)], "n_rows LONG, median_price DOUBLE"
     )
+
+
+@register(
+    "qty_weighted_median_price",
+    oracle="""
+WITH w AS (
+  SELECT CAST(round(l_extendedprice * 1000000, 0) AS BIGINT) AS p_micro,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+grid AS (
+  SELECT p_micro, CAST(sum(wt) AS BIGINT) AS wt FROM w GROUP BY 1
+),
+cum AS (
+  SELECT p_micro, wt,
+         CAST(sum(wt) OVER (ORDER BY p_micro
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+         CAST(sum(wt) OVER () AS BIGINT) AS tw
+  FROM grid
+)
+SELECT CAST(CAST(CAST(min(p_micro) AS DECIMAL(24,6)) / 1000000
+            AS DECIMAL(24,6)) AS DOUBLE) AS weighted_median_price
+FROM cum WHERE 2 * cw >= tw
+""",
+    description="Quantity-weighted median price: the smallest price whose "
+    "cumulative quantity weight reaches half the total — 'the price at "
+    "which half the UNITS (not half the line items) ship', the "
+    "inventory-weighted center no unweighted percentile sees. The "
+    "comparison 2*cw >= tw is pure integers (micros prices, integer "
+    "quantities), so the cut point is exact on both engines with no "
+    "half-total float. Corpus-scale work is one (price -> weight) "
+    "aggregate; the cumulative window runs on the distinct-price grid. "
+    "At 100 TB swap the global window for the histogram-refinement "
+    "loop (operators/quantiles.py generalizes to weighted ranks by "
+    "summing weights per bucket instead of counts).",
+    tags=("statistics", "percentile"),
+)
+def q_qty_weighted_median_price(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 1e6, 0).cast("long").alias("p_micro"),
+            F.col("l_quantity").cast("long").alias("wt"),
+        )
+        .groupBy("p_micro")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    w_cum = Window.orderBy("p_micro").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("p_micro").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grid.select(
+        "p_micro",
+        F.sum("wt").over(w_cum).alias("cw"),
+        F.sum("wt").over(w_all).alias("tw"),
+    )
+    return cum.filter(2 * F.col("cw") >= F.col("tw")).agg(
+        (F.min("p_micro").cast("decimal(24,6)") / F.lit(1000000))
+        .cast("double")
+        .alias("weighted_median_price")
+    )
+
+
+@register(
+    "priority_neyman_allocation",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS s1,
+         sum(CAST(CAST(round(o_totalprice * 1000000, 0) AS BIGINT) AS HUGEINT)
+             * CAST(CAST(round(o_totalprice * 1000000, 0) AS BIGINT) AS HUGEINT))
+           AS s2
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT stratum, n_h,
+         n_h * sqrt(CAST(s2 AS DOUBLE) / n_h
+                    - (CAST(s1 AS DOUBLE) / n_h) * (CAST(s1 AS DOUBLE) / n_h))
+           AS nh_sigma
+  FROM s
+)
+SELECT stratum, n_h,
+       round(nh_sigma / sum(nh_sigma) OVER (), 6) AS alloc_share,
+       CAST(round(1000 * nh_sigma / sum(nh_sigma) OVER (), 0) AS BIGINT)
+         AS alloc_n
+FROM scored
+""",
+    description="Neyman optimal allocation for stratified sampling: each "
+    "stratum's share of a 1000-row sample budget proportional to "
+    "N_h * sigma_h — the design that minimizes estimator variance for a "
+    "fixed budget (equal or proportional allocation oversamples "
+    "low-variance strata). Per-stratum sigma comes from exact integer "
+    "power sums (the moment-stats discipline: shard-mergeable partials, "
+    "one float formula per stratum at the end); the share denominator "
+    "is a window over the 5-row strata table. Feeds the deterministic "
+    "hash-threshold samplers (documents_stratified_sample) with "
+    "variance-optimal rates instead of ad-hoc ones. One corpus "
+    "aggregate; everything else is strata-count-scale.",
+    tags=("statistics", "sampling"),
+)
+def q_priority_neyman_allocation(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    p = F.round(F.col("o_totalprice") * 1e6, 0).cast("long")
+    s = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(p).alias("s1"),
+        # p² at price scale (~5e11 micros) overflows LONG; 128-bit decimal
+        # accumulation keeps the power sum exact (moment-stats discipline)
+        F.sum(p.cast("decimal(19,0)") * p.cast("decimal(19,0)")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_h")
+    nh_sigma = F.col("n_h") * F.sqrt(
+        F.col("s2").cast("double") / F.col("n_h") - mean * mean
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored = s.select("stratum", "n_h", nh_sigma.alias("nh_sigma"))
+    return scored.select(
+        "stratum",
+        "n_h",
+        F.round(F.col("nh_sigma") / F.sum("nh_sigma").over(w), 6).alias("alloc_share"),
+        F.round(F.lit(1000) * F.col("nh_sigma") / F.sum("nh_sigma").over(w), 0)
+        .cast("long")
+        .alias("alloc_n"),
+    )
