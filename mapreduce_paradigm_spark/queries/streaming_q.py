@@ -383,3 +383,42 @@ def q_streaming_cdc_keep_latest_fb(spark, sf_dir):
     return spark.read.parquet(state_dir).select(
         "user_id", "event_type", "event_id", "ts", "value"
     )
+
+
+@register(
+    "streaming_user_totals_multibatch",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    description="The applyInPandasWithState running-totals operator under "
+    "a GENUINE multi-micro-batch run: the event table restages into 4 "
+    "files streamed one per trigger, so per-user state must survive the "
+    "state store across 4 separate batches and keep accumulating — the "
+    "property the single-file availableNow sources (one batch) verify "
+    "only vacuously. Final state still hash-matches the batch aggregate "
+    "because the state update is integer-micros addition (commutative, "
+    "batching-independent); a float accumulator would drift with the "
+    "batch split. This is the registry's direct evidence that streaming "
+    "state semantics — not just streaming plumbing — are correct.",
+    tags=("streaming", "stateful", "events"),
+)
+def q_streaming_user_totals_multibatch(spark, sf_dir):
+    from mapreduce_paradigm_spark.streaming import (
+        _stream_table_chunked,
+        stateful_user_totals,
+    )
+
+    src = _stream_table_chunked(spark, sf_dir, "events", n_chunks=4)
+    updates = run_to_memory(
+        stateful_user_totals(spark, sf_dir, source=src), output_mode="update"
+    )
+    # update mode emits one row per (user, batch); keep the final state
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -146,7 +146,31 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_table_chunked(
+    spark: SparkSession, sf_dir: str, name: str, n_chunks: int = 4
+) -> DataFrame:
+    """Restage one table into ``n_chunks`` parquet files in a temp dir and
+    stream them ONE file per trigger — real multi-micro-batch incremental
+    execution. The single-file sources above process everything in one
+    availableNow batch, which makes cross-batch state merge vacuously
+    correct; this source actually exercises it (state must survive and
+    accumulate across ``n_chunks`` separate batches, under whatever row
+    split repartition produced). The restage cost is one batch write —
+    test-harness plumbing, not a production path; production streams are
+    already many-filed."""
+    batch = load_table(spark, sf_dir, name)  # ts repair handled here
+    tmp = tempfile.mkdtemp(prefix=f"chunked_{name}_")
+    batch.repartition(n_chunks).write.mode("overwrite").parquet(tmp)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+
+
+def stateful_user_totals(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running (event count, value total) kept as explicit group state,
     re-emitted after every micro-batch that touches the user.
@@ -163,7 +187,8 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    ev = _stream_table(spark, sf_dir, "events").select("user_id", "value")
+    src = source if source is not None else _stream_table(spark, sf_dir, "events")
+    ev = src.select("user_id", "value")
 
     def update(key, pdfs, state):
         import pandas as pd
