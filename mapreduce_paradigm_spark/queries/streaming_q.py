@@ -422,3 +422,42 @@ def q_streaming_user_totals_multibatch(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@register(
+    "streaming_cdc_keep_latest_multibatch",
+    oracle="""
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    description="The CDC keep-latest upsert under a REAL 4-micro-batch "
+    "change log (restaged files, one per trigger): the state table is "
+    "genuinely merged 4 times — each batch's per-key champion re-ranked "
+    "against persisted state, atomic swap each time — and the final "
+    "state must still hash-match the batch keep-latest oracle. The "
+    "single-batch form (streaming_cdc_keep_latest_fb) proves the merge "
+    "CODE runs; this one proves the merge is actually associative/"
+    "commutative under an arbitrary split of the log, which is the "
+    "whole correctness claim of incremental upsert compaction.",
+    tags=("streaming", "cdc", "events"),
+)
+def q_streaming_cdc_keep_latest_multibatch(spark, sf_dir):
+    import tempfile
+
+    from mapreduce_paradigm_spark.streaming import (
+        _stream_table_chunked,
+        cdc_keep_latest_foreachbatch,
+    )
+
+    src = _stream_table_chunked(spark, sf_dir, "events", n_chunks=4)
+    state_dir = tempfile.mkdtemp(prefix="cdc_state_mb_") + "/state"
+    cdc_keep_latest_foreachbatch(spark, sf_dir, state_dir, source=src)
+    return spark.read.parquet(state_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )

@@ -429,6 +429,7 @@ def cdc_keep_latest_foreachbatch(
     sf_dir: str,
     state_dir: str,
     checkpoint_dir: str | None = None,
+    source: DataFrame | None = None,
 ) -> None:
     """Streaming CDC upsert compaction (the streaming half of
     ``events_keep_latest_per_user_type``): each micro-batch reduces to its
@@ -446,9 +447,8 @@ def cdc_keep_latest_foreachbatch(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    ev = _stream_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "event_id", "ts", "value"
-    )
+    src = source if source is not None else _stream_table(spark, sf_dir, "events")
+    ev = src.select("user_id", "event_type", "event_id", "ts", "value")
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
