@@ -537,22 +537,34 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     reuses the count already needed for the majority vote and raises
     loudly (ANSI-independent) rather than silently corrupting neighboring
     counters — chunk such documents upstream.
+
+    ZERO-shuffle: a SimHash is a per-document computation, so it must not
+    shuffle — the word-set dedup happens IN-ARRAY (array_distinct), each
+    word hashes once (transform), and the 16 packed popcount accumulators
+    fold over the hash array with the ``aggregate`` higher-order function,
+    all inside one codegen'd projection. The earlier explode → distinct →
+    groupBy form paid two corpus-scale exchanges for the same numbers
+    (sf0.1: ~2.9 s → ~2.0 s; at 100 TB the two saved shuffles are the
+    entire cost). SQL precedence trap: ``&`` binds LOOSER than ``+`` —
+    the fold term must parenthesize ``(nibble*spread) & mask`` or the
+    mask silently clears the accumulator.
     """
-    words = (
-        docs.select("doc_id", F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"))
-        .filter(F.length("w") > 0)
-        .distinct()
-        .withColumn("h", F.xxhash64("w"))
+    hashes = F.expr(
+        "transform(array_distinct(filter(split(lower(trim({t})), '\\\\s+'), "
+        "x -> x != '')), w -> xxhash64(w))".format(t=text_col)
     )
-    aggs = [F.count(F.lit(1)).alias("n")]
+    base = docs.select("doc_id", hashes.alias("hs"))
+    sel = [F.col("doc_id"), F.size("hs").cast("long").alias("n")]
     for p in range(_PACK_LONGS):
         nibble_mask = 15 if p < _PACK_LONGS - 1 else 7  # top long: 3 live bits
-        packed = (
-            F.shiftright("h", 4 * p).bitwiseAND(F.lit(nibble_mask)).cast("long")
-            * F.lit(_PACK_SPREAD)
-        ).bitwiseAND(F.lit(_PACK_MASK))
-        aggs.append(F.sum(packed).alias(f"p{p}"))
-    per_doc = words.groupBy("doc_id").agg(*aggs)
+        sel.append(
+            F.expr(
+                f"aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> acc + "
+                f"((CAST(shiftright(h, {4 * p}) & {nibble_mask} AS BIGINT) "
+                f"* {_PACK_SPREAD}) & {_PACK_MASK}))"
+            ).alias(f"p{p}")
+        )
+    per_doc = base.select(*sel)
 
     n = F.col("n")
     fingerprint = None

@@ -266,3 +266,14 @@ def test_null_aware_anti_join_semantics(spark):
         """
     ).collect()[0]["n"]
     assert n == 0
+
+
+def test_simhash_fingerprints_zero_shuffle(spark):
+    # a SimHash is a per-document computation: the fingerprint stage must be
+    # a pure map (in-array word dedup + hash fold), with NO Exchange before
+    # the near-pair bucketing consumes it
+    from mapreduce_paradigm_spark.operators.dedup import simhash
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    plan = formatted_plan(simhash(load_table(spark, SF_CORRECT, "documents")))
+    assert "Exchange" not in plan
