@@ -277,3 +277,20 @@ def test_simhash_fingerprints_zero_shuffle(spark):
 
     plan = formatted_plan(simhash(load_table(spark, SF_CORRECT, "documents")))
     assert "Exchange" not in plan
+
+
+def test_per_document_queries_never_shuffle(spark):
+    # every per-document computation (text stats, quality, fingerprints,
+    # redaction, token counts, repetition, CDC-free scoring) must be a pure
+    # map — an Exchange in any of these plans is a regression paying a
+    # corpus-scale shuffle for row-local work
+    for name in (
+        "language_id",
+        "text_quality_scores",
+        "doc_fingerprints",
+        "doc_token_counts",
+        "pii_redaction",
+        "doc_repetition_scores",
+    ):
+        plan = formatted_plan(_df(spark, name))
+        assert "Exchange" not in plan, name
