@@ -1415,3 +1415,64 @@ def q_priority_neyman_allocation(spark, sf_dir):
         .cast("long")
         .alias("alloc_n"),
     )
+
+
+@register(
+    "returnflag_exact_median_histogram",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(CAST(CAST(round(2 * quantile_cont(
+           CAST(round(l_extendedprice * 1000000, 0) AS BIGINT), 0.5), 0)
+           AS BIGINT) AS DECIMAL(24,6)) / 2000000 AS DECIMAL(24,6)) AS DOUBLE)
+         AS median_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    description="Per-GROUP exact medians via simultaneous histogram "
+    "refinement (operators/quantiles.py grouped_kth_smallest_long): one "
+    "(group, bucket) histogram per pass narrows EVERY group's candidate "
+    "range at once — settled groups drop out of the scan filter; driver "
+    "state is O(groups), never group values. This is the scale path "
+    "beside quantity_percentiles' percentile() (exact but buffers each "
+    "group's values in executor memory — the thing that OOMs on a "
+    "billion-row group) and the approx_percentile sketch tier. Both "
+    "middle order statistics per group are found exactly; the midpoint "
+    "renders through half-micros (x2 denominator) so even-count "
+    "averages stay integer-exact end-to-end — no rounding convention "
+    "to disagree on.",
+    tags=("statistics", "percentile", "iterative"),
+)
+def q_returnflag_exact_median_histogram(spark, sf_dir):
+    from decimal import Decimal
+
+    from mapreduce_paradigm_spark.operators.quantiles import (
+        grouped_kth_smallest_long,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 1e6, 0).cast("long").alias("p_micro"),
+    )
+    li = li.persist()
+    counts = {
+        r["flag"]: r["n"]
+        for r in li.groupBy("flag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    k1 = {k: (n + 1) // 2 for k, n in counts.items()}
+    k2 = {k: n // 2 + 1 for k, n in counts.items()}
+    v1 = grouped_kth_smallest_long(li, "flag", "p_micro", k1)
+    need2 = {k: r for k, r in k2.items() if r != k1[k]}
+    v2 = dict(v1)
+    v2.update(grouped_kth_smallest_long(li, "flag", "p_micro", need2) if need2 else {})
+    li.unpersist()
+    rows = [
+        (
+            k,
+            counts[k],
+            float(Decimal(v1[k] + v2[k]) / Decimal(2000000)),
+        )
+        for k in sorted(counts)
+    ]
+    return li.sparkSession.createDataFrame(
+        rows, "l_returnflag STRING, n_rows LONG, median_price DOUBLE"
+    )
