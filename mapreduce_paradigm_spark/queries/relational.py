@@ -1541,3 +1541,45 @@ def q_order_month_multiset_ops(spark, sf_dir):
         .groupBy("op", "month")
         .agg(F.count(F.lit(1)).alias("multiplicity"))
     )
+
+
+@register(
+    "order_totals_hinted_joins",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    description="Explicit physical join-strategy control: the fact-fact "
+    "join (lineitem x orders) carries a SHUFFLE_HASH hint — build a hash "
+    "table per partition instead of sorting both sides, the right call "
+    "when one side is much smaller per key and sort cost dominates — and "
+    "the customer join a MERGE hint (sort-merge: the safe choice when "
+    "both sides are large and memory is tight; spills gracefully where "
+    "hash builds OOM). Both plans are PINNED (ShuffledHashJoin + "
+    "SortMergeJoin in one query) so the hint surface stays honored: "
+    "Catalyst may otherwise re-pick broadcast under AQE stats drift, "
+    "which is exactly what a capacity-planned 100 TB job hints AGAINST "
+    "(a surprise broadcast of a 'small' side that grew is a driver "
+    "OOM). Results are strategy-invariant — the oracle certifies the "
+    "hints change the PLAN, never the answer.",
+    tags=("join", "hints", "tpch"),
+)
+def q_order_totals_hinted_joins(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
+    c = _t(spark, sf_dir, "customer").hint("MERGE")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice"), "total_price"),
+        )
+    )

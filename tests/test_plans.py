@@ -294,3 +294,12 @@ def test_per_document_queries_never_shuffle(spark):
     ):
         plan = formatted_plan(_df(spark, name))
         assert "Exchange" not in plan, name
+
+
+def test_join_hints_are_honored(spark):
+    # the hinted query must contain BOTH explicitly-chosen strategies;
+    # a broadcast sneaking in (AQE stats drift) would defeat the hint's
+    # capacity-planning purpose
+    plan = formatted_plan(_df(spark, "order_totals_hinted_joins"))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
