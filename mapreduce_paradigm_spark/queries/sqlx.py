@@ -487,3 +487,100 @@ def q_part_binary_bit_funcs(spark, sf_dir):
         F.shiftleft(key, 3).alias("key_shl"),
         F.shiftright(key, 1).alias("key_shr"),
     )
+
+
+@register(
+    "part_generator_outer_suite",
+    oracle="""
+WITH base AS (
+  SELECT p_partkey,
+         CASE WHEN p_size >= 30 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(p_name, ' ') END AS toks
+  FROM part
+),
+ex AS (
+  SELECT b.p_partkey, u.tok, u.pos
+  FROM base b
+  LEFT JOIN LATERAL (
+    SELECT unnest(toks) AS tok,
+           CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos
+  ) u ON TRUE
+)
+SELECT p_partkey, pos, tok FROM ex
+""",
+    description="Outer generator semantics: posexplode_outer keeps a row "
+    "(NULL pos/token) for parts whose token array is EMPTY (p_size >= 30 "
+    "here) — plain explode silently DROPS those parent rows, the classic "
+    "fan-out bug where entities with no children vanish from downstream "
+    "counts. The oracle spells the same semantics as LEFT JOIN LATERAL "
+    "unnest. Generators run row-local (no shuffle); the _outer variants "
+    "cost nothing extra — there is no reason to accept child-less row "
+    "loss by default in a pipeline whose joins later assume every "
+    "entity is present.",
+    tags=("functions", "sql", "explode"),
+)
+def q_part_generator_outer_suite(spark, sf_dir):
+    base = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(
+            F.col("p_size") >= 30, F.expr("CAST(array() AS ARRAY<STRING>)")
+        )
+        .otherwise(F.split(F.col("p_name"), " "))
+        .alias("toks"),
+    )
+    return base.select(
+        "p_partkey", F.posexplode_outer("toks").alias("pos", "tok")
+    )
+
+
+@register(
+    "orders_pivot_multi_agg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_total,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+            FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_total
+FROM orders GROUP BY o_orderpriority
+""",
+    description="Pivot with MULTIPLE aggregates per cell (count + exact "
+    "revenue for each order status): Spark's pivot() with an explicit "
+    "value list and two aggregate expressions — the explicit list keeps "
+    "the plan a single conditional-aggregate pass (omitting it adds a "
+    "distinct-values collection job AND makes the output schema "
+    "data-dependent, which breaks downstream contracts when a status "
+    "vanishes from a partition). Columns renamed to the oracle's "
+    "FILTER-clause names; dsum micros discipline for the sums. One "
+    "shuffle regardless of statuses x aggregates.",
+    tags=("pivot", "aggregation", "orders"),
+)
+def q_orders_pivot_multi_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 1e6, 0).cast("long"))
+                .cast("decimal(24,6)")
+                / F.lit(1000000)
+            )
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_n").alias("f_n"),
+        F.col("F_total").alias("f_total"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_total").alias("o_total"),
+        F.col("P_n").alias("p_n"),
+        F.col("P_total").alias("p_total"),
+    )
