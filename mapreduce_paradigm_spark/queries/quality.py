@@ -317,3 +317,67 @@ def q_join_key_skew_report(spark, sf_dir):
             F.max("f").cast("double") * F.count(F.lit(1)) / F.sum("f"), 6
         ).alias("skew_ratio"),
     )
+
+
+@register(
+    "customer_status_map_merge",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey, o_orderstatus AS st,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey,
+       string_agg(st || '=' || CAST(n AS VARCHAR) || ':'
+                  || CAST(rev AS VARCHAR), '|' ORDER BY st) AS merged,
+       CAST(count(*) AS BIGINT) AS n_statuses
+FROM g GROUP BY o_custkey
+""",
+    description="Map-valued column algebra: per customer, a count-by-"
+    "status map and a revenue-by-status map built with map_from_entries, "
+    "merged entry-wise with map_zip_with (the map analog of zip_with — "
+    "keys aligned, one lambda over both values), rendered canonically "
+    "(entries sorted by key) for the hash compare. Completes the map "
+    "higher-order surface beside transform_values/map_filter "
+    "(customer_priority_map_funcs). The oracle states the same "
+    "semantics relationally (DuckDB's map type has no zip; the string "
+    "render is the engine-neutral boundary). Maps never shuffle as "
+    "maps: the one exchange is the (cust, status) aggregate feeding "
+    "map_from_entries group-side.",
+    tags=("functions", "map", "quality"),
+)
+def q_customer_status_map_merge(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey", F.col("o_orderstatus").alias("st")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 1e6, 0).cast("long")).alias("rev"),
+    )
+    maps = g.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("st", "n")))
+        ).alias("m_count"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("st", "rev")))
+        ).alias("m_rev"),
+    )
+    merged = F.map_zip_with(
+        "m_count",
+        "m_rev",
+        lambda k, c, r: F.concat_ws(
+            ":", c.cast("string"), r.cast("string")
+        ),
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(merged)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        "|",
+    )
+    return maps.select(
+        "o_custkey",
+        rendered.alias("merged"),
+        F.size(merged).cast("long").alias("n_statuses"),
+    )

@@ -584,3 +584,38 @@ def q_orders_pivot_multi_agg(spark, sf_dir):
         F.col("P_n").alias("p_n"),
         F.col("P_total").alias("p_total"),
     )
+
+
+@register(
+    "orders_union_schema_drift",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority, NULL AS legacy_status
+FROM orders WHERE year(o_orderdate) >= 1998
+UNION ALL
+SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority,
+       o_orderstatus AS legacy_status
+FROM orders WHERE year(o_orderdate) < 1998
+""",
+    description="Schema-drift union: two extracts of the same feed whose "
+    "schemas diverged (the new one carries o_orderpriority, the legacy "
+    "one a legacy_status column) combined with unionByName(allowMissing"
+    "Columns=True) — missing columns NULL-fill by NAME, where plain "
+    "union() matches by POSITION and silently pairs unrelated columns "
+    "(the classic column-swap corruption when feeds evolve). This is "
+    "the batch twin of the parquet mergeSchema reader "
+    "(sources/files.py read_parquet_merged); the oracle spells the "
+    "NULL-fill explicitly. Zero-cost operation: a union is plan "
+    "concatenation, no shuffle.",
+    tags=("setops", "schema"),
+)
+def q_orders_union_schema_drift(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    new = o.filter(F.year("o_orderdate") >= 1998).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    legacy = o.filter(F.year("o_orderdate") < 1998).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderstatus").alias("legacy_status"),
+    )
+    return new.unionByName(legacy, allowMissingColumns=True)
