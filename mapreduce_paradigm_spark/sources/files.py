@@ -36,6 +36,34 @@ def read_csv(
     )
 
 
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan with a QUARANTINE column: malformed rows land with their
+    raw line preserved in ``_corrupt_record`` (and typed fields NULL)
+    instead of silently nulling (plain PERMISSIVE) or killing the job
+    (FAILFAST). The 100 TB posture: ingest never stops for bad rows, but
+    every bad row is auditable — filter ``_corrupt_record IS NOT NULL``
+    into a quarantine sink and alert on its volume. The schema string
+    must NOT include the corrupt column; it is appended here. Caveat
+    (Spark contract): a query that selects ONLY _corrupt_record must
+    cache or materialize first — Spark refuses the corrupt-only
+    projection on an uncached scan."""
+    full = schema + ", _corrupt_record STRING"
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True, partition_by: list[str] | None = None) -> None:
     w = df.write.mode("overwrite").option("header", str(header).lower())
     if partition_by:

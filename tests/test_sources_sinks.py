@@ -340,3 +340,26 @@ def test_multiline_json_roundtrip(spark, tmp_path):
     assert got == [(1, "alpha", 1.5), (2, "beta", -2.0), (3, "gamma", 0.0), (4, None, 7.25)]
     # the scan parallelizes across files
     assert df.rdd.getNumPartitions() >= 1
+
+
+def test_csv_quarantine_captures_malformed_rows(spark, tmp_path):
+    from mapreduce_paradigm_spark.sources.files import read_csv_quarantine
+
+    (tmp_path / "a.csv").write_text(
+        "id,qty,price\n"
+        "1,5,10.5\n"
+        "2,notanumber,3.25\n"   # malformed qty -> quarantined
+        "3,7,1.0\n"
+    )
+    df = read_csv_quarantine(
+        spark, str(tmp_path), "id BIGINT, qty BIGINT, price DOUBLE"
+    ).cache()
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["qty"] == 5 and rows[1]["_corrupt_record"] is None
+    assert rows[3]["qty"] == 7 and rows[3]["_corrupt_record"] is None
+    bad = rows[2]
+    assert bad["qty"] is None
+    assert bad["_corrupt_record"] == "2,notanumber,3.25"
+    # quarantine routing: the auditable stream is exactly the bad rows
+    assert df.filter("_corrupt_record IS NOT NULL").count() == 1
+    df.unpersist()
