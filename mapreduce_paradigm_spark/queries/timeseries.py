@@ -933,3 +933,60 @@ def q_events_seasonal_adjusted_hourly(spark, sf_dir):
             ).alias("deseasonalized"),
         )
     )
+
+
+# --- OHLC resampling ---------------------------------------------------------
+
+
+@register(
+    "user_value_ohlc_6h",
+    oracle="""
+SELECT user_id,
+       to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+         AT TIME ZONE 'UTC' AS bar_start,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       round(arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id), 6)
+         AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id), 6)
+         AS close
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+    description="OHLC downsampling to 6-hour bars per user (the financial "
+    "resample shape — open/high/low/close generalize to ANY first/last/"
+    "extreme-of-bucket feature): open and close are argmin/argmax of the "
+    "(ts, event_id) TOTAL order via min_by/max_by — ONE aggregate pass, "
+    "no sort, no window (the rank-1-per-bucket window form pays a full "
+    "per-bucket sort for the same answer); high/low are plain extremes. "
+    "The tie order carries event_id because duplicate timestamps would "
+    "otherwise make open/close nondeterministic — exactly the bug class "
+    "the registry's total-order discipline exists for. Epoch-aligned "
+    "buckets == date-function-free integer division on both engines.",
+    tags=("timeseries", "aggregation", "events"),
+)
+def q_user_value_ohlc_6h(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bar = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 21600) * 21600)
+    )
+    # single 128-bit tie-break key (micros·10⁶ + event_id): arg_min/max
+    # need one orderable value on both engines; the constant session-tz
+    # offset inside unix_micros cannot reorder keys, so the chosen ROW is
+    # engine-independent even though the key values differ
+    order_key = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+        * F.lit(1000000)
+        + F.col("event_id")
+    )
+    return (
+        ev.groupBy("user_id", bar.alias("bar_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.min_by("value", order_key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", order_key), 6).alias("close"),
+        )
+    )
