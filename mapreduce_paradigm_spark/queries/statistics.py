@@ -1476,3 +1476,95 @@ def q_returnflag_exact_median_histogram(spark, sf_dir):
     return li.sparkSession.createDataFrame(
         rows, "l_returnflag STRING, n_rows LONG, median_price DOUBLE"
     )
+
+
+@register(
+    "user_value_runs_test",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vm) AS BIGINT) AS total
+  FROM v GROUP BY 1
+),
+signed AS (
+  SELECT v.user_id, v.ts, v.event_id,
+         CASE WHEN v.vm * s.n > s.total THEN 1 ELSE 0 END AS sgn
+  FROM v JOIN stats s ON v.user_id = s.user_id
+  WHERE s.n >= 20 AND v.vm * s.n <> s.total
+),
+seq AS (
+  SELECT user_id, sgn,
+         lag(sgn) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM signed
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(sgn) AS BIGINT) AS n1,
+         CAST(count(*) - sum(sgn) AS BIGINT) AS n2,
+         CAST(1 + count(*) FILTER (WHERE prev IS NOT NULL AND sgn <> prev)
+              AS BIGINT) AS runs
+  FROM seq GROUP BY 1
+)
+SELECT user_id, n1, n2, runs,
+       round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 4) AS z
+FROM agg WHERE n1 > 0 AND n2 > 0
+""",
+    description="Wald-Wolfowitz runs test per user: too FEW runs of "
+    "above/below-mean values means trending/sticky behavior, too MANY "
+    "means oscillation — the sequence-randomness screen that variance "
+    "tests can't see (autocorrelation's nonparametric sibling; "
+    "user_value_autocorr measures the same thing parametrically). The "
+    "above-mean sign is the EXACT integer comparison v*n > Σv (no float "
+    "mean, exact ties excluded by the same integer equality), run count "
+    "is one lag() pass on the (ts, event_id) total order sharing the "
+    "user partitioning, and the z formula is one identical float "
+    "expression over exact counts, rounded 4dp.",
+    tags=("statistics", "timeseries"),
+)
+def q_user_value_runs_test(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("vm"),
+    )
+    stats = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vm").alias("total")
+    )
+    signed = (
+        v.join(F.broadcast(stats), "user_id")
+        .filter((F.col("n") >= 20) & (F.col("vm") * F.col("n") != F.col("total")))
+        .select(
+            "user_id", "ts", "event_id",
+            F.when(F.col("vm") * F.col("n") > F.col("total"), 1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = signed.select("user_id", "sgn", F.lag("sgn").over(w).alias("prev"))
+    agg = seq.groupBy("user_id").agg(
+        F.sum("sgn").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sgn")).alias("n2"),
+        (
+            F.lit(1)
+            + F.count_if(F.col("prev").isNotNull() & (F.col("sgn") != F.col("prev")))
+        ).cast("long").alias("runs"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    e_runs = F.lit(2.0) * n1 * n2 / (n1 + n2) + 1
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+    )
+    return agg.filter((n1 > 0) & (n2 > 0)).select(
+        "user_id", "n1", "n2", "runs",
+        F.round((runs - e_runs) / F.sqrt(var), 4).alias("z"),
+    )
