@@ -1568,3 +1568,98 @@ def q_user_value_runs_test(spark, sf_dir):
         "user_id", "n1", "n2", "runs",
         F.round((runs - e_runs) / F.sqrt(var), 4).alias("z"),
     )
+
+
+@register(
+    "click_purchase_mannwhitney_u",
+    oracle="""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1000000, 0) AS BIGINT) AS vm
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+),
+grid AS (
+  SELECT vm,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS cnt1
+  FROM v GROUP BY 1
+),
+ranked AS (
+  SELECT vm, cnt, cnt1,
+         COALESCE(CAST(sum(cnt) OVER (ORDER BY vm
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS before
+  FROM grid
+),
+agg AS (
+  SELECT CAST(sum(cnt1) AS BIGINT) AS n1,
+         CAST(sum(cnt - cnt1) AS BIGINT) AS n2,
+         CAST(sum(cnt1 * (2 * before + cnt + 1)) AS BIGINT) AS r1_2x,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(CAST(CAST(r1_2x - n1 * (n1 + 1) AS DECIMAL(24,6)) / 2
+            AS DECIMAL(24,6)) AS DOUBLE) AS u1,
+       round(((r1_2x - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1.0)
+                       - CAST(tie_cubes AS DOUBLE)
+                         / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) AS z
+FROM agg
+""",
+    description="Mann-Whitney U (Wilcoxon rank-sum) comparing click vs "
+    "purchase value distributions — the nonparametric two-sample test "
+    "that needs no normality assumption (the distributional companion "
+    "of ab_conversion_ztest's proportions and qty_ks_statistic's max-"
+    "gap). Rank arithmetic runs entirely on the DISTINCT-VALUE grid: "
+    "tied values take average rank as the INTEGER 2·avg = 2·before + "
+    "cnt + 1 (no fractional ranks anywhere), U derives from the "
+    "doubled rank sum, and the tie-corrected variance consumes the "
+    "exact Σ(t³−t). One corpus aggregate to the grid, one cumulative "
+    "window over distinct values, one closed-form float — the entire "
+    "test is three exact integers and a final expression both engines "
+    "share.",
+    tags=("statistics", "abtest"),
+)
+def q_click_purchase_mannwhitney_u(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "purchase")
+    )
+    grid = (
+        ev.select(
+            F.round(F.col("value") * 1e6, 0).cast("long").alias("vm"),
+            (F.col("event_type") == "click").cast("int").alias("is1"),
+        )
+        .groupBy("vm")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("is1").alias("cnt1"))
+    )
+    w_prev = Window.orderBy("vm").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grid.select(
+        "vm", "cnt", "cnt1",
+        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).alias("before"),
+    )
+    agg = ranked.agg(
+        F.sum("cnt1").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).alias("n2"),
+        F.sum(
+            F.col("cnt1") * (2 * F.col("before") + F.col("cnt") + 1)
+        ).alias("r1_2x"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_cubes"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1_2x = F.col("r1_2x") - n1 * (n1 + 1)
+    z = (u1_2x / F.lit(2.0) - n1 * n2 / F.lit(2.0)) / F.sqrt(
+        n1 * n2 / F.lit(12.0)
+        * (
+            (n1 + n2 + F.lit(1.0))
+            - F.col("tie_cubes").cast("double") / ((n1 + n2) * (n1 + n2 - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        "n1", "n2",
+        (u1_2x.cast("decimal(24,6)") / 2).cast("decimal(24,6)").cast("double").alias("u1"),
+        F.round(z, 4).alias("z"),
+    )
