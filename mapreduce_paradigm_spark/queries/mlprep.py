@@ -566,3 +566,75 @@ def q_user_value_theil_sen(spark, sf_dir):
         m.cast("long").alias("n_pairs"),
         F.round(med, 6).alias("theil_slope"),
     )
+
+
+@register(
+    "user_value_mann_kendall",
+    oracle="""
+WITH pts AS (
+  SELECT user_id,
+         list_sort(list(
+           [CAST(date_diff('microsecond', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+              * 1000000 + event_id,
+            CAST(round(value * 1000000, 0) AS BIGINT)])) AS a
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= 20
+),
+scored AS (
+  SELECT user_id, CAST(len(a) AS BIGINT) AS n,
+         CAST(list_sum(flatten(list_transform(a, (p, i) ->
+           list_transform(a[i+1:len(a)],
+             q -> CASE WHEN q[2] > p[2] THEN 1
+                       WHEN q[2] < p[2] THEN -1 ELSE 0 END)))) AS BIGINT) AS s
+  FROM pts
+)
+SELECT user_id, n, s,
+       round((s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+             / sqrt(n * (n - 1.0) * (2 * n + 5) / 18), 4) AS z
+FROM scored
+""",
+    description="Mann-Kendall trend test per user: S = sum of "
+    "sign(v_j - v_i) over all time-ordered pairs — the nonparametric "
+    "significance companion to user_value_theil_sen's slope (same "
+    "in-array pairwise machinery, same per-entity O(n²) confinement); "
+    "|z| > 1.96 flags a monotone trend with no linearity or normality "
+    "assumption. Chronological order rides a single packed (micros, "
+    "event_id) key INSIDE the sorted array so j > i means strictly "
+    "later; S is a pure integer; the continuity-corrected z uses the "
+    "no-ties variance formula (value ties contribute 0 to S and are "
+    "rare at micro resolution; the tie-corrected variance drops in "
+    "without changing the shape). One shuffle — the per-user collect.",
+    tags=("mlprep", "statistics", "timeseries"),
+)
+def q_user_value_mann_kendall(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    key = F.expr(
+        "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01', ts) AS BIGINT)"
+    ) * F.lit(1000000) + F.col("event_id")
+    pts = (
+        events.select(
+            "user_id",
+            F.array(
+                key, F.round(F.col("value") * 1e6, 0).cast("long")
+            ).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("a"))
+        .filter(F.size("a") >= 20)
+    )
+    scored = pts.select(
+        "user_id",
+        F.size("a").cast("long").alias("n"),
+        F.expr(
+            "CAST(aggregate(flatten(transform(a, (p, i) -> "
+            "transform(slice(a, i + 2, size(a)), q -> "
+            "CASE WHEN q[1] > p[1] THEN 1 WHEN q[1] < p[1] THEN -1 ELSE 0 END))), "
+            "0, (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("s"),
+    )
+    n, sc = F.col("n"), F.col("s")
+    corr = F.when(sc > 0, 1).when(sc < 0, -1).otherwise(0)
+    z = (sc - corr) / F.sqrt(
+        n * (n - F.lit(1.0)) * (2 * n + 5) / F.lit(18.0)
+    )
+    return scored.select("user_id", "n", "s", F.round(z, 4).alias("z"))

@@ -147,3 +147,110 @@ def q_weighted_sample_per_source(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("source", "doc_id", "n_chars", "rk")
     )
+
+
+# --- Poisson bootstrap -------------------------------------------------------
+
+_POIS_CDF = (
+    (0.36787944117144233, 0),
+    (0.7357588823428847, 1),
+    (0.9196986029286058, 2),
+    (0.9810118431238462, 3),
+    (0.9963401531726563, 4),
+    (0.9994058151824183, 5),
+    (0.9999167588507119, 6),
+)
+
+
+@register(
+    "totalprice_poisson_bootstrap_se",
+    oracle="""
+WITH reps AS (SELECT unnest(generate_series(0, 31)) AS b),
+weighted AS (
+  SELECT r.b,
+         CAST(round(o.o_totalprice * 1000000, 0) AS BIGINT) AS vm,
+         CAST('0x' || substr(md5('bs:' || CAST(o.o_orderkey AS VARCHAR)
+                                 || ':' || CAST(r.b AS VARCHAR)), 1, 8)
+              AS BIGINT) / 4294967296.0 AS u
+  FROM orders o CROSS JOIN reps r
+),
+w AS (
+  SELECT b, vm,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              WHEN u < 0.9999167588507119 THEN 6
+              ELSE 7 END AS wt
+  FROM weighted
+),
+rep_means AS (
+  SELECT b, CAST(sum(wt * vm) AS BIGINT) AS num, CAST(sum(wt) AS BIGINT) AS den
+  FROM w GROUP BY b
+),
+folded AS (
+  SELECT list(CAST(num AS DOUBLE) / den ORDER BY b) AS ms FROM rep_means
+)
+SELECT CAST(32 AS BIGINT) AS n_replicates,
+       round(list_aggregate(ms, 'sum') / 32 / 1000000, 4) AS boot_mean,
+       round(sqrt((list_sum(list_transform(ms, x -> x * x))
+                   - list_aggregate(ms, 'sum') * list_aggregate(ms, 'sum') / 32)
+                  / 31) / 1000000, 4) AS boot_se
+FROM folded
+""",
+    description="Poisson bootstrap of the mean order price: replicate "
+    "weights are Poisson(1) draws realized DETERMINISTICALLY by pushing "
+    "a keyed md5 uniform through the inverse CDF (shared literal "
+    "thresholds) — the distributed bootstrap that needs no sampling "
+    "WITH replacement (impossible to coordinate across executors) and "
+    "no RNG state: every (row, replicate) weight is a pure function of "
+    "(orderkey, b), so the 32 replicate means are reproducible on any "
+    "cluster and ride ONE grouped pass over the 32-fold fan-out. "
+    "Replicate sums are exact integers (weight <= 7, micros values); "
+    "the only float reduction — folding 32 replicate means into an SE "
+    "— runs over a b-ORDERED array with a sequential fold on both "
+    "engines, because a 32-value float sum in engine aggregation order "
+    "is exactly the nondeterminism this registry bans.",
+    tags=("sampling", "statistics", "bootstrap"),
+)
+def q_totalprice_poisson_bootstrap_se(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 1e6, 0).cast("long").alias("vm"),
+        F.col("o_orderkey").cast("string").alias("okey"),
+    ).select("vm", "okey", reps)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bs:"), F.col("okey"), F.lit(":"), F.col("b").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    wt = F.lit(7)
+    for thr, k in reversed(_POIS_CDF):
+        wt = F.when(u < F.lit(thr), F.lit(k)).otherwise(wt)
+    rep = (
+        base.select("b", "vm", wt.alias("wt"))
+        .groupBy("b")
+        .agg(F.sum(F.col("wt") * F.col("vm")).alias("num"), F.sum("wt").alias("den"))
+    )
+    folded = rep.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(b, CAST(num AS DOUBLE) / den AS m))), s -> s.m)"
+        ).alias("ms")
+    )
+    s1 = F.expr("aggregate(ms, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    s2 = F.expr("aggregate(ms, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")
+    return folded.select(
+        F.lit(32).cast("long").alias("n_replicates"),
+        F.round(s1 / 32 / 1e6, 4).alias("boot_mean"),
+        F.round(F.sqrt((s2 - s1 * s1 / 32) / 31) / 1e6, 4).alias("boot_se"),
+    )
