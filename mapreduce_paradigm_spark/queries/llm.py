@@ -1103,3 +1103,114 @@ def q_doc_content_defined_chunks(spark, sf_dir):
             ).alias("chunk_md5"),
         )
     )
+
+
+@register(
+    "embedding_dbscan_lite",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.42
+),
+adj AS (SELECT d1 AS v, d2 AS nb FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+core AS (SELECT v FROM deg WHERE deg >= 2),
+ce AS (
+  SELECT d1, d2 FROM pairs
+  WHERE d1 IN (SELECT v FROM core) AND d2 IN (SELECT v FROM core)
+),
+cedges AS (SELECT d1 AS a, d2 AS b FROM ce UNION SELECT d2, d1 FROM ce),
+reach(a, b) AS (
+  SELECT a, b FROM cedges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a
+),
+comp AS (SELECT a AS v, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+allcore AS (
+  SELECT c.v, COALESCE(comp.cluster, c.v) AS cluster
+  FROM core c LEFT JOIN comp ON c.v = comp.v
+),
+border AS (
+  SELECT adj.v, CAST(min(ac.cluster) AS BIGINT) AS cluster
+  FROM adj JOIN allcore ac ON adj.nb = ac.v
+  WHERE adj.v NOT IN (SELECT v FROM core)
+  GROUP BY adj.v
+)
+SELECT e.vec_id,
+       CASE WHEN ac.v IS NOT NULL THEN 'core'
+            WHEN bo.v IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(ac.cluster, bo.cluster) AS BIGINT) AS cluster
+FROM embeddings e
+LEFT JOIN allcore ac ON e.vec_id = ac.v
+LEFT JOIN border bo ON e.vec_id = bo.v
+""",
+    description="DBSCAN-style density clustering over the embedding "
+    "near-dup graph (eps = cosine 0.42, minPts = 2 neighbors): CORE "
+    "points have dense neighborhoods, clusters are connected components "
+    "of the core-core subgraph (the registered O(log^2 n) star operator, "
+    "labels = min reachable core id), BORDER points attach to their "
+    "minimum adjacent core cluster, everything else is NOISE — density "
+    "clustering composed ENTIRELY from registered primitives (exact "
+    "near-dup pairs + connected components), which is DBSCAN's actual "
+    "decomposition. At 100 TB swap the all-pairs exact tier for the "
+    "banded-LSH pair generator — the downstream core/component/border "
+    "algebra is unchanged. Deterministic throughout (min-label, min-"
+    "cluster attachment); hash-checked against a recursive-CTE closure "
+    "with the same role/label rules.",
+    tags=("similarity", "llm", "iterative", "clustering"),
+)
+def q_embedding_dbscan_lite(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.components import (
+        connected_components_star,
+    )
+    from mapreduce_paradigm_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.42).select("d1", "d2")
+    pairs = pairs.persist()
+    adj = pairs.select(F.col("d1").alias("v"), F.col("d2").alias("nb")).unionByName(
+        pairs.select(F.col("d2").alias("v"), F.col("d1").alias("nb"))
+    )
+    core = (
+        adj.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 2)
+        .select("v")
+    )
+    ce = (
+        pairs.join(core.withColumnRenamed("v", "d1"), "d1", "left_semi")
+        .join(core.withColumnRenamed("v", "d2"), "d2", "left_semi")
+        .select("d1", "d2")
+    )
+    comp = connected_components_star(ce, edges_unique=True).withColumnRenamed(
+        "doc_id", "v"
+    )
+    allcore = core.join(comp, "v", "left").select(
+        "v", F.coalesce("component", F.col("v")).alias("cluster")
+    )
+    border = (
+        adj.join(core.withColumnRenamed("v", "cv"), adj.nb == F.col("cv"), "left_semi")
+        .join(core, "v", "left_anti")
+        .join(allcore.withColumnRenamed("v", "nb").withColumnRenamed("cluster", "nb_cluster"), "nb")
+        .groupBy("v")
+        .agg(F.min("nb_cluster").alias("cluster"))
+    )
+    out = (
+        emb.select("vec_id")
+        .join(allcore.withColumnRenamed("v", "vec_id").withColumnRenamed("cluster", "core_cluster"), "vec_id", "left")
+        .join(border.withColumnRenamed("v", "vec_id").withColumnRenamed("cluster", "border_cluster"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("core_cluster").isNotNull(), "core")
+            .when(F.col("border_cluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("core_cluster", "border_cluster").alias("cluster"),
+        )
+    )
+    result = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return result
