@@ -1156,3 +1156,60 @@ def q_nation_revenue_concentration(spark, sf_dir):
         ).alias("gini"),
         F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
     )
+
+
+@register(
+    "customer_top_decile_revenue_share",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT rev,
+         CAST(row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS BIGINT)
+           AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM per_cust
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN rn * 10 <= n THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top_decile,
+       round(CAST(sum(CASE WHEN rn * 10 <= n THEN rev ELSE 0 END) AS DOUBLE)
+             / sum(rev), 6) AS top_decile_share
+FROM ranked
+""",
+    description="Pareto concentration readout: the revenue share captured "
+    "by the top decile of customers — the 80/20 KPI that the full Gini/"
+    "HHI profile (nation_revenue_concentration) summarizes into one "
+    "slide-ready number. The decile cut is the pure-integer predicate "
+    "rn*10 <= n (no float percentile of n), ranks tie-break on custkey, "
+    "and the share is one division of exact micro sums. One fact "
+    "aggregate, one rank window over the per-customer grid, one rollup.",
+    tags=("analytics", "statistics"),
+)
+def q_customer_top_decile_revenue_share(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 1e6, 0).cast("long")).alias("rev")
+    )
+    wr = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    top = F.when(F.col("rn") * 10 <= F.col("n"), 1).otherwise(0)
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.sum(top).alias("n_top_decile"),
+        F.round(
+            F.sum(F.when(F.col("rn") * 10 <= F.col("n"), F.col("rev")).otherwise(0))
+            .cast("double")
+            / F.sum("rev"),
+            6,
+        ).alias("top_decile_share"),
+    )
