@@ -1213,3 +1213,74 @@ def q_customer_top_decile_revenue_share(spark, sf_dir):
             6,
         ).alias("top_decile_share"),
     )
+
+
+@register(
+    "customer_lorenz_deciles",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT rev,
+         CAST(row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS BIGINT)
+           AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM per_cust
+),
+by_decile AS (
+  SELECT ((rn - 1) * 10) // n + 1 AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(rev) AS BIGINT) AS rev
+  FROM ranked GROUP BY 1
+)
+SELECT decile, n_customers,
+       round(CAST(rev AS DOUBLE) / sum(rev) OVER (), 6) AS rev_share,
+       round(CAST(sum(rev) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / sum(rev) OVER (), 6) AS cum_share
+FROM by_decile
+""",
+    description="Lorenz curve at decile resolution: customers ranked by "
+    "revenue ascending, per-decile and cumulative revenue shares — the "
+    "plot-ready curve whose area deficit IS the Gini "
+    "(nation_revenue_concentration) and whose last point is the "
+    "top-decile KPI (customer_top_decile_revenue_share); all three "
+    "registered because analysts consume concentration at all three "
+    "granularities. Decile assignment is the pure-integer "
+    "((rn-1)*10)/n + 1 (ntile's equal-fill semantics without a second "
+    "window function), shares are single divisions of exact micro "
+    "sums; the windows after the per-customer aggregate run on a "
+    "10-row grid.",
+    tags=("analytics", "statistics"),
+)
+def q_customer_lorenz_deciles(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 1e6, 0).cast("long")).alias("rev")
+    )
+    wr = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    by_decile = ranked.groupBy(
+        (((F.col("rn") - 1) * 10 / F.col("n")).cast("long") + 1).alias("decile")
+    ).agg(F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("rev"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return by_decile.select(
+        "decile",
+        "n_customers",
+        F.round(F.col("rev").cast("double") / F.sum("rev").over(w_all), 6).alias(
+            "rev_share"
+        ),
+        F.round(
+            F.sum("rev").over(w_cum).cast("double") / F.sum("rev").over(w_all), 6
+        ).alias("cum_share"),
+    )

@@ -1601,6 +1601,8 @@ agg AS (
 SELECT n1, n2,
        CAST(CAST(CAST(r1_2x - n1 * (n1 + 1) AS DECIMAL(24,6)) / 2
             AS DECIMAL(24,6)) AS DOUBLE) AS u1,
+       round(1.0 - CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) / (n1 * n2), 6)
+         AS rank_biserial,
        round(((r1_2x - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
              / sqrt(n1 * n2 / 12.0
                     * ((n1 + n2 + 1.0)
@@ -1619,7 +1621,8 @@ FROM agg
     "exact Σ(t³−t). One corpus aggregate to the grid, one cumulative "
     "window over distinct values, one closed-form float — the entire "
     "test is three exact integers and a final expression both engines "
-    "share.",
+    "share. The rank-biserial effect size r = 1 - 2U/(n1*n2) rides "
+    "along — significance without magnitude misleads at scale.",
     tags=("statistics", "abtest"),
 )
 def q_click_purchase_mannwhitney_u(spark, sf_dir):
@@ -1661,5 +1664,10 @@ def q_click_purchase_mannwhitney_u(spark, sf_dir):
     return agg.select(
         "n1", "n2",
         (u1_2x.cast("decimal(24,6)") / 2).cast("decimal(24,6)").cast("double").alias("u1"),
+        # rank-biserial effect size r = 1 - 2U/(n1 n2): the magnitude the
+        # p-value alone hides (a huge N makes trivial shifts 'significant')
+        F.round(F.lit(1.0) - u1_2x.cast("double") / (n1 * n2), 6).alias(
+            "rank_biserial"
+        ),
         F.round(z, 4).alias("z"),
     )
