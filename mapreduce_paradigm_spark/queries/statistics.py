@@ -1671,3 +1671,110 @@ def q_click_purchase_mannwhitney_u(spark, sf_dir):
         ),
         F.round(z, 4).alias("z"),
     )
+
+
+@register(
+    "price_qty_spearman",
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 1000000, 0) AS BIGINT) AS p,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+),
+pg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1
+),
+pr AS (
+  SELECT p, 2 * COALESCE(CAST(sum(cnt) OVER (ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           + cnt + 1 AS r2
+  FROM pg
+),
+qg AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1
+),
+qr AS (
+  SELECT q, 2 * COALESCE(CAST(sum(cnt) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           + cnt + 1 AS r2
+  FROM qg
+),
+j AS (
+  SELECT CAST(pr.r2 AS HUGEINT) AS x, CAST(qr.r2 AS HUGEINT) AS y
+  FROM v JOIN pr ON v.p = pr.p JOIN qr ON v.q = qr.q
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM j
+)
+SELECT n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS spearman_rho
+FROM agg
+""",
+    description="Spearman rank correlation of price vs quantity — the "
+    "monotone-association measure beside the Pearson matrix "
+    "(lineitem_corr_matrix): outlier-robust and curvature-blind, "
+    "rho = Pearson over average ranks. Ranks come from the two "
+    "DISTINCT-VALUE grids as the integer 2·avg-rank identity "
+    "(2·before + cnt + 1 — the MWU trick, tie-exact with no "
+    "fractional ranks), join back broadcast, and the correlation is "
+    "computed from exact 128-bit power sums of doubled ranks (n·(2n)² "
+    "overflows LONG at 60k rows) with ONE shared closed-form "
+    "expression. Rank grids are value-cardinality-scale; the only "
+    "row-scale work is one join-back + one aggregate.",
+    tags=("statistics", "mlprep"),
+)
+def q_price_qty_spearman(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_extendedprice") * 1e6, 0).cast("long").alias("p"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+
+    def rank2(df, col):
+        g = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return g.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias("r2"),
+        )
+
+    pr = rank2(v, "p").withColumnRenamed("r2", "x")
+    qr = rank2(v, "q").withColumnRenamed("r2", "y")
+    j = (
+        v.join(pr, "p")
+        .join(F.broadcast(qr), "q")
+        .select(
+            F.col("x").cast("decimal(19,0)").alias("x"),
+            F.col("y").cast("decimal(19,0)").alias("y"),
+        )
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return agg.select("n", F.round(num / den, 6).alias("spearman_rho"))
