@@ -1778,3 +1778,139 @@ def q_price_qty_spearman(spark, sf_dir):
         * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
     )
     return agg.select("n", F.round(num / den, 6).alias("spearman_rho"))
+
+
+@register(
+    "priority_status_residuals",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+),
+margins AS (
+  SELECT pri, st, o,
+         CAST(sum(o) OVER (PARTITION BY pri) AS BIGINT) AS row_n,
+         CAST(sum(o) OVER (PARTITION BY st) AS BIGINT) AS col_n,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM obs
+)
+SELECT pri, st, o,
+       round(CAST(row_n AS DOUBLE) * col_n / n, 4) AS expected,
+       round((o - CAST(row_n AS DOUBLE) * col_n / n)
+             / sqrt(CAST(row_n AS DOUBLE) * col_n / n
+                    * (1 - CAST(row_n AS DOUBLE) / n)
+                    * (1 - CAST(col_n AS DOUBLE) / n)), 4) AS adj_residual
+FROM margins
+""",
+    description="Adjusted standardized residuals for the priority x "
+    "status contingency table — WHICH cells drive the chi-squared "
+    "(priority_status_chi2 says THAT association exists; |residual| > 2 "
+    "says where): (O - E) / sqrt(E (1-row/n)(1-col/n)), the Haberman "
+    "adjusted form whose cells are approximately unit normal. Margins "
+    "come from windows over the aggregated contingency grid (cells x 1 "
+    "rows, no second data scan); every input is an exact integer and "
+    "the residual is one shared float expression, rounded 4dp.",
+    tags=("statistics",),
+)
+def q_priority_status_residuals(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_r = Window.partitionBy("pri")
+    w_c = Window.partitionBy("st")
+    w_a = Window.partitionBy()
+    m = obs.select(
+        "pri", "st", "o",
+        F.sum("o").over(w_r).alias("row_n"),
+        F.sum("o").over(w_c).alias("col_n"),
+        F.sum("o").over(w_a).alias("n"),
+    )
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    resid = (F.col("o") - e) / F.sqrt(
+        e
+        * (1 - F.col("row_n").cast("double") / F.col("n"))
+        * (1 - F.col("col_n").cast("double") / F.col("n"))
+    )
+    return m.select(
+        "pri", "st", "o",
+        F.round(e, 4).alias("expected"),
+        F.round(resid, 4).alias("adj_residual"),
+    )
+
+
+@register(
+    "value_oneway_anova_f",
+    oracle="""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1000000, 0) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vm) AS BIGINT) AS s1,
+         sum(CAST(vm AS HUGEINT) * CAST(vm AS HUGEINT)) AS s2
+  FROM v GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(s1) AS BIGINT) AS st, CAST(sum(s2) AS DOUBLE) AS s2t,
+         list_aggregate(
+           list(CAST(s1 AS DOUBLE) * s1 / n ORDER BY event_type), 'sum')
+           AS ssb_raw
+  FROM g
+)
+SELECT nt AS n_obs, k AS n_groups,
+       round(((ssb_raw - CAST(st AS DOUBLE) * st / nt) / (k - 1))
+             / ((s2t - ssb_raw) / (nt - k)), 4)
+         AS f_stat
+FROM tot
+""",
+    description="One-way ANOVA F statistic for value ~ event_type: "
+    "between-group vs within-group mean squares, entirely from per-group "
+    "exact power sums (n, sum, 128-bit sum-of-squares — the "
+    "shard-mergeable decomposition SSB = sum(s1_g^2/n_g) - S^2/N, "
+    "SSW = sum(x^2) - sum(s1_g^2/n_g); no group means ever "
+    "materialize). The parametric k-group companion of the two-sample "
+    "tests (z, MWU): one corpus aggregate, one 5-row rollup, one "
+    "shared float formula; the k per-group s1^2/n terms fold in "
+    "event_type order on both engines (k floats summed in engine "
+    "aggregation order would be the one nondeterministic step).",
+    tags=("statistics", "abtest"),
+)
+def q_value_oneway_anova_f(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 1e6, 0).cast("long").alias("vm")
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").alias("s1"),
+        F.sum(F.col("vm").cast("decimal(19,0)") * F.col("vm").cast("decimal(19,0)")).alias("s2"),
+    )
+    # per-group s1²/n computed ONCE in float64, folded in event_type order
+    # (a plain float SUM over groups would depend on partition merge order;
+    # exact decimal division differs from DuckDB's double division in the
+    # sub-integer digits — the ordered fold sidesteps both)
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s1").alias("st"),
+        F.sum("s2").alias("s2t"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(event_type, "
+            "CAST(s1 AS DOUBLE) * s1 / n AS t))), x -> x.t), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("ssb_raw"),
+    )
+    nt, k = F.col("nt"), F.col("k")
+    ssb_raw = F.col("ssb_raw")
+    st = F.col("st").cast("double")
+    s2t = F.col("s2t").cast("double")
+    f_stat = ((ssb_raw - st * st / nt) / (k - 1)) / ((s2t - ssb_raw) / (nt - k))
+    return tot.select(
+        F.col("nt").alias("n_obs"),
+        F.col("k").alias("n_groups"),
+        F.round(f_stat, 4).alias("f_stat"),
+    )
