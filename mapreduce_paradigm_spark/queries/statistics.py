@@ -1864,7 +1864,9 @@ tot AS (
 SELECT nt AS n_obs, k AS n_groups,
        round(((ssb_raw - CAST(st AS DOUBLE) * st / nt) / (k - 1))
              / ((s2t - ssb_raw) / (nt - k)), 4)
-         AS f_stat
+         AS f_stat,
+       round((ssb_raw - CAST(st AS DOUBLE) * st / nt)
+             / (s2t - CAST(st AS DOUBLE) * st / nt), 6) AS eta_squared
 FROM tot
 """,
     description="One-way ANOVA F statistic for value ~ event_type: "
@@ -1909,8 +1911,13 @@ def q_value_oneway_anova_f(spark, sf_dir):
     st = F.col("st").cast("double")
     s2t = F.col("s2t").cast("double")
     f_stat = ((ssb_raw - st * st / nt) / (k - 1)) / ((s2t - ssb_raw) / (nt - k))
+    # eta² = SSB/SST: the effect size beside the F statistic (significance
+    # without magnitude misleads at scale — same rationale as MWU's
+    # rank-biserial)
+    eta_sq = (ssb_raw - st * st / nt) / (s2t - st * st / nt)
     return tot.select(
         F.col("nt").alias("n_obs"),
         F.col("k").alias("n_groups"),
         F.round(f_stat, 4).alias("f_stat"),
+        F.round(eta_sq, 6).alias("eta_squared"),
     )
