@@ -1,0 +1,351 @@
+"""Distribution-drift and cross-corpus divergence analytics.
+
+A 100 TB training-data pipeline re-ingests continuously; the operational
+question is not just "is row X a duplicate" but "did the DISTRIBUTION
+move" — between time windows (PSI), between labeled groups
+(Kruskal-Wallis), and between corpus sources (Jensen-Shannon). All three
+follow the house hash-stability discipline: every floating term is
+computed once from exact integers with one shared expression shape,
+rounded to integer micros, and aggregated as integers, so results are
+independent of partition merge order on both engines.
+
+The reference pipeline (src/main.cpp:97-188) stops at corpus statistics
+(the inverted index); these are the monitoring metrics a production
+deployment of that index would ship beside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_paradigm_spark.functions import doc_words
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+# --- PSI: population stability between time windows --------------------------
+
+_PSI_SPLIT = "2024-01-16"
+_PSI_BIN_W = 25
+_PSI_NBINS = 11  # floor(value/25) clamped to 10 → bins 0..10 (250+ overflow)
+
+
+@register(
+    "events_value_psi_drift",
+    oracle=f"""
+WITH binned AS (
+  SELECT least(CAST(floor(value / {_PSI_BIN_W}) AS BIGINT), {_PSI_NBINS - 1}) AS bin_id,
+         CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+  FROM events
+),
+bins AS (SELECT unnest(generate_series(0, {_PSI_NBINS - 1})) AS bin_id),
+counts AS (
+  SELECT bins.bin_id,
+         CAST(coalesce(sum(is_ref), 0) AS BIGINT) AS n_ref,
+         CAST(coalesce(sum(1 - is_ref), 0) AS BIGINT) AS n_cur
+  FROM bins LEFT JOIN binned ON bins.bin_id = binned.bin_id
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref, CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM counts
+),
+terms AS (
+  SELECT bin_id, n_ref, n_cur,
+         CAST(round(
+           ((CAST(n_ref + 1 AS DOUBLE) / (t_ref + {_PSI_NBINS}))
+            - (CAST(n_cur + 1 AS DOUBLE) / (t_cur + {_PSI_NBINS})))
+           * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + {_PSI_NBINS}))
+                / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + {_PSI_NBINS})))
+           * 1000000, 0) AS BIGINT) AS psi_micro
+  FROM counts CROSS JOIN tot
+)
+SELECT bin_id, n_ref, n_cur,
+       CAST(CAST(psi_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS psi_term,
+       CAST(CAST(sum(psi_micro) OVER () AS DECIMAL(24,6)) / 1000000 AS DOUBLE)
+         AS psi_total
+FROM terms
+""",
+    description="Population Stability Index of events.value between the "
+    "reference window (ts < Jan 16) and the current window: fixed "
+    "width-25 bins clamped at 250+, Laplace-smoothed (add-1 over the 11 "
+    "bins) so empty bins stay defined, per-bin (p-q)·ln(p/q) rounded to "
+    "integer micros and the total PSI formed by INTEGER window-sum — "
+    "order-independent across engines. The drift gate every recurring "
+    "ingest needs (PSI > 0.25 = retrain/alert convention). Scale: two "
+    "scans-worth of work fused into ONE aggregate over (bin, window) — "
+    "11-row state, no shuffle wider than the bin table; bin edges are "
+    "constants, not quantiles, so no pre-pass over the reference split.",
+    tags=("statistics", "drift", "events"),
+)
+def q_events_value_psi_drift(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    nb = F.lit(_PSI_NBINS)
+    binned = ev.select(
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W).cast("long"), F.lit(_PSI_NBINS - 1)
+        ).alias("bin_id"),
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    bins = spark.range(_PSI_NBINS).select(F.col("id").alias("bin_id"))
+    # aggregate FIRST (row-scale work collapses to ≤11 rows), then left-join
+    # the bin spine — the spine join never touches corpus-scale data
+    counts0 = binned.groupBy("bin_id").agg(
+        F.sum("is_ref").cast("long").alias("nr"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("nc"),
+    )
+    counts = bins.join(counts0, "bin_id", "left").select(
+        "bin_id",
+        F.coalesce(F.col("nr"), F.lit(0)).alias("n_ref"),
+        F.coalesce(F.col("nc"), F.lit(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + nb)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + nb)
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin_id",
+        "n_ref",
+        "n_cur",
+        F.round((p - q) * F.log(p / q) * 1e6, 0).cast("long").alias("psi_micro"),
+    )
+    w = Window.partitionBy()
+    return terms.select(
+        "bin_id",
+        "n_ref",
+        "n_cur",
+        (F.col("psi_micro").cast("decimal(24,6)") / 1000000)
+        .cast("double")
+        .alias("psi_term"),
+        (F.sum("psi_micro").over(w).cast("decimal(24,6)") / 1000000)
+        .cast("double")
+        .alias("psi_total"),
+    )
+
+
+# --- Kruskal-Wallis H: k-sample rank test ------------------------------------
+
+
+@register(
+    "qty_kruskal_wallis_h",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+),
+grid AS (SELECT q, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+ranked AS (
+  SELECT q, cnt,
+         2 * coalesce(sum(cnt) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS r2
+  FROM grid
+),
+pergroup AS (
+  SELECT flag,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(CAST(r2 AS HUGEINT)) AS HUGEINT) AS r2_sum
+  FROM v JOIN ranked USING (q)
+  GROUP BY 1
+),
+ties AS (
+  SELECT CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS HUGEINT) AS tie3
+  FROM grid
+),
+tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM pergroup),
+h AS (
+  SELECT n,
+         CAST(count(*) AS BIGINT) AS k,
+         12.0 / (CAST(n AS DOUBLE) * (n + 1))
+           * sum((CAST(r2_sum AS DOUBLE) / 2) * (CAST(r2_sum AS DOUBLE) / 2)
+                 / n_g)
+           - 3.0 * (n + 1) AS h_raw,
+         1.0 - CAST(tie3 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * n - CAST(n AS DOUBLE)) AS c_tie
+  FROM pergroup CROSS JOIN tot CROSS JOIN ties
+  GROUP BY n, tie3
+)
+SELECT n, k, round(h_raw, 6) AS h_uncorrected,
+       round(h_raw / c_tie, 6) AS h_stat
+FROM h
+""",
+    description="Kruskal-Wallis H (rank one-way ANOVA) of l_quantity "
+    "across the 3 return flags — the distribution-free complement of "
+    "value_oneway_anova_f for non-normal metrics. Average ranks come "
+    "from the 50-row distinct-value grid as the integer 2·avg-rank "
+    "identity (2·cumulative-before + cnt + 1 — tie-exact, no fractional "
+    "ranks), joined back broadcast; per-group rank sums accumulate as "
+    "128-bit integers (Σ2R ≈ 2·N² overflows LONG at 60k+ rows), the tie "
+    "correction Σ(t³-t) is exact integer, and H is ONE closed-form "
+    "double expression over those integers — identical on both engines. "
+    "Scale: the only row-scale work is one broadcast join-back + one "
+    "groupBy(flag); everything else is value-cardinality-sized.",
+    tags=("statistics",),
+)
+def q_qty_kruskal_wallis_h(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").cast("long").alias("q")
+    )
+    grid = v.groupBy("q").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grid.select(
+        "q",
+        "cnt",
+        (2 * F.coalesce(F.sum("cnt").over(wcum), F.lit(0)) + F.col("cnt") + 1).alias(
+            "r2"
+        ),
+    )
+    pergroup = (
+        v.join(F.broadcast(ranked.select("q", "r2")), "q")
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(F.col("r2").cast("decimal(19,0)")).alias("r2_sum"),
+        )
+    )
+    ties = grid.agg(
+        F.sum(
+            F.col("cnt").cast("decimal(19,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie3")
+    )
+    tot = pergroup.agg(F.sum("n_g").cast("long").alias("n"))
+    n = F.col("n").cast("double")
+    r2s = F.col("r2_sum").cast("double")
+    h_raw = (
+        F.lit(12.0)
+        / (n * (F.col("n") + 1))
+        * F.sum((r2s / 2) * (r2s / 2) / F.col("n_g"))
+        - F.lit(3.0) * (F.col("n") + 1)
+    )
+    c_tie = F.lit(1.0) - F.col("tie3").cast("double") / (n * n * n - n)
+    h = (
+        pergroup.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .groupBy("n", "tie3")
+        .agg(F.count(F.lit(1)).alias("k"), h_raw.alias("h_raw"))
+        .select("n", "k", F.round(F.col("h_raw"), 6).alias("h_uncorrected"),
+                F.round(F.col("h_raw") / c_tie, 6).alias("h_stat"))
+    )
+    return h
+
+
+# --- Jensen-Shannon divergence between corpus sources ------------------------
+
+_JS_VOCAB = 200
+
+
+@register(
+    "source_unigram_js_divergence",
+    oracle=f"""
+WITH dw AS (
+  SELECT d.source, lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS word
+  FROM (SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS t
+        FROM documents) d
+  WHERE lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) <> ''
+),
+vocab AS (
+  SELECT word FROM dw GROUP BY 1
+  ORDER BY count(*) DESC, word ASC LIMIT {_JS_VOCAB}
+),
+sc AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c
+  FROM dw JOIN vocab USING (word) GROUP BY 1, 2
+),
+totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM sc GROUP BY 1),
+grid AS (
+  SELECT t.source, v.word, coalesce(sc.c, 0) AS c, t.tot
+  FROM totals t CROSS JOIN vocab v
+  LEFT JOIN sc ON sc.source = t.source AND sc.word = v.word
+),
+probs AS (
+  SELECT source, word,
+         CAST(c + 1 AS DOUBLE) / (tot + {_JS_VOCAB}) AS p
+  FROM grid
+),
+terms AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(round(
+           0.5 * (a.p * ln(2 * a.p / (a.p + b.p))
+                  + b.p * ln(2 * b.p / (a.p + b.p))) * 1000000, 0) AS BIGINT)
+           AS js_micro
+  FROM probs a JOIN probs b ON a.word = b.word AND a.source < b.source
+)
+SELECT source_a, source_b,
+       CAST(CAST(sum(js_micro) AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS js_div
+FROM terms
+GROUP BY 1, 2
+""",
+    description="Pairwise Jensen-Shannon divergence between the unigram "
+    "distributions of every pair of corpus sources, over the top-200 "
+    "global vocabulary (count-desc, word-asc tiebreak) with add-1 "
+    "smoothing — the mixture-design metric that says WHICH sources are "
+    "near-duplicates of each other's distribution (feeds "
+    "source_mixture_reweighting). Per-(pair,word) JS terms are rounded "
+    "to integer micros and summed as integers — merge-order-proof. "
+    "Scale: corpus-sized work is ONE tokenized count pass; everything "
+    "after is (sources × vocab)-sized metadata (4k rows here), the grid "
+    "self-join is broadcast, and pair count grows with sources², not "
+    "corpus bytes.",
+    tags=("statistics", "drift", "llm"),
+)
+def q_source_unigram_js_divergence(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    dw = doc_words(docs, doc_id_col="source").select(
+        F.col("doc_id").alias("source"), "word"
+    )
+    vocab = (
+        dw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("gc"))
+        .orderBy(F.col("gc").desc(), F.col("word").asc())
+        .limit(_JS_VOCAB)
+        .select("word")
+    )
+    sc = (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = sc.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
+    grid = (
+        totals.crossJoin(F.broadcast(vocab))
+        .join(sc, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            ((F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / (F.col("tot") + _JS_VOCAB)).alias("p"),
+        )
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    terms = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.round(
+                0.5
+                * (
+                    pa * F.log(2 * pa / (pa + pb))
+                    + pb * F.log(2 * pb / (pa + pb))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("js_micro"),
+        )
+    )
+    return terms.groupBy("source_a", "source_b").agg(
+        (F.sum("js_micro").cast("decimal(24,6)") / 1000000)
+        .cast("double")
+        .alias("js_div")
+    )
