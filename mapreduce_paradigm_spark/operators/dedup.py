@@ -181,6 +181,72 @@ def jaccard_pairs(
     )
 
 
+def delta_jaccard_pairs(
+    docs: DataFrame,
+    is_new,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Incremental exact-Jaccard dedup: pairs (d1 < d2, jaccard ≥ threshold)
+    with AT LEAST ONE side in the new batch (``is_new``: Column → boolean
+    predicate on doc ids).
+
+    The production shape for continuous ingest: a corpus-scale near-dup
+    index is built ONCE and each incoming batch joins against it instead
+    of re-running all-pairs dedup per ingest. Two incremental prunes make
+    the per-batch cost delta-sized, not corpus-sized:
+
+    - posting lists are semi-joined on sid against the NEW docs' shingle
+      stream — only lists the delta touches can yield a pair involving a
+      new doc, so untouched index regions are never explored (here the
+      index is rebuilt from the fixture; at scale it's the stored
+      ``shingle_postings`` table and this semi-join is the index probe);
+    - pair explosion keeps only mixed/new pairs BEFORE the pair-count
+      shuffle — old×old co-occurrences in touched lists are dropped at
+      generation, narrow-side.
+
+    Counts stay complete: every posting containing a (new, old) pair
+    contains the new doc, so restricting to touched lists loses no common
+    shingle of any reported pair. Same df-cap semantics as
+    ``jaccard_pairs``.
+    """
+    release_caches()
+    shingles = _tracked_persist(hashed_shingles(docs, k, text_col))
+    postings = shingle_postings(docs, k, text_col, shingles=shingles)
+    if max_shingle_df is not None:
+        postings = postings.filter(F.col("df") <= max_shingle_df)
+    postings = _tracked_persist(postings)
+    new_sids = shingles.filter(is_new(F.col("doc_id"))).select("sid").distinct()
+    touched = postings.join(new_sids, "sid", "left_semi")
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+    )
+    common = (
+        touched.filter(F.col("df") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .filter(is_new(F.col("p.d1")) | is_new(F.col("p.d2")))
+        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("n_common") / (F.col("s1.sz") + F.col("s2.sz") - F.col("n_common"))
+    return (
+        common.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= threshold)
+        .select("d1", "d2", jac.alias("jaccard"))
+    )
+
+
 def benchmark_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

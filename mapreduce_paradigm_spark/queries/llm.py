@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mapreduce_paradigm_spark.operators.dedup import (
+    delta_jaccard_pairs,
     exact_duplicate_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -124,6 +125,102 @@ WHERE c / (s1.sz + s2.sz - c) >= 0.5
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(
         load_table(spark, sf_dir, "documents"), k=3, threshold=0.5, max_shingle_df=64
+    )
+
+
+@register(
+    "dedup_delta_new_docs",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+capped AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 64),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+  GROUP BY 1, 2
+)
+SELECT d1, d2, c / (s1.sz + s2.sz - c) AS jaccard
+FROM common
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE c / (s1.sz + s2.sz - c) >= 0.5
+""",
+    description="Incremental (delta) dedup: exact Jaccard pairs involving "
+    "at least one NEW-batch doc (doc_id % 5 = 0 plays the incoming 20% "
+    "ingest). Postings are probed by a semi-join on the new docs' shingle "
+    "ids and old×old pairs are dropped at generation — per-batch cost "
+    "scales with the delta, not the corpus, which is what turns one-shot "
+    "dedup into a continuously-ingesting pipeline (operators/dedup.py: "
+    "delta_jaccard_pairs). Same df<=64 cap as ngram_jaccard_pairs, "
+    "mirrored in the oracle.",
+    tags=("dedup", "llm"),
+)
+def q_dedup_delta_new_docs(spark, sf_dir):
+    return delta_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        is_new=lambda d: d % 5 == 0,
+        k=3,
+        threshold=0.5,
+        max_shingle_df=64,
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+WITH dw AS (
+  SELECT lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS word
+  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents)
+  WHERE lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) <> ''
+),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wn FROM dw GROUP BY 1),
+pairs AS (
+  SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, wn
+  FROM wc, unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+),
+agg AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM pairs GROUP BY 1)
+SELECT pair, n,
+       CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rnk
+FROM agg
+ORDER BY rnk LIMIT 50
+""",
+    description="One BPE-training iteration over the corpus: adjacent "
+    "character-pair frequencies weighted by word frequency, top-50 merge "
+    "candidates (count-desc, pair-asc total order). The corpus-scale work "
+    "is ONE word-count aggregate; pair explosion runs on the VOCABULARY "
+    "(weighted by counts, never re-touching text), and the candidate "
+    "space is bounded by alphabet² = 676 rows — so the global top-50 "
+    "sort is metadata-sized. Iterating = re-running on the merged vocab; "
+    "each round's heavy input is vocab-scale, the standard distributed "
+    "BPE shape.",
+    tags=("llm", "text"),
+)
+def q_bpe_merge_candidates(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from mapreduce_paradigm_spark.functions import doc_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        doc_words(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    pairs = wc.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "wn",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wn").cast("long").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        agg.select("pair", "n", F.row_number().over(w).cast("long").alias("rnk"))
+        .orderBy("rnk")
+        .limit(50)
     )
 
 

@@ -638,3 +638,83 @@ def q_user_value_mann_kendall(spark, sf_dir):
         n * (n - F.lit(1.0)) * (2 * n + 5) / F.lit(18.0)
     )
     return scored.select("user_id", "n", "s", F.round(z, 4).alias("z"))
+
+
+# --- contrastive in-batch negative mining ------------------------------------
+
+
+@register(
+    "contrastive_inbatch_negatives",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5(CAST(doc_id AS VARCHAR)) AS hkey,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS batch
+  FROM documents
+),
+led AS (
+  SELECT doc_id AS anchor_id, source AS a_src,
+         lead(doc_id, 1) OVER w AS n1, lead(source, 1) OVER w AS s1,
+         lead(doc_id, 2) OVER w AS n2, lead(source, 2) OVER w AS s2,
+         lead(doc_id, 3) OVER w AS n3, lead(source, 3) OVER w AS s3
+  FROM keyed
+  WINDOW w AS (PARTITION BY batch ORDER BY hkey)
+)
+SELECT anchor_id, negative_id, slot FROM (
+  SELECT anchor_id, a_src, n1 AS negative_id, s1 AS n_src,
+         CAST(1 AS BIGINT) AS slot FROM led
+  UNION ALL
+  SELECT anchor_id, a_src, n2, s2, CAST(2 AS BIGINT) FROM led
+  UNION ALL
+  SELECT anchor_id, a_src, n3, s3, CAST(3 AS BIGINT) FROM led
+) u
+WHERE negative_id IS NOT NULL AND n_src <> a_src
+""",
+    description="In-batch negative mining for contrastive training: docs "
+    "are dealt into 16 pseudo-random batches by the first md5 hex digit "
+    "of their id, ordered within batch by the full md5 key, and each "
+    "anchor takes its next 3 batch-neighbors as negatives, masking "
+    "same-source collisions (the standard in-batch scheme — negatives "
+    "come from the batch you already have, so mining is LINEAR, never "
+    "an all-pairs similarity pass). Deterministic: md5 ordering is "
+    "engine-independent, no RNG. Scale: one hash-partition shuffle + "
+    "per-batch sort; batch count scales freely, window state is 3 rows.",
+    tags=("mlprep", "llm"),
+)
+def q_contrastive_inbatch_negatives(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("batch"),
+    )
+    w = Window.partitionBy("batch").orderBy("hkey")
+    led = keyed.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("a_src"),
+        *[F.lead("doc_id", k).over(w).alias(f"n{k}") for k in (1, 2, 3)],
+        *[F.lead("source", k).over(w).alias(f"s{k}") for k in (1, 2, 3)],
+    )
+    stacked = led.select(
+        "anchor_id",
+        "a_src",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"n{k}").alias("negative_id"),
+                        F.col(f"s{k}").alias("n_src"),
+                        F.lit(k).cast("long").alias("slot"),
+                    )
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("x"),
+    )
+    return (
+        stacked.filter(
+            F.col("x.negative_id").isNotNull() & (F.col("x.n_src") != F.col("a_src"))
+        )
+        .select("anchor_id", F.col("x.negative_id").alias("negative_id"), F.col("x.slot").alias("slot"))
+    )
