@@ -181,6 +181,47 @@ def q_streaming_click_purchase_join(spark, sf_dir):
 
 
 @register(
+    "streaming_click_purchase_left_outer",
+    oracle="""
+WITH wm AS (
+  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS w
+)
+SELECT a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT a.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id
+FROM events a, wm
+WHERE a.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+  AND a.ts + INTERVAL 1 HOUR < wm.w
+""",
+    description="Stream-stream LEFT OUTER join with watermark-driven state "
+    "eviction: matches emit on arrival; a click emits null-extended ONLY "
+    "once the global watermark (min of both sides) passes the end of its "
+    "1h match window — 'no match' is decided by watermark progress, never "
+    "by stream end, so clicks still matchable at end-of-stream stay in "
+    "state unemitted. The oracle applies the identical cut: batch left "
+    "join UNION unmatched clicks with ts + 1h < min(max click ts, max "
+    "purchase ts). This pins the eviction boundary, not just the join.",
+    tags=("streaming", "join", "events"),
+)
+def q_streaming_click_purchase_left_outer(spark, sf_dir):
+    from mapreduce_paradigm_spark.streaming import streaming_click_purchase_left_outer
+
+    return run_to_memory(
+        streaming_click_purchase_left_outer(spark, sf_dir), output_mode="append"
+    )
+
+
+@register(
     "streaming_incremental_index_fb",
     oracle=DUCK_WORDS
     + """

@@ -277,6 +277,50 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("click_id", "purchase_id")
 
 
+def streaming_click_purchase_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, matched to same-user
+    purchases within the following hour, null-extended when no purchase
+    arrives in time.
+
+    Unlike the inner form, outer emission REQUIRES watermarks on both
+    sides plus an event-time bound in the join condition: a click can only
+    be declared unmatched once the global watermark (min of both sides'
+    watermarks) has passed the end of its match window — that is exactly
+    the state-eviction point, so "no match" is decided by watermark
+    progress, never by stream termination. With availableNow the final
+    no-data micro-batch advances the watermark to max(event time) and
+    flushes every decidable click; clicks whose match window is still open
+    at end-of-stream stay IN STATE and are not emitted (they are not
+    decidable — the batch-parity oracle applies the same watermark cut).
+    """
+    ev = _stream_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "0 seconds")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("click_id", "purchase_id")
+
+
 def transform_with_state_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 ``transformWithStateInPandas``: the processor-based stateful
     API (successor to applyInPandasWithState — explicit state variables,
