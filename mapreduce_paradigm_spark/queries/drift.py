@@ -349,3 +349,231 @@ def q_source_unigram_js_divergence(spark, sf_dir):
         .cast("double")
         .alias("js_div")
     )
+
+
+# --- Welch's t-test ----------------------------------------------------------
+
+
+@register(
+    "value_welch_ttest",
+    oracle="""
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS vm
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(vm AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(vm AS HUGEINT) * vm) AS HUGEINT) AS s2
+  FROM v GROUP BY 1
+),
+w AS (
+  SELECT a.n AS n1, b.n AS n2,
+         CAST(a.s1 AS DOUBLE) / a.n AS m1, CAST(b.s1 AS DOUBLE) / b.n AS m2,
+         (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n)
+           / (a.n - 1) / a.n AS va,
+         (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)
+           / (b.n - 1) / b.n AS vb
+  FROM s a, s b
+  WHERE a.event_type = 'purchase' AND b.event_type = 'view'
+)
+SELECT n1, n2,
+       round((m1 - m2) / 1000000, 6) AS mean_diff,
+       round((m1 - m2) / sqrt(va + vb), 6) AS t_stat,
+       round((va + vb) * (va + vb)
+             / (va * va / (n1 - 1) + vb * vb / (n2 - 1)), 4) AS welch_df
+FROM w
+""",
+    description="Welch's unequal-variance t-test of mean event value, "
+    "purchase vs view — the means counterpart of ab_conversion_ztest "
+    "(proportions): t = (m1-m2)/sqrt(s1²/n1 + s2²/n2) with the "
+    "Welch-Satterthwaite degrees of freedom. Values accumulate as exact "
+    "integer micros (128-bit Σv² — (5·10⁸)² per row overflows LONG), and "
+    "every double derives from those integers through ONE shared "
+    "expression shape, so both engines agree bit-for-bit before the "
+    "final 6dp round. Scale: one 2-group aggregate — map-side partials, "
+    "2-row reduce state, no shuffle wider than the group count.",
+    tags=("statistics", "drift", "events"),
+)
+def q_value_welch_ttest(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_type", F.round(F.col("value") * 1e6, 0).cast("long").alias("vm")
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vm").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("vm").cast("decimal(38,0)") * F.col("vm")).alias("s2"),
+    )
+    a = s.filter(F.col("event_type") == "purchase").alias("a")
+    b = s.filter(F.col("event_type") == "view").alias("b")
+    j = a.crossJoin(F.broadcast(b))
+    n1, n2 = F.col("a.n"), F.col("b.n")
+    m1 = F.col("a.s1").cast("double") / n1
+    m2 = F.col("b.s1").cast("double") / n2
+    va = (
+        (F.col("a.s2").cast("double") - F.col("a.s1").cast("double") * F.col("a.s1").cast("double") / n1)
+        / (n1 - 1)
+        / n1
+    )
+    vb = (
+        (F.col("b.s2").cast("double") - F.col("b.s1").cast("double") * F.col("b.s1").cast("double") / n2)
+        / (n2 - 1)
+        / n2
+    )
+    return j.select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        F.round((m1 - m2) / 1e6, 6).alias("mean_diff"),
+        F.round((m1 - m2) / F.sqrt(va + vb), 6).alias("t_stat"),
+        F.round(
+            (va + vb) * (va + vb) / (va * va / (n1 - 1) + vb * vb / (n2 - 1)), 4
+        ).alias("welch_df"),
+    )
+
+
+# --- Wasserstein-1 (earth mover) drift ---------------------------------------
+
+
+@register(
+    "events_value_wasserstein_drift",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(round(value * 1000000, 0) AS BIGINT) AS vm,
+         CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+  FROM events
+),
+grid AS (
+  SELECT vm,
+         CAST(sum(is_ref) AS BIGINT) AS c_ref,
+         CAST(sum(1 - is_ref) AS BIGINT) AS c_cur
+  FROM v GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref, CAST(sum(c_cur) AS BIGINT) AS n_cur
+  FROM grid
+),
+cdf AS (
+  SELECT vm,
+         sum(c_ref) OVER (ORDER BY vm) AS f_ref,
+         sum(c_cur) OVER (ORDER BY vm) AS f_cur,
+         lead(vm) OVER (ORDER BY vm) AS vm_next
+  FROM grid
+),
+terms AS (
+  SELECT CAST(abs(CAST(f_ref AS HUGEINT) * n_cur - CAST(f_cur AS HUGEINT) * n_ref)
+              * (vm_next - vm) AS HUGEINT) AS t
+  FROM cdf CROSS JOIN tot
+  WHERE vm_next IS NOT NULL
+)
+SELECT (SELECT n_ref FROM tot) AS n_ref,
+       (SELECT n_cur FROM tot) AS n_cur,
+       round(CAST(sum(t) AS DOUBLE)
+             / (SELECT CAST(n_ref AS DOUBLE) * n_cur FROM tot) / 1000000, 6)
+         AS w1_dist
+FROM terms
+""",
+    description="Exact Wasserstein-1 (earth-mover) distance between the "
+    "reference and current value distributions — the drift metric PSI "
+    "can't give you: it weighs HOW FAR mass moved, not just which bin it "
+    "left. W1 = Σ |F_ref - F_cur| dx over the merged value grid, computed "
+    "ENTIRELY in integers (|cumref·n_cur − cumcur·n_ref|·Δv summed as "
+    "128-bit ints, ONE division at the end) — no per-term float "
+    "rounding at all, so merge order cannot matter. Scale: the grid is "
+    "distinct-value-sized and the CDF needs a global order — exact form "
+    "for validation windows; at corpus scale feed the same formula "
+    "equi-depth histogram boundaries (price_equidepth_histogram) instead "
+    "of raw distinct values.",
+    tags=("statistics", "drift", "events"),
+)
+def q_events_value_wasserstein_drift(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("vm"),
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    grid = v.groupBy("vm").agg(
+        F.sum("is_ref").cast("long").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("c_cur"),
+    )
+    tot = grid.agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    wcdf = Window.orderBy("vm")
+    cdf = grid.select(
+        "vm",
+        F.sum("c_ref").over(wcdf).alias("f_ref"),
+        F.sum("c_cur").over(wcdf).alias("f_cur"),
+        F.lead("vm").over(wcdf).alias("vm_next"),
+    )
+    terms = (
+        cdf.crossJoin(F.broadcast(tot))
+        .filter(F.col("vm_next").isNotNull())
+        .select(
+            (
+                F.abs(
+                    F.col("f_ref").cast("decimal(38,0)") * F.col("n_cur")
+                    - F.col("f_cur").cast("decimal(38,0)") * F.col("n_ref")
+                )
+                * (F.col("vm_next") - F.col("vm"))
+            ).alias("t")
+        )
+    )
+    return (
+        terms.agg(F.sum("t").alias("st"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_ref",
+            "n_cur",
+            F.round(
+                F.col("st").cast("double")
+                / (F.col("n_ref").cast("double") * F.col("n_cur"))
+                / 1e6,
+                6,
+            ).alias("w1_dist"),
+        )
+    )
+
+
+# --- sliding-window distinct users -------------------------------------------
+
+
+@register(
+    "events_sliding_distinct_users",
+    oracle="""
+WITH k AS (SELECT unnest(generate_series(0, 3)) AS k),
+w AS (
+  SELECT user_id,
+         make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - k.k * 900) * 1000000 AS BIGINT))
+           AS wstart
+  FROM events, k
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(DISTINCT user_id) AS n_users
+FROM w
+GROUP BY 1
+""",
+    description="DISTINCT users per sliding window (1h width, 15min "
+    "slide) — the overlapping-window set aggregate (each user dedups "
+    "independently inside each of the 4 windows an event touches): "
+    "rolling reach / concurrent-actives, the metric dau_wau_stickiness "
+    "gives at day grain. Spark plans count_distinct over window() as "
+    "partial-dedup then merge — two shuffles keyed by (window, user) "
+    "then (window); no collect_set materialization.",
+    tags=("window", "events", "datetime"),
+)
+def q_events_sliding_distinct_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_users",
+        )
+    )
