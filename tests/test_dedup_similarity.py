@@ -353,3 +353,24 @@ def test_semantic_cluster_dedup_subset_recall_and_determinism(spark):
         for r in semantic_cluster_near_dups(emb).collect()
     }
     assert sem1 == sem2
+
+
+def test_delta_jaccard_equals_full_pairs_restricted(spark):
+    """Incremental form == full all-pairs output filtered to pairs touching
+    the delta — the exactness claim of the semi-join/pre-shuffle prunes
+    (no candidate or common-shingle loss for any reported pair)."""
+    from mapreduce_paradigm_spark.operators.dedup import delta_jaccard_pairs
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    full = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in jaccard_pairs(docs, 3, 0.5, max_shingle_df=64).collect()
+        if r["d1"] % 5 == 0 or r["d2"] % 5 == 0
+    }
+    delta = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in delta_jaccard_pairs(
+            docs, is_new=lambda d: d % 5 == 0, k=3, threshold=0.5, max_shingle_df=64
+        ).collect()
+    }
+    assert delta == full and delta  # non-vacuous: fixture has delta pairs
