@@ -725,3 +725,107 @@ def q_doc_rendezvous_sharding(spark, sf_dir):
             )
         ).alias("membership_md5"),
     )
+
+
+# --- end-to-end training-corpus pipeline -------------------------------------
+
+
+@register(
+    "training_corpus_pipeline",
+    oracle=r"""
+WITH dd AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (
+           PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+           ORDER BY doc_id) AS rn
+  FROM documents
+),
+kept AS (SELECT doc_id, source, text FROM dd WHERE rn = 1),
+w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS wd
+  FROM kept
+),
+c AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1, 2),
+m AS (
+  SELECT doc_id,
+         CAST(sum(n) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(n) AS BIGINT) AS top_n
+  FROM c GROUP BY 1
+),
+q AS (
+  SELECT doc_id, n_words FROM m
+  WHERE n_words >= 30
+    AND CAST(n_distinct AS DOUBLE) / n_words >= 0.40
+    AND CAST(top_n AS DOUBLE) / n_words <= 0.15
+),
+cum AS (
+  SELECT k.source, q.n_words,
+         COALESCE(sum(q.n_words) OVER (
+             PARTITION BY k.source ORDER BY q.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM q JOIN kept k USING (doc_id)
+)
+SELECT source,
+       CAST(floor(cum_before / 512) AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS bin_tokens
+FROM cum
+GROUP BY 1, 2
+""",
+    description="The WHOLE training-data pipeline as ONE declarative plan: "
+    "exact dedup (md5 of whitespace-normalized text, keep min doc_id) → "
+    "Gopher-style quality gate (word floor / type-token ratio / top-word "
+    "dominance, same thresholds as doc_gopher_filter_flags) → greedy "
+    "512-token sequence packing per source shard → packed-batch manifest "
+    "(source, bin_id, n_docs, bin_tokens). Each stage is a registered "
+    "operator on its own; composing them in one DataFrame expression "
+    "lets Catalyst pipeline the whole thing — the metrics aggregation "
+    "feeds both the filter and the packer without a rescan, and nothing "
+    "materializes between stages. Scale: two doc-keyed aggregations + "
+    "one hash-partition window (dedup) + one per-source window (packing); "
+    "no global order, no driver state — the plan a 100 TB ingest run "
+    "actually submits.",
+    bench=True,
+    tags=("llm", "pipeline", "dedup", "quality", "packing"),
+)
+def q_training_corpus_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    wdd = Window.partitionBy(
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    ).orderBy("doc_id")
+    kept = (
+        docs.withColumn("rn", F.row_number().over(wdd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    w = kept.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("wd")
+    )
+    c = w.groupBy("doc_id", "wd").agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("n").cast("bigint").alias("top_n"),
+    )
+    q = m.filter(
+        (F.col("n_words") >= 30)
+        & (F.col("n_distinct").cast("double") / F.col("n_words") >= 0.40)
+        & (F.col("top_n").cast("double") / F.col("n_words") <= 0.15)
+    ).select("doc_id", "n_words")
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        q.join(kept.select("doc_id", "source"), "doc_id")
+        .withColumn("cum_before", F.coalesce(F.sum("n_words").over(wp), F.lit(0)))
+    )
+    return cum.groupBy(
+        "source", F.expr("cum_before DIV 512").alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("bin_tokens"),
+    )
