@@ -577,3 +577,131 @@ def q_events_sliding_distinct_users(spark, sf_dir):
             "n_users",
         )
     )
+
+
+# --- Brown-Forsythe: variance homogeneity ------------------------------------
+
+
+@register(
+    "qty_brown_forsythe",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+),
+grid AS (
+  SELECT flag, q, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, q, cnt,
+         sum(cnt) OVER (PARTITION BY flag ORDER BY q) AS c,
+         sum(cnt) OVER (PARTITION BY flag) AS n_g
+  FROM grid
+),
+med AS (
+  SELECT flag, min(q) AS med FROM cum WHERE 2 * c >= n_g GROUP BY 1
+),
+z AS (
+  SELECT v.flag, abs(v.q - med.med) AS z
+  FROM v JOIN med ON v.flag = med.flag
+),
+s AS (
+  SELECT flag,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS s2
+  FROM z GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(s1) AS HUGEINT) AS st
+  FROM s
+),
+parts AS (
+  SELECT n, k,
+         sum(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_g)
+           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n AS between_ss,
+         sum(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_g)
+           AS within_ss
+  FROM s CROSS JOIN tot
+  GROUP BY n, k, st
+)
+SELECT n, k,
+       round(between_ss / (k - 1) / (within_ss / (n - k)), 6) AS f_stat
+FROM parts
+""",
+    description="Brown-Forsythe variance-homogeneity test of l_quantity "
+    "across return flags: one-way ANOVA F on z = |x − group MEDIAN| — "
+    "the robust Levene variant, the SCALE-difference companion to the "
+    "location tests (ANOVA F / Kruskal-Wallis). Group medians come off "
+    "the per-group distinct-value grid by the integer 2·cum ≥ n lower-"
+    "median cut (no interpolation, engine-agnostic); z is then exact "
+    "integer, the F statistic is one closed-form double over 128-bit "
+    "power sums. Scale: value-grid work + one broadcast join-back + one "
+    "group aggregate — same shape as the rank tests.",
+    tags=("statistics", "drift"),
+)
+def q_qty_brown_forsythe(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").cast("long").alias("q")
+    )
+    grid = v.groupBy("flag", "q").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("flag").orderBy("q")
+    wg = Window.partitionBy("flag")
+    cum = grid.select(
+        "flag",
+        "q",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wg).alias("n_g"),
+    )
+    med = (
+        cum.filter(2 * F.col("c") >= F.col("n_g"))
+        .groupBy("flag")
+        .agg(F.min("q").alias("med"))
+    )
+    z = v.join(F.broadcast(med), "flag").select(
+        "flag", F.abs(F.col("q") - F.col("med")).alias("z")
+    )
+    s = z.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("z").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("s2"),
+    )
+    tot = s.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s1").alias("st"),
+    )
+    s1d = F.col("s1").cast("double")
+    parts = (
+        s.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k", "st")
+        .agg(
+            (
+                F.sum(s1d * s1d / F.col("n_g"))
+            ).alias("b_raw"),
+            F.sum(F.col("s2").cast("double") - s1d * s1d / F.col("n_g")).alias(
+                "within_ss"
+            ),
+        )
+        .select(
+            "n",
+            "k",
+            (
+                F.col("b_raw")
+                - F.col("st").cast("double") * F.col("st").cast("double") / F.col("n")
+            ).alias("between_ss"),
+            "within_ss",
+        )
+    )
+    return parts.select(
+        "n",
+        "k",
+        F.round(
+            F.col("between_ss")
+            / (F.col("k") - 1)
+            / (F.col("within_ss") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )

@@ -303,3 +303,12 @@ def test_join_hints_are_honored(spark):
     plan = formatted_plan(_df(spark, "order_totals_hinted_joins"))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" in plan
+
+
+def test_pipeline_dedup_is_partial_window_group_limit(spark):
+    # the rn=1 exact-dedup filter must decorrelate to WindowGroupLimit with
+    # a PARTIAL pass before the hash exchange — per-partition top-1-per-key
+    # pruning, so the dedup shuffle carries survivors, not the corpus
+    plan = formatted_plan(_df(spark, "training_corpus_pipeline"))
+    assert "WindowGroupLimit" in plan
+    assert "row_number(), 1, Partial" in plan
