@@ -1311,3 +1311,72 @@ def q_embedding_dbscan_lite(spark, sf_dir):
     result = out.localCheckpoint(eager=True)
     pairs.unpersist()
     return result
+
+
+@register(
+    "embedding_mutual_top1_pairs",
+    oracle="""
+WITH directed AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                    * 1000000, 0) AS BIGINT) AS cos_micro
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+best AS (
+  SELECT src, dst, cos_micro,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cos_micro DESC, dst ASC) AS rn
+  FROM directed
+)
+SELECT x.src AS v1, x.dst AS v2,
+       CAST(CAST(x.cos_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS cosine
+FROM best x JOIN best y ON x.dst = y.src AND x.src = y.dst
+WHERE x.rn = 1 AND y.rn = 1 AND x.src < x.dst
+""",
+    description="Mutual nearest-neighbor (reciprocal top-1) pairs over the "
+    "embedding corpus — the entity-LINKING step between near-dup pair "
+    "generation and clustering: a pair survives only if each side is the "
+    "other's single closest vector, the standard high-precision matcher. "
+    "Cosines are rounded to integer micros BEFORE the argmax (ties break "
+    "by vec_id), so ranking never depends on sub-micro float disagreement "
+    "between engines. Exact all-pairs tier (broadcast nested-loop, small "
+    "side by contract) — at corpus scale the identical mutual filter "
+    "runs over LSH/IVF candidate lists instead (operators/similarity.py); "
+    "full oracle.",
+    tags=("similarity", "llm"),
+)
+def q_embedding_mutual_top1_pairs(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from mapreduce_paradigm_spark.functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("src"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("emb").alias("eb"))
+    directed = (
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine_similarity(F.col("ea"), F.col("eb")) * 1e6, 0)
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_micro").desc(), F.col("dst").asc())
+    best = directed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    x, y = best.alias("x"), best.alias("y")
+    return (
+        x.join(y, (F.col("x.dst") == F.col("y.src")) & (F.col("x.src") == F.col("y.dst")))
+        .filter(F.col("x.src") < F.col("x.dst"))
+        .select(
+            F.col("x.src").alias("v1"),
+            F.col("x.dst").alias("v2"),
+            (F.col("x.cos_micro").cast("decimal(24,6)") / 1000000)
+            .cast("double")
+            .alias("cosine"),
+        )
+    )

@@ -381,3 +381,39 @@ def q_customer_status_map_merge(spark, sf_dir):
         rendered.alias("merged"),
         F.size(merged).cast("long").alias("n_statuses"),
     )
+
+
+# --- k-anonymity audit -------------------------------------------------------
+
+
+@register(
+    "customer_k_anonymity",
+    oracle="""
+SELECT c_nationkey,
+       c_mktsegment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+       CAST(count(*) AS BIGINT) AS class_size,
+       count(*) < 5 AS at_risk
+FROM customer
+GROUP BY 1, 2, 3
+""",
+    description="k-anonymity audit over the quasi-identifier tuple "
+    "(nation, market segment, coarse balance band): equivalence-class "
+    "sizes plus an at-risk flag for classes smaller than k=5 — the "
+    "re-identification check run before releasing 'anonymized' extracts "
+    "(generalize/suppress at-risk classes until none remain). The "
+    "governance companion to pii_redaction: redaction strips direct "
+    "identifiers, this measures indirect ones. One aggregate keyed by "
+    "the QI tuple — map-side partials, class-count-sized reduce state.",
+    tags=("quality", "privacy"),
+)
+def q_customer_k_anonymity(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        (F.count(F.lit(1)) < 5).alias("at_risk"),
+    )
