@@ -705,3 +705,133 @@ def q_qty_brown_forsythe(spark, sf_dir):
             6,
         ).alias("f_stat"),
     )
+
+
+# --- mutual information ------------------------------------------------------
+
+
+@register(
+    "qty_flag_mutual_information",
+    oracle="""
+WITH cells AS (
+  SELECT l_returnflag AS flag,
+         CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS BIGINT) AS qb,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+m AS (
+  SELECT flag, qb, c,
+         CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS rm,
+         CAST(sum(c) OVER (PARTITION BY qb) AS BIGINT) AS cm,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM cells
+),
+mi AS (
+  SELECT n,
+         CAST(sum(CAST(round((CAST(c AS DOUBLE) / n)
+               * ln(CAST(n AS DOUBLE) * c / (CAST(rm AS DOUBLE) * cm))
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS mi_micro
+  FROM m GROUP BY n
+),
+hf AS (
+  SELECT CAST(sum(CAST(round(-(CAST(rm AS DOUBLE) / n) * ln(CAST(rm AS DOUBLE) / n)
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS hf_micro
+  FROM (SELECT DISTINCT flag, rm, n FROM m)
+),
+hb AS (
+  SELECT CAST(sum(CAST(round(-(CAST(cm AS DOUBLE) / n) * ln(CAST(cm AS DOUBLE) / n)
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS hb_micro
+  FROM (SELECT DISTINCT qb, cm, n FROM m)
+)
+SELECT n,
+       CAST(CAST(mi_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS mi,
+       CAST(CAST(hf_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS h_flag,
+       CAST(CAST(hb_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS h_bin,
+       round(CAST(mi_micro AS DOUBLE)
+             / sqrt(CAST(hf_micro AS DOUBLE) * hb_micro), 6) AS nmi
+FROM mi CROSS JOIN hf CROSS JOIN hb
+""",
+    description="Mutual information (and normalized MI) between return "
+    "flag and quantity decile-band — the info-theoretic association "
+    "measure beside chi-squared (chi2 answers 'is there dependence', MI "
+    "answers 'how many bits'): MI = Σ (c/n)·ln(n·c/(rm·cm)) over the "
+    "contingency cells, entropies from the margins, NMI = MI/√(H₁·H₂). "
+    "Per-cell terms round to integer micros and sum as integers; margins "
+    "come from windows over the 15-cell grid. One corpus-scale aggregate; "
+    "everything after is contingency-grid metadata.",
+    tags=("statistics", "drift"),
+)
+def q_qty_flag_mutual_information(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        ((F.col("l_quantity").cast("long") - 1) / 10).cast("long").alias("qb"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = cells.select(
+        "flag",
+        "qb",
+        "c",
+        F.sum("c").over(Window.partitionBy("flag")).alias("rm"),
+        F.sum("c").over(Window.partitionBy("qb")).alias("cm"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    cd, nd = F.col("c").cast("double"), F.col("n").cast("double")
+    mi = m.groupBy("n").agg(
+        F.sum(
+            F.round(
+                (cd / F.col("n"))
+                * F.log(nd * F.col("c") / (F.col("rm").cast("double") * F.col("cm")))
+                * 1e6,
+                0,
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("mi_micro")
+    )
+    hf = (
+        m.select("flag", "rm", "n")
+        .distinct()
+        .agg(
+            F.sum(
+                F.round(
+                    -(F.col("rm").cast("double") / F.col("n"))
+                    * F.log(F.col("rm").cast("double") / F.col("n"))
+                    * 1e6,
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("hf_micro")
+        )
+    )
+    hb = (
+        m.select("qb", "cm", "n")
+        .distinct()
+        .agg(
+            F.sum(
+                F.round(
+                    -(F.col("cm").cast("double") / F.col("n"))
+                    * F.log(F.col("cm").cast("double") / F.col("n"))
+                    * 1e6,
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("hb_micro")
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hf))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "n",
+            (F.col("mi_micro").cast("decimal(24,6)") / 1000000).cast("double").alias("mi"),
+            (F.col("hf_micro").cast("decimal(24,6)") / 1000000).cast("double").alias("h_flag"),
+            (F.col("hb_micro").cast("decimal(24,6)") / 1000000).cast("double").alias("h_bin"),
+            F.round(
+                F.col("mi_micro").cast("double")
+                / F.sqrt(F.col("hf_micro").cast("double") * F.col("hb_micro")),
+                6,
+            ).alias("nmi"),
+        )
+    )

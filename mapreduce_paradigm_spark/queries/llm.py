@@ -1380,3 +1380,57 @@ def q_embedding_mutual_top1_pairs(spark, sf_dir):
             .alias("cosine"),
         )
     )
+
+
+@register(
+    "language_id_confusion",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is','a'))) AS BIGINT) AS hits_en,
+    CAST(len(list_filter(toks, t -> t IN ('der','die','und','ist','das','ein'))) AS BIGINT) AS hits_de,
+    CAST(len(list_filter(toks, t -> t IN ('le','la','et','les','des','une'))) AS BIGINT) AS hits_fr,
+    CAST(len(list_filter(toks, t -> t IN ('el','los','que','una','por','con'))) AS BIGINT) AS hits_es
+  FROM t
+),
+pred AS (
+  SELECT lang AS gold,
+       CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+            WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+            WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+            WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+            ELSE 'es' END AS pred
+  FROM h
+)
+SELECT gold, pred, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY gold), 4) AS gold_share
+FROM pred
+GROUP BY 1, 2
+""",
+    description="Confusion matrix of the marker-stopword language-ID "
+    "heuristic against the gold lang column, with per-gold-class recall "
+    "shares — the eval harness run alongside any heuristic classifier "
+    "before it gates a corpus (mislabeling a language drops it from the "
+    "mixture silently). Prediction logic is the registered language_id "
+    "operator verbatim; the matrix is one (gold, pred) aggregate + a "
+    "margin window over the class grid.",
+    tags=("textstats", "llm", "quality"),
+)
+def q_language_id_confusion(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    j = docs.select("doc_id", F.col("lang").alias("gold")).join(pred, "doc_id")
+    cm = j.groupBy("gold", F.col("lang_pred").alias("pred")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("gold")
+    return cm.select(
+        "gold",
+        "pred",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 4).alias("gold_share"),
+    )
