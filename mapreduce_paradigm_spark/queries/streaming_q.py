@@ -502,3 +502,80 @@ def q_streaming_cdc_keep_latest_multibatch(spark, sf_dir):
     return spark.read.parquet(state_dir).select(
         "user_id", "event_type", "event_id", "ts", "value"
     )
+
+
+@register(
+    "streaming_pit_enrichment",
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+         lag(o_orderstatus) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev_status
+  FROM orders
+),
+scd2 AS (
+  SELECT o_custkey AS custkey,
+         o_orderstatus AS status,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS valid_to
+  FROM ordered
+  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+),
+shipped AS (
+  SELECT o.o_custkey AS custkey, l.l_shipdate,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0)
+              AS BIGINT) AS rev_micro
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT d.status AS status_at_ship,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(s.rev_micro) AS BIGINT) AS rev_micro
+FROM shipped s
+JOIN scd2 d ON s.custkey = d.custkey
+           AND s.l_shipdate >= d.valid_from
+           AND (d.valid_to IS NULL OR s.l_shipdate < d.valid_to)
+GROUP BY d.status
+""",
+    description="STREAMING point-in-time enrichment: the shipment stream "
+    "joins the static SCD2 status dimension on custkey with the "
+    "[valid_from, valid_to) interval as residual predicate — the "
+    "stream-static NON-EQUI join (enrichment against a versioned "
+    "dimension, not just a current snapshot), then a running status "
+    "rollup maintained as streaming state. Must hash-match the batch "
+    "PIT oracle (lineitem_pit_customer_status's aggregate): time-travel "
+    "correctness is preserved under micro-batched execution because the "
+    "dimension is static per batch and the aggregate state is "
+    "commutative. At scale the dimension broadcasts once per batch.",
+    tags=("streaming", "warehouse", "scd", "join"),
+)
+def q_streaming_pit_enrichment(spark, sf_dir):
+    from mapreduce_paradigm_spark.registry import all_specs
+    from mapreduce_paradigm_spark.sources.tables import load_table
+    from mapreduce_paradigm_spark.streaming import _stream_table
+
+    scd2 = all_specs()["customer_status_scd2"].builder(spark, sf_dir).select(
+        "custkey", "status", "valid_from", "valid_to"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l_stream = _stream_table(spark, sf_dir, "lineitem")
+    shipped = l_stream.join(o, l_stream.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("s_custkey"),
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6, 0)
+        .cast("long")
+        .alias("rev_micro"),
+    )
+    pit = shipped.join(
+        scd2,
+        (F.col("s_custkey") == F.col("custkey"))
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+    )
+    agg = pit.groupBy(F.col("status").alias("status_at_ship")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev_micro").alias("rev_micro"),
+    )
+    return run_to_memory(agg, output_mode="complete")
