@@ -85,7 +85,7 @@ def q_events_value_psi_drift(spark, sf_dir):
         F.least(
             F.floor(F.col("value") / _PSI_BIN_W).cast("long"), F.lit(_PSI_NBINS - 1)
         ).alias("bin_id"),
-        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), 1)
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp_ntz"), 1)
         .otherwise(0)
         .alias("is_ref"),
     )
@@ -492,7 +492,7 @@ def q_events_value_wasserstein_drift(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
         F.round(F.col("value") * 1e6, 0).cast("long").alias("vm"),
-        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), 1)
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp_ntz"), 1)
         .otherwise(0)
         .alias("is_ref"),
     )
