@@ -270,3 +270,18 @@ def test_rendezvous_minimal_disruption(spark):
     moved = {d for d in with8 if with8[d] != with7[d]}
     assert moved == {d for d, s in with8.items() if s == 7}
     assert 0 < len(moved) < len(with8)
+
+
+def test_cli_list_oracle_and_unknown(capsys):
+    """CLI surface: list filters, oracle print, scriptable failure exit."""
+    from mapreduce_paradigm_spark.__main__ import main
+
+    assert main(["list", "--tag", "drift"]) == 0
+    out = capsys.readouterr().out
+    assert "qty_brown_forsythe" in out and "[oracle]" in out
+
+    assert main(["oracle", "qty_kruskal_wallis_h"]) == 0
+    assert "l_returnflag" in capsys.readouterr().out
+
+    assert main(["oracle", "no_such_query_xyz"]) == 2
+    assert "unknown query" in capsys.readouterr().err
