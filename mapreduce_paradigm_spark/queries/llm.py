@@ -1434,3 +1434,75 @@ def q_language_id_confusion(spark, sf_dir):
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 4).alias("gold_share"),
     )
+
+
+_OOV_VOCAB = 500
+
+
+@register(
+    "source_oov_rates",
+    oracle=f"""
+WITH dw AS (
+  SELECT d.source, d.doc_id, lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS word
+  FROM (SELECT source, doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+        FROM documents) d
+  WHERE lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) <> ''
+),
+vocab AS (
+  SELECT word FROM dw GROUP BY 1
+  ORDER BY count(*) DESC, word ASC LIMIT {_OOV_VOCAB}
+),
+flagged AS (
+  SELECT dw.source, dw.doc_id,
+         CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS is_oov
+  FROM dw LEFT JOIN vocab v ON dw.word = v.word
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(is_oov) AS BIGINT) AS n_oov,
+       round(CAST(sum(is_oov) AS DOUBLE) / count(*), 6) AS oov_rate
+FROM flagged
+GROUP BY 1
+""",
+    description="Out-of-vocabulary rate per source against the top-500 "
+    "global vocabulary — the tokenizer-health / domain-shift indicator "
+    "(a source whose tokens mostly fall outside the corpus head either "
+    "needs vocab budget or is noise): integer token/OOV counts, ONE "
+    "final division. Corpus-scale work is one token pass; the vocab is "
+    "broadcast for the membership probe; grows with sources, not bytes. "
+    "Reads beside source_unigram_js_divergence (which sources differ) "
+    "and bpe_merge_candidates (what to merge next).",
+    tags=("llm", "text", "quality"),
+)
+def q_source_oov_rates(spark, sf_dir):
+    from mapreduce_paradigm_spark.functions import doc_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.select("source", "doc_id", F.explode(F.split("text", r"\s+")).alias("t"))
+        .select(
+            "source",
+            "doc_id",
+            F.lower(F.regexp_replace("t", "[^A-Za-z]", "")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    vocab = (
+        dw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("gc"))
+        .orderBy(F.col("gc").desc(), F.col("word").asc())
+        .limit(_OOV_VOCAB)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    flagged = dw.join(F.broadcast(vocab), "word", "left").select(
+        "source",
+        "doc_id",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("is_oov"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("is_oov").cast("long").alias("n_oov"),
+        F.round(F.sum("is_oov").cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )
