@@ -68,3 +68,108 @@ def asof_join(
     return picked.filter(F.col("__tag") == 0).select(
         *lcols, *[f"asof_{v}" for v in value_cols]
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_seconds: int,
+) -> DataFrame:
+    """Nearest-as-of join: for each left row, the right row minimizing
+    |right.ts − left.ts| within ``tolerance_seconds``; ties prefer the
+    BACKWARD (earlier-or-equal) candidate, then the greatest value tuple
+    (same determinism rule as ``asof_join``). NULLs when no candidate is
+    inside the tolerance.
+
+    Direction semantics: backward candidates are non-strict (a right row
+    at exactly left.ts matches, Δ=0), forward candidates strict — so an
+    equal-timestamp right row is considered once, as backward.
+
+    Shape: the backward and forward candidates each come from ONE window
+    pass over the same key-partitioned union (ascending and descending
+    time order respectively) — two sorts, one shuffle, no range self-join;
+    the tolerance filter and the |Δ| argmin are row-local."""
+    lcols = list(left.columns)
+    vts = ["__rts", *value_cols]
+
+    def tagged(tag_left: int, tag_right: int) -> DataFrame:
+        l = left.select(
+            *lcols,
+            F.col(left_ts).alias("__ts"),
+            F.lit(tag_left).alias("__tag"),
+            F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+            *[
+                F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}")
+                for v in value_cols
+            ],
+        )
+        r = right.select(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in lcols
+                if c not in on
+            ],
+            *on,
+            F.col(right_ts).alias("__ts"),
+            F.lit(tag_right).alias("__tag"),
+            F.col(right_ts).alias("__rts"),
+            *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        ).select(*lcols, "__ts", "__tag", "__rts", *[f"__v_{v}" for v in value_cols])
+        return l.unionByName(r)
+
+    tb = F.struct(*[F.col(f"__v_{v}") for v in value_cols])
+
+    # backward (non-strict): rights sort BEFORE lefts at equal ts
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc("__ts"), F.asc("__tag"), F.asc(tb))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    back = tagged(tag_left=1, tag_right=0).withColumn("__tbv", tb)
+    for v in vts:
+        back = back.withColumn(f"__b_{v}", F.last(f"__v_{v}" if v != "__rts" else "__rts", ignorenulls=True).over(wb))
+    back = back.filter(F.col("__tag") == 1).select(
+        *lcols, "__ts", *[F.col(f"__b_{v}").alias(f"__bk_{v}") for v in vts]
+    )
+
+    # forward (strict): lefts sort BEFORE rights at equal ts, time DESC
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.desc("__ts"), F.asc("__tag"), F.asc(tb))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = tagged(tag_left=0, tag_right=1)
+    for v in vts:
+        fwd = fwd.withColumn(f"__f_{v}", F.last(f"__v_{v}" if v != "__rts" else "__rts", ignorenulls=True).over(wf))
+    fwd = fwd.filter(F.col("__tag") == 0).select(
+        *lcols, "__ts", *[F.col(f"__f_{v}").alias(f"__fw_{v}") for v in vts]
+    )
+
+    # rejoin the two passes on the FULL left row (requires the left side to
+    # carry a unique key among its columns, true of every fixture fact
+    # table); joining on (key, ts) alone would cross-pair left rows that
+    # share a timestamp
+    j = back.join(fwd, [*lcols, "__ts"])
+    bd = F.unix_micros(F.col("__ts").cast("timestamp")) - F.unix_micros(
+        F.col("__bk___rts").cast("timestamp")
+    )
+    fd = F.unix_micros(F.col("__fw___rts").cast("timestamp")) - F.unix_micros(
+        F.col("__ts").cast("timestamp")
+    )
+    tol = F.lit(int(tolerance_seconds) * 1_000_000)
+    b_ok = F.col("__bk___rts").isNotNull() & (bd <= tol)
+    f_ok = F.col("__fw___rts").isNotNull() & (fd <= tol)
+    use_back = b_ok & (~f_ok | (bd <= fd))
+    out = j
+    for v in value_cols:
+        out = out.withColumn(
+            f"asof_{v}",
+            F.when(use_back, F.col(f"__bk_{v}"))
+            .when(f_ok, F.col(f"__fw_{v}"))
+            .otherwise(F.lit(None).cast(right.schema[v].dataType)),
+        )
+    return out.select(*lcols, *[f"asof_{v}" for v in value_cols])

@@ -411,3 +411,58 @@ def q_sessionize_native_session_window(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "view_nearest_click_asof",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT v.event_id AS view_id, c.click_id AS nearest_click_id
+FROM views v LEFT JOIN LATERAL (
+  SELECT cc.event_id AS click_id
+  FROM clicks cc
+  WHERE cc.user_id = v.user_id
+    AND abs(epoch_us(cc.ts) - epoch_us(v.ts)) <= 1800 * 1000000
+  ORDER BY abs(epoch_us(cc.ts) - epoch_us(v.ts)) ASC,
+           CASE WHEN cc.ts <= v.ts THEN 0 ELSE 1 END ASC,
+           cc.event_id DESC
+  LIMIT 1
+) c ON true
+""",
+    description="NEAREST-as-of join (operators/asof.py asof_join_nearest): "
+    "each view matched to the same-user click minimizing |Δt| within a "
+    "±30 min tolerance; ties prefer the backward candidate, then the "
+    "greatest value tuple (fully deterministic). Direction rule: backward "
+    "is non-strict, forward strict, so an equal-timestamp click counts "
+    "once. Composed from TWO window passes (ascending + descending) over "
+    "one key-partitioned union — one shuffle, no range self-join; the "
+    "tolerance filter and argmin are row-local. The bidirectional "
+    "complement of last_click_before_view's backward-only semantics; "
+    "oracle is an independent DuckDB LATERAL argmin.",
+    tags=("window", "asof", "events", "join"),
+)
+def q_view_nearest_click_asof(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join_nearest(
+        views,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id"],
+        tolerance_seconds=1800,
+    )
+    return out.select("view_id", F.col("asof_event_id").alias("nearest_click_id"))
