@@ -990,3 +990,106 @@ def q_user_value_ohlc_6h(spark, sf_dir):
             F.round(F.max_by("value", order_key), 6).alias("close"),
         )
     )
+
+
+@register(
+    "events_hourly_gap_fill_linear",
+    oracle="""
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS vm
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM agg GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+),
+joined AS (
+  SELECT s.user_id, s.hr, a.n, a.vm,
+         last_value(a.vm IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN a.vm IS NOT NULL THEN s.hr END IGNORE NULLS)
+           OVER wb AS ph,
+         first_value(a.vm IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN a.vm IS NOT NULL THEN s.hr END IGNORE NULLS)
+           OVER wf AS nh
+  FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.hr = a.hr
+  WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY s.user_id ORDER BY s.hr
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+interp AS (
+  SELECT user_id, hr, n,
+         CASE WHEN vm IS NOT NULL THEN vm
+              ELSE pv + CAST(floor(
+                CAST((nv - pv) * ((epoch_us(hr) - epoch_us(ph)) / 3600000000) AS DOUBLE)
+                / ((epoch_us(nh) - epoch_us(ph)) / 3600000000)) AS BIGINT)
+         END AS fm
+  FROM joined
+)
+SELECT user_id, hr,
+       COALESCE(n, 0) AS n_events,
+       CAST(CAST(fm AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS filled_val
+FROM interp
+""",
+    description="Gap-filled hourly series with LINEAR interpolation — the "
+    "trend-preserving resample beside events_hourly_gap_fill's LOCF "
+    "(step-function) fill: interior gaps take pv + (nv−pv)·Δt-fraction "
+    "between the bracketing observations (the spine is bounded per user, "
+    "so interior gaps always have both). The interpolation is INTEGER "
+    "micros end-to-end: floor((nv−pv)·gap_hours / span_hours) — floor of "
+    "an exactly-representable double ratio whose non-integer values sit "
+    "≥ 1/span from any integer, so both engines floor identically; no "
+    "round-half-of-a-double coin flips (the naive double form mismatched "
+    "9 rows exactly on half-micro ties). Two window passes over the "
+    "user-partitioned spine; spine rows ∝ activity spans.",
+    tags=("timeseries", "window", "events"),
+)
+def q_events_hourly_gap_fill_linear(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("vm"),
+    )
+    spine = (
+        agg.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    wb = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_hr = F.when(F.col("vm").isNotNull(), F.col("hr"))
+    j = spine.join(agg, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        "n",
+        "vm",
+        F.last("vm", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_hr, ignorenulls=True).over(wb).alias("ph"),
+        F.first("vm", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_hr, ignorenulls=True).over(wf).alias("nh"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    num = (us("hr") - us("ph")) / F.lit(3600000000)
+    den = (us("nh") - us("ph")) / F.lit(3600000000)
+    fm = F.when(F.col("vm").isNotNull(), F.col("vm")).otherwise(
+        F.col("pv")
+        + F.floor(((F.col("nv") - F.col("pv")) * num).cast("double") / den).cast("long")
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        (fm.cast("decimal(24,6)") / 1000000).cast("double").alias("filled_val"),
+    )

@@ -94,3 +94,20 @@ def test_normalization_edge_cases(spark):
     )
     words = sorted(r["word"] for r in doc_words(df).collect())
     assert words == sorted(["dont", "abc", "migr", "caf", "nave"])
+
+
+def test_python_datasource_matches_composed_scan(spark, tmp_path):
+    """The Spark-4 Python DataSource form of O1/O2 (sources/pyds.py) must
+    produce exactly the composed spark.read.text scan's rows, including the
+    missing-file-silent quirk."""
+    from mapreduce_paradigm_spark.sources.pyds import RefManifestDataSource
+
+    manifest = _write_corpus(tmp_path, with_missing=True)
+    spark.dataSource.register(RefManifestDataSource)
+    via_ds = (
+        spark.read.format("ref_manifest").option("path", manifest).load()
+    )
+    via_composed = read_documents_from_manifest(spark, manifest)
+    a = sorted((r["doc_id"], r["text"]) for r in via_ds.collect())
+    b = sorted((r["doc_id"], r["text"]) for r in via_composed.collect())
+    assert a == b and a  # identical and non-empty
