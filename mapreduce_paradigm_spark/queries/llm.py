@@ -1506,3 +1506,52 @@ def q_source_oov_rates(spark, sf_dir):
         F.sum("is_oov").cast("long").alias("n_oov"),
         F.round(F.sum("is_oov").cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
     )
+
+
+@register(
+    "doc_head_tokens_udtf",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS a
+  FROM documents
+)
+SELECT doc_id, a[1] AS t1, a[2] AS t2, a[3] AS t3
+FROM t
+""",
+    description="POLYMORPHIC Python UDTF (Spark 4 analyze() API): the "
+    "output schema — one column per requested head token — is computed "
+    "at plan time from the constant argument, the dynamic-schema half "
+    "of the UDTF surface that doc_chunks_udtf's static returnType "
+    "doesn't exercise. Row-local compute, no shuffle; out-of-range "
+    "positions are NULL (matching SQL array indexing).",
+    tags=("llm", "text", "udtf"),
+)
+def q_doc_head_tokens_udtf(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class HeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if n.value is None or not isinstance(n.value, int):
+                raise ValueError("n must be a constant integer")
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"t{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = text.strip().split() if text and text.strip() else []
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    from mapreduce_paradigm_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("head_tokens", udtf(HeadTokens))
+    return spark.sql(
+        "SELECT d.doc_id, h.t1, h.t2, h.t3 "
+        "FROM documents d, LATERAL head_tokens(d.text, 3) h"
+    )
