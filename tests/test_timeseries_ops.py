@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+from pyspark.sql import functions as F
+
 from mapreduce_paradigm_spark.registry import all_specs
 
 from .conftest import SF_CORRECT
@@ -170,3 +172,37 @@ def test_cusum_matches_python_scan(spark):
         assert abs(got[uid][1] - want_max) < 1e-9, uid
         checked += 1
     assert checked > 0
+
+
+def test_asof_nearest_edges(spark):
+    """Nearest-as-of boundary semantics: equal-ts matches as backward (Δ=0),
+    exact-tolerance boundary included, beyond-tolerance NULL, forward wins
+    only when strictly closer, equidistant prefers backward."""
+    from mapreduce_paradigm_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00"),  # click at same ts -> backward Δ=0
+            (1, 11, "2024-01-01 12:00:00"),  # clicks at 11:30 and 12:30 -> tie, backward
+            (1, 12, "2024-01-01 15:00:00"),  # nearest is forward 15:10 vs back 12:30
+            (1, 13, "2024-01-01 20:00:00"),  # nothing within 30min -> NULL
+            (2, 20, "2024-01-01 10:30:00"),  # other key: exactly 30min back -> included
+        ],
+        "user_id BIGINT, view_id BIGINT, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 10:00:00"),
+            (1, 101, "2024-01-01 11:30:00"),
+            (1, 102, "2024-01-01 12:30:00"),
+            (1, 103, "2024-01-01 15:10:00"),
+            (2, 200, "2024-01-01 10:00:00"),
+        ],
+        "user_id BIGINT, event_id BIGINT, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = asof_join_nearest(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["event_id"], tolerance_seconds=1800,
+    )
+    got = {r["view_id"]: r["asof_event_id"] for r in out.collect()}
+    assert got == {10: 100, 11: 101, 12: 103, 13: None, 20: 200}
