@@ -835,3 +835,167 @@ def q_qty_flag_mutual_information(spark, sf_dir):
             ).alias("nmi"),
         )
     )
+
+
+# --- Cramér's V (bias-corrected optional: plain V here) ----------------------
+
+
+@register(
+    "priority_status_cramers_v",
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS st,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+rp AS (SELECT p, CAST(sum(obs) AS BIGINT) AS rp FROM o GROUP BY 1),
+cs AS (SELECT st, CAST(sum(obs) AS BIGINT) AS cs FROM o GROUP BY 1),
+chi AS (
+  SELECT CAST(sum(CAST(round(power(obs - CAST(rp AS DOUBLE) * cs / n, 2)
+             / (CAST(rp AS DOUBLE) * cs / n) * 1000000, 0) AS BIGINT))
+         AS BIGINT) AS chi2_micro
+  FROM o JOIN rp ON o.p = rp.p JOIN cs ON o.st = cs.st CROSS JOIN tot
+),
+dims AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM rp) AS r,
+         (SELECT CAST(count(*) AS BIGINT) FROM cs) AS c
+)
+SELECT n, r, c,
+       CAST(CAST(chi2_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS chi2,
+       round(sqrt((CAST(chi2_micro AS DOUBLE) / 1000000)
+                  / (CAST(n AS DOUBLE) * (least(r, c) - 1))), 6) AS cramers_v
+FROM chi CROSS JOIN tot CROSS JOIN dims
+""",
+    description="Cramér's V for the priority × status table — the "
+    "EFFECT-SIZE companion to priority_status_chi2 (chi2 scales with N, "
+    "so at 100 TB everything is 'significant'; V = √(χ²/(N·(min(r,c)−1))) "
+    "∈ [0,1] stays comparable across table sizes): per-cell χ² terms "
+    "rounded to integer micros and integer-summed (merge-order-proof), "
+    "one closed-form V from the scalar. Contingency-grid-sized after one "
+    "aggregate.",
+    tags=("statistics", "drift"),
+)
+def q_priority_status_cramers_v(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    tot = o.agg(F.sum("obs").cast("long").alias("n"))
+    rp = o.groupBy("p").agg(F.sum("obs").cast("long").alias("rp"))
+    cs = o.groupBy("st").agg(F.sum("obs").cast("long").alias("cs"))
+    e = F.col("rp").cast("double") * F.col("cs") / F.col("n")
+    chi = (
+        o.join(F.broadcast(rp), "p")
+        .join(F.broadcast(cs), "st")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(F.pow(F.col("obs") - e, 2) / e * 1e6, 0).cast("long")
+            )
+            .cast("long")
+            .alias("chi2_micro")
+        )
+    )
+    dims = rp.agg(F.count(F.lit(1)).cast("long").alias("r")).crossJoin(
+        cs.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        chi.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n",
+            "r",
+            "c",
+            (F.col("chi2_micro").cast("decimal(24,6)") / 1000000)
+            .cast("double")
+            .alias("chi2"),
+            F.round(
+                F.sqrt(
+                    (F.col("chi2_micro").cast("double") / 1e6)
+                    / (F.col("n").cast("double") * (F.least("r", "c") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# --- odds ratio with CI ------------------------------------------------------
+
+
+@register(
+    "ab_conversion_odds_ratio",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+         CASE WHEN min(ts) FILTER (WHERE event_type = 'purchase')
+                   > min(ts) FILTER (WHERE event_type = 'signup')
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converted
+  FROM events GROUP BY user_id
+  HAVING min(ts) FILTER (WHERE event_type = 'signup') IS NOT NULL
+),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS conv
+  FROM assigned GROUP BY grp
+),
+wide AS (
+  SELECT max(CASE WHEN grp = 0 THEN conv END) AS a,
+         max(CASE WHEN grp = 0 THEN n - conv END) AS b,
+         max(CASE WHEN grp = 1 THEN conv END) AS c,
+         max(CASE WHEN grp = 1 THEN n - conv END) AS d
+  FROM g
+)
+SELECT a, b, c, d,
+       round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6) AS odds_ratio,
+       round(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+             - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d), 6) AS log_or_lo,
+       round(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+             + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d), 6) AS log_or_hi
+FROM wide
+""",
+    description="Odds ratio with Wald 95% CI for the signup→purchase A/B "
+    "split — the EFFECT SIZE beside ab_conversion_ztest's significance "
+    "(same 2×2 cells a/b/c/d): OR = ad/bc, CI = ln(OR) ± 1.96·√(Σ1/cell). "
+    "Exact integer cells from one per-user reduction; one shared float "
+    "expression. The z-test says whether to believe a difference; this "
+    "says whether it is big enough to matter.",
+    tags=("statistics", "drift", "events"),
+)
+def q_ab_conversion_odds_ratio(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assigned = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("fs"),
+        )
+        .filter(F.col("fs").isNotNull())
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("grp"),
+            F.when(F.col("fp") > F.col("fs"), 1).otherwise(0).cast("long").alias("converted"),
+        )
+    )
+    g = assigned.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("a"),
+        F.max(F.when(F.col("grp") == 0, F.col("n") - F.col("conv"))).alias("b"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("c"),
+        F.max(F.when(F.col("grp") == 1, F.col("n") - F.col("conv"))).alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    orr = a * F.col("d") / (b * F.col("c"))
+    half = F.lit(1.959964) * F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return wide.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.log(orr) - half, 6).alias("log_or_lo"),
+        F.round(F.log(orr) + half, 6).alias("log_or_hi"),
+    )
