@@ -417,3 +417,37 @@ def q_customer_k_anonymity(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("class_size"),
         (F.count(F.lit(1)) < 5).alias("at_risk"),
     )
+
+
+@register(
+    "customer_l_diversity",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS l_distinct,
+       count(DISTINCT c_nationkey) < 3 AS at_risk
+FROM customer
+GROUP BY 1, 2
+""",
+    description="l-diversity audit — the attack k-anonymity misses: a "
+    "class can be large (k-safe) yet carry ONE sensitive value, so "
+    "membership still discloses it (homogeneity attack). Per "
+    "quasi-identifier class (segment, balance band): size, distinct "
+    "sensitive values (nation plays the sensitive attribute), and an "
+    "at-risk flag at l<3. One aggregate with a distinct-count — "
+    "partial-dedup then merge, same two-shuffle shape as the sliding "
+    "distinct. Reads beside customer_k_anonymity as the release gate "
+    "pair.",
+    tags=("quality", "privacy"),
+)
+def q_customer_l_diversity(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.count_distinct("c_nationkey").cast("long").alias("l_distinct"),
+        (F.count_distinct("c_nationkey") < 3).alias("at_risk"),
+    )

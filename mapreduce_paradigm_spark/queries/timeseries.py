@@ -1093,3 +1093,162 @@ def q_events_hourly_gap_fill_linear(spark, sf_dir):
         F.coalesce("n", F.lit(0)).alias("n_events"),
         (fm.cast("decimal(24,6)") / 1000000).cast("double").alias("filled_val"),
     )
+
+
+@register(
+    "hourly_counts_acf",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT y,
+         lag(y, 1) OVER w AS x1, lag(y, 2) OVER w AS x2,
+         lag(y, 3) OVER w AS x3, lag(y, 4) OVER w AS x4,
+         lag(y, 5) OVER w AS x5, lag(y, 6) OVER w AS x6
+  FROM h WINDOW w AS (ORDER BY hr)
+),
+pairs AS (
+  SELECT CAST(1 AS BIGINT) AS lag_k, x1 AS x, y FROM lagged WHERE x1 IS NOT NULL
+  UNION ALL SELECT 2, x2, y FROM lagged WHERE x2 IS NOT NULL
+  UNION ALL SELECT 3, x3, y FROM lagged WHERE x3 IS NOT NULL
+  UNION ALL SELECT 4, x4, y FROM lagged WHERE x4 IS NOT NULL
+  UNION ALL SELECT 5, x5, y FROM lagged WHERE x5 IS NOT NULL
+  UNION ALL SELECT 6, x6, y FROM lagged WHERE x6 IS NOT NULL
+),
+s AS (
+  SELECT lag_k, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT lag_k, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+FROM s
+""",
+    description="Autocorrelation function (lags 1–6) of the global hourly "
+    "event-count series — the order-selection diagnostic before fitting "
+    "any AR model (user_value_autocorr gives lag-1 per user; this is the "
+    "multi-lag view of the aggregate series). The series itself is "
+    "TIME-bounded (~720 points/month at any corpus size), so after the "
+    "one corpus-scale hourly aggregate everything is series-length work; "
+    "six lag columns unpivot into (lag, x, y) pairs and Pearson assembles "
+    "per lag from exact 128-bit power sums — one shared expression.",
+    tags=("timeseries", "statistics", "events"),
+)
+def q_hourly_counts_acf(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w = Window.orderBy("hr")
+    lagged = h.select(
+        "y", *[F.lag("y", k).over(w).alias(f"x{k}") for k in range(1, 7)]
+    )
+    pairs = None
+    for k in range(1, 7):
+        part = lagged.filter(F.col(f"x{k}").isNotNull()).select(
+            F.lit(k).cast("long").alias("lag_k"),
+            F.col(f"x{k}").alias("x"),
+            "y",
+        )
+        pairs = part if pairs is None else pairs.unionByName(part)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pairs.groupBy("lag_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select("lag_k", "n", F.round(num / den, 6).alias("acf"))
+
+
+@register(
+    "events_hourly_stl_lite",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT hr, y,
+         CAST(sum(y) OVER w AS BIGINT) AS wsum,
+         CAST(count(*) OVER w AS BIGINT) AS wn
+  FROM h WINDOW w AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+),
+dt AS (
+  SELECT hr, y, CAST(wsum AS DOUBLE) / 24 AS trend,
+         CAST(round((y - CAST(wsum AS DOUBLE) / 24) * 1000000, 0) AS BIGINT)
+           AS d_micro,
+         CAST(date_part('hour', hr) AS BIGINT) AS hod
+  FROM tr WHERE wn = 24
+),
+seas AS (
+  SELECT hod,
+         CAST(sum(d_micro) AS HUGEINT) AS sm,
+         CAST(count(*) AS BIGINT) AS sn
+  FROM dt GROUP BY 1
+)
+SELECT dt.hr, dt.y,
+       round(dt.trend, 6) AS trend,
+       round(CAST(seas.sm AS DOUBLE) / seas.sn / 1000000, 6) AS seasonal,
+       round(CAST(dt.d_micro AS DOUBLE) / 1000000
+             - CAST(seas.sm AS DOUBLE) / seas.sn / 1000000, 6) AS residual
+FROM dt JOIN seas ON dt.hod = seas.hod
+""",
+    description="STL-lite decomposition of the hourly event-count series: "
+    "trend = centered 24-term moving average (exact integer window sum, "
+    "ONE division per row — full windows only), seasonal = hour-of-day "
+    "mean of the detrended series, residual = remainder. Detrended "
+    "values round to integer micros BEFORE the seasonal mean so the "
+    "per-hour aggregation is an integer sum (merge-order-proof); every "
+    "emitted float is a single identical expression. Series-length work "
+    "after one corpus-scale aggregate; the 24-row seasonal profile "
+    "broadcasts. The decomposition behind events_seasonal_adjusted_hourly "
+    "and the anomaly z-scores, made explicit.",
+    tags=("timeseries", "events"),
+)
+def q_events_hourly_stl_lite(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w = Window.orderBy("hr").rowsBetween(-12, 11)
+    tr = h.select(
+        "hr",
+        "y",
+        F.sum("y").over(w).cast("long").alias("wsum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("wn"),
+    )
+    trend = F.col("wsum").cast("double") / 24
+    dt = tr.filter(F.col("wn") == 24).select(
+        "hr",
+        "y",
+        trend.alias("trend"),
+        F.round((F.col("y") - trend) * 1e6, 0).cast("long").alias("d_micro"),
+        F.hour("hr").cast("long").alias("hod"),
+    )
+    seas = dt.groupBy("hod").agg(
+        F.sum(F.col("d_micro").cast("decimal(38,0)")).alias("sm"),
+        F.count(F.lit(1)).cast("long").alias("sn"),
+    )
+    smean = F.col("sm").cast("double") / F.col("sn") / 1e6
+    return dt.join(F.broadcast(seas), "hod").select(
+        "hr",
+        "y",
+        F.round("trend", 6).alias("trend"),
+        F.round(smean, 6).alias("seasonal"),
+        F.round(F.col("d_micro").cast("double") / 1e6 - smean, 6).alias("residual"),
+    )
