@@ -1252,3 +1252,154 @@ def q_events_hourly_stl_lite(spark, sf_dir):
         F.round(smean, 6).alias("seasonal"),
         F.round(F.col("d_micro").cast("double") / 1e6 - smean, 6).alias("residual"),
     )
+
+
+@register(
+    "user_burstiness_fano",
+    oracle="""
+WITH perhour AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM perhour GROUP BY 1
+)
+SELECT user_id, n_hours, s1 AS n_events,
+       round((CAST(s2 AS DOUBLE) / n_hours
+              - (CAST(s1 AS DOUBLE) / n_hours) * (CAST(s1 AS DOUBLE) / n_hours))
+             / (CAST(s1 AS DOUBLE) / n_hours), 6) AS fano
+FROM s
+WHERE n_hours >= 24
+""",
+    description="Fano factor (variance/mean of ACTIVE-hour event counts) "
+    "per user — the burstiness feature: ≈1 Poisson-random, >1 bursty "
+    "(sessions/automation), <1 regular (schedulers/bots). Computed over "
+    "each user's active hours from exact integer power sums, one "
+    "closed-form float; ≥24 active hours required so the ratio is "
+    "meaningful. Two keyed aggregates sharing the user partitioning.",
+    tags=("timeseries", "statistics", "events", "mlprep"),
+)
+def q_user_burstiness_fano(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    perhour = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    s = perhour.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    return s.filter(F.col("n_hours") >= 24).select(
+        "user_id",
+        "n_hours",
+        F.col("s1").alias("n_events"),
+        F.round((F.col("s2").cast("double") / F.col("n_hours") - mean * mean) / mean, 6).alias("fano"),
+    )
+
+
+@register(
+    "nation_revenue_holt_forecast",
+    oracle="""
+WITH RECURSIVE monthly AS (
+  SELECT n.n_name AS nation, date_trunc('month', o.o_orderdate) AS month,
+         CAST(sum(CAST(round(o.o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT nation, y,
+         CAST(row_number() OVER (PARTITION BY nation ORDER BY month) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS n_months
+  FROM monthly
+),
+rec AS (
+  SELECT a.nation, CAST(2 AS BIGINT) AS rn,
+         CAST(b.y AS DOUBLE) AS l,
+         CAST(b.y AS DOUBLE) - a.y AS b
+  FROM rk a JOIN rk b ON a.nation = b.nation AND a.rn = 1 AND b.rn = 2
+  UNION ALL
+  SELECT m.nation, r.rn + 1,
+         0.5 * m.y + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * m.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM rec r JOIN rk m ON m.nation = r.nation AND m.rn = r.rn + 1
+),
+fin AS (
+  SELECT rec.nation, rec.rn, rec.l, rec.b
+  FROM rec JOIN (SELECT nation, max(rn) AS mx FROM rec GROUP BY 1) t
+    ON rec.nation = t.nation AND rec.rn = t.mx
+)
+SELECT f.nation, r.n_months,
+       round(f.l / 1000000, 4) AS level,
+       round(f.b / 1000000, 4) AS trend,
+       round((f.l + f.b) / 1000000, 4) AS forecast_next
+FROM fin f JOIN (SELECT DISTINCT nation, n_months FROM rk) r
+  ON f.nation = r.nation
+WHERE r.n_months >= 3
+""",
+    description="Holt's linear-trend exponential smoothing (α=β=0.5) over "
+    "each nation's monthly revenue, with the one-step-ahead forecast "
+    "l+b — the trend-aware member of the smoothing family beside ewma8 "
+    "(no trend) and the seasonal-naive backtest (no level). The "
+    "recurrence is inherently sequential, so it runs as ONE in-array "
+    "aggregate() fold over each nation's sorted month array — "
+    "series-length work per key after the corpus-scale monthly "
+    "aggregate, no driver loop, no cross-row float reordering (the "
+    "oracle replays the identical per-step expression as a recursive "
+    "CTE; both engines execute the same IEEE ops in the same order). "
+    "Scale: state is 2 doubles per key; the fold never shuffles.",
+    tags=("timeseries", "events", "forecast"),
+)
+def q_nation_revenue_holt_forecast(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 1e6, 0).cast("long")).alias("y")
+        )
+    )
+    ser = monthly.groupBy("nation").agg(
+        F.array_sort(F.collect_list(F.struct("month", "y"))).alias("a")
+    )
+    fold = F.expr(
+        """
+aggregate(
+  slice(a, 3, size(a) - 2),
+  named_struct(
+    'l', cast(a[1].y as double),
+    'b', cast(a[1].y as double) - a[0].y),
+  (acc, x) -> named_struct(
+    'l', 0.5D * x.y + 0.5D * (acc.l + acc.b),
+    'b', 0.5D * ((0.5D * x.y + 0.5D * (acc.l + acc.b)) - acc.l) + 0.5D * acc.b)
+)
+"""
+    )
+    return (
+        ser.filter(F.size("a") >= 3)
+        .select(
+            "nation",
+            F.size("a").cast("long").alias("n_months"),
+            fold.alias("st"),
+        )
+        .select(
+            "nation",
+            "n_months",
+            F.round(F.col("st.l") / 1e6, 4).alias("level"),
+            F.round(F.col("st.b") / 1e6, 4).alias("trend"),
+            F.round((F.col("st.l") + F.col("st.b")) / 1e6, 4).alias("forecast_next"),
+        )
+    )
