@@ -302,12 +302,13 @@ g AS (
   FROM m
 )
 SELECT c_custkey, c_acctbal,
-       round(CAST(v - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE), 4)
-           AS bal_minmax,
-       round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+       CAST(CAST((2 * (v - mn) * 10000 + (mx - mn)) // (2 * (mx - mn))
+                 AS DECIMAL(24,4)) / 10000 AS DOUBLE) AS bal_minmax,
+       CAST(CAST(CAST(round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
              / sqrt(CAST(sxx AS DOUBLE) / n
-                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
-             4) AS bal_zscore
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             * 1000000, 0) AS BIGINT) AS DECIMAL(24,6)) / 1000000 AS DOUBLE)
+         AS bal_zscore
 FROM m, g
 """,
     description="Feature scaling suite: min-max normalization to [0,1] and "
@@ -316,11 +317,16 @@ FROM m, g
     "exact long-micros sum, exact decimal sum of squares, min, max) "
     "broadcast back to the row level via a 1-row cross join. Mean and "
     "variance come from exact integer power sums (the "
-    "quantity_moment_stats convention), so both engines evaluate the "
-    "identical double expression tree — no Welford-order or "
-    "ddof-definition drift — before round(4). At 100 TB: one "
-    "partial-aggregated scan for the stats, one map-side pass for the "
-    "transform; the stats row is broadcast, nothing else moves.",
+    "quantity_moment_stats convention). The min-max ratio is RATIONAL "
+    "with 2dp-granular inputs, so 4dp ties are common at scale and "
+    "round(double) resolves them differently per engine (Spark via "
+    "shortest-decimal BigDecimal, DuckDB in binary — caught by the "
+    "sf0.1 sweep); it is therefore rounded in EXACT integer arithmetic, "
+    "HALF_UP(x/y) = (2x+y)//(2y), no float involved. The z-score "
+    "(irrational denominator, ties measure-zero) uses the house "
+    "integer-micro 6dp edge. At 100 TB: one partial-aggregated scan "
+    "for the stats, one map-side pass for the transform; the stats row "
+    "is broadcast, nothing else moves.",
     tags=("mlprep", "agg", "customer"),
 )
 def q_customer_feature_scaling(spark, sf_dir):
@@ -340,17 +346,20 @@ def q_customer_feature_scaling(spark, sf_dir):
     )
     mean = F.col("s").cast("double") / F.col("n")
     var = F.col("sxx").cast("double") / F.col("n") - mean * mean
+    z = (F.col("v").cast("double") - mean) / F.sqrt(var)
     return m.crossJoin(F.broadcast(g)).select(
         "c_custkey",
         "c_acctbal",
-        F.round(
-            (F.col("v") - F.col("mn")).cast("double")
-            / (F.col("mx") - F.col("mn")).cast("double"),
-            4,
-        ).alias("bal_minmax"),
-        F.round(
-            (F.col("v").cast("double") - mean) / F.sqrt(var), 4
-        ).alias("bal_zscore"),
+        (
+            F.expr("(2 * (v - mn) * 10000 + (mx - mn)) div (2 * (mx - mn))")
+            .cast("decimal(24,4)")
+            / 10000
+        )
+        .cast("double")
+        .alias("bal_minmax"),
+        (F.round(z * 1e6, 0).cast("long").cast("decimal(24,6)") / 1000000)
+        .cast("double")
+        .alias("bal_zscore"),
     )
 
 
