@@ -999,3 +999,74 @@ def q_ab_conversion_odds_ratio(spark, sf_dir):
         F.round(F.log(orr) - half, 6).alias("log_or_lo"),
         F.round(F.log(orr) + half, 6).alias("log_or_hi"),
     )
+
+
+# --- tail expectation (CVaR / expected shortfall) ----------------------------
+
+
+@register(
+    "order_value_cvar95",
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 1000000, 0) AS BIGINT) AS vm FROM orders
+),
+grid AS (SELECT vm, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+cum AS (
+  SELECT vm, cnt,
+         sum(cnt) OVER (ORDER BY vm) AS c,
+         sum(cnt) OVER () AS n
+  FROM grid
+),
+var95 AS (
+  SELECT min(vm) AS var_micro, CAST(min(n) AS BIGINT) AS n
+  FROM cum WHERE 20 * c >= 19 * n
+),
+tail AS (
+  SELECT CAST(sum(CAST(vm AS HUGEINT) * cnt) AS HUGEINT) AS ts,
+         CAST(sum(cnt) AS BIGINT) AS tn
+  FROM grid, var95 WHERE vm >= var_micro
+)
+SELECT n,
+       CAST(CAST(var_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS var95,
+       tn AS n_tail,
+       round(CAST(ts AS DOUBLE) / tn / 1000000, 6) AS cvar95
+FROM var95 CROSS JOIN tail
+""",
+    description="95% Value-at-Risk and Conditional VaR (expected "
+    "shortfall) of order value: VaR = the exact lower 95th-percentile "
+    "cut off the distinct-value grid (integer 20·cum ≥ 19·n predicate — "
+    "no interpolation, no float epsilon), CVaR = mean of the tail at or "
+    "beyond it from 128-bit integer sums, ONE division. The tail-risk "
+    "summary quantile_percentiles' point estimates don't give (two "
+    "distributions can share p95 with very different tails). "
+    "Value-grid-scale work after one aggregate; same machinery as the "
+    "weighted median and KS grids.",
+    tags=("statistics", "drift", "orders"),
+)
+def q_order_value_cvar95(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.round(F.col("o_totalprice") * 1e6, 0).cast("long").alias("vm"))
+    grid = v.groupBy("vm").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = grid.select(
+        "vm",
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("vm")).alias("c"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    var95 = cum.filter(20 * F.col("c") >= 19 * F.col("n")).agg(
+        F.min("vm").alias("var_micro"), F.min("n").alias("n")
+    )
+    tail = grid.crossJoin(F.broadcast(var95)).filter(
+        F.col("vm") >= F.col("var_micro")
+    ).agg(
+        F.sum(F.col("vm").cast("decimal(38,0)") * F.col("cnt")).alias("ts"),
+        F.sum("cnt").cast("long").alias("tn"),
+    )
+    return var95.crossJoin(F.broadcast(tail)).select(
+        "n",
+        (F.col("var_micro").cast("decimal(24,6)") / 1000000)
+        .cast("double")
+        .alias("var95"),
+        F.col("tn").alias("n_tail"),
+        F.round(F.col("ts").cast("double") / F.col("tn") / 1e6, 6).alias("cvar95"),
+    )
