@@ -7,6 +7,7 @@ re-expressed as subcommands over the query registry:
                                          [--output PATH] [--format parquet]
     python -m mapreduce_paradigm_spark explain <query> [--sf-dir D]
     python -m mapreduce_paradigm_spark oracle <query>   # print the DuckDB SQL
+    python -m mapreduce_paradigm_spark verify <query> [--sf-dir D]  # oracle gate
 
 ``run`` prints the result (or writes it with ``--output``); ``explain``
 prints the formatted physical plan — the same feedback loop the plan-pin
@@ -32,7 +33,7 @@ def _build_parser() -> argparse.ArgumentParser:
     lp.add_argument("--tag", help="filter by tag (e.g. dedup, streaming)")
     lp.add_argument("--bench", action="store_true", help="only bench-set queries")
 
-    for name in ("run", "explain", "oracle"):
+    for name in ("run", "explain", "oracle", "verify"):
         cp = sub.add_parser(name)
         cp.add_argument("query", help="registered query name")
         if name != "oracle":
@@ -91,6 +92,13 @@ def main(argv: list[str] | None = None) -> int:
 
         print(formatted_plan(df))
         return 0
+
+    if args.cmd == "verify":
+        from mapreduce_paradigm_spark.oracle import compare_query
+
+        result = compare_query(spark, args.query, args.sf_dir)
+        print(("PASS" if result.ok else "FAIL"), args.query, "—", result.detail)
+        return 0 if result.ok else 1
 
     if args.output:
         df.write.format(args.format).mode("overwrite").save(args.output)

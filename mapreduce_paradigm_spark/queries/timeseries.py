@@ -1403,3 +1403,107 @@ aggregate(
             F.round((F.col("st.l") + F.col("st.b")) / 1e6, 4).alias("forecast_next"),
         )
     )
+
+
+@register(
+    "hourly_counts_holt_winters",
+    oracle="""
+WITH RECURSIVE h AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+rk AS (
+  SELECT y, CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM h
+),
+pre AS (
+  SELECT
+    CAST(sum(y) FILTER (WHERE rn <= 24) AS DOUBLE) / 24 AS l0,
+    (CAST(sum(y) FILTER (WHERE rn BETWEEN 25 AND 48) AS DOUBLE)
+     - sum(y) FILTER (WHERE rn <= 24)) / 576 AS b0,
+    list(y ORDER BY rn) FILTER (WHERE rn <= 24) AS head24,
+    CAST(min(n) AS BIGINT) AS n
+  FROM rk
+),
+init AS (
+  SELECT l0, b0, list_transform(head24, x -> x - l0) AS q0, n FROM pre
+),
+rec AS (
+  SELECT CAST(24 AS BIGINT) AS rn, l0 AS l, b0 AS b, q0 AS q FROM init
+  UNION ALL
+  SELECT m.rn,
+         0.5 * (m.y - r.q[1]) + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * (m.y - r.q[1]) + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+         r.q[2:24] ||
+           [0.5 * (m.y - (0.5 * (m.y - r.q[1]) + 0.5 * (r.l + r.b)))
+            + 0.5 * r.q[1]]
+  FROM rec r JOIN rk m ON m.rn = r.rn + 1
+),
+fin AS (
+  SELECT rec.l, rec.b, rec.q
+  FROM rec JOIN (SELECT max(rn) AS mx FROM rec) t ON rec.rn = t.mx
+)
+SELECT i.n,
+       CAST(CAST(CAST(round(f.l * 1000000, 0) AS BIGINT) AS DECIMAL(24,6))
+            / 1000000 AS DOUBLE) AS level,
+       CAST(CAST(CAST(round(f.b * 1000000, 0) AS BIGINT) AS DECIMAL(24,6))
+            / 1000000 AS DOUBLE) AS trend,
+       CAST(CAST(CAST(round((f.l + f.b + f.q[1]) * 1000000, 0) AS BIGINT)
+            AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS forecast_next
+FROM fin f CROSS JOIN init i
+WHERE i.n >= 49
+""",
+    description="Holt-Winters ADDITIVE seasonal smoothing (α=β=γ=0.5, "
+    "period 24 h) of the hourly count series, with the one-step forecast "
+    "l + b + s: the full smoothing family closer (ewma8 = no trend, Holt "
+    "= no season). State is (level, trend, rotating 24-slot seasonal "
+    "queue) folded by ONE in-array aggregate() over the sorted series — "
+    "the queue rotates as slice+append inside the lambda, so the "
+    "sequential recurrence still runs distributed-side with no driver "
+    "loop. The oracle replays the identical IEEE steps as a recursive "
+    "CTE carrying a LIST column; both engines execute the same ops in "
+    "the same order, and outputs cross the edge as integer micros. "
+    "Series is time-bounded (~720 points/month at any corpus size).",
+    tags=("timeseries", "events", "forecast"),
+)
+def q_hourly_counts_holt_winters(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    ser = h.agg(
+        F.array_sort(F.collect_list(F.struct("hr", "y"))).alias("a")
+    ).select(F.expr("transform(a, x -> cast(x.y as double))").alias("ys"))
+    fold = F.expr(
+        """
+aggregate(
+  slice(ys, 25, size(ys) - 24),
+  named_struct(
+    'l', aggregate(slice(ys, 1, 24), 0D, (acc, x) -> acc + x) / 24,
+    'b', (aggregate(slice(ys, 25, 24), 0D, (acc, x) -> acc + x)
+          - aggregate(slice(ys, 1, 24), 0D, (acc, x) -> acc + x)) / 576,
+    'q', transform(slice(ys, 1, 24),
+                   x -> x - aggregate(slice(ys, 1, 24), 0D, (acc, x) -> acc + x) / 24)),
+  (r, y) -> named_struct(
+    'l', 0.5D * (y - r.q[0]) + 0.5D * (r.l + r.b),
+    'b', 0.5D * ((0.5D * (y - r.q[0]) + 0.5D * (r.l + r.b)) - r.l) + 0.5D * r.b,
+    'q', concat(slice(r.q, 2, 23),
+                array(0.5D * (y - (0.5D * (y - r.q[0]) + 0.5D * (r.l + r.b)))
+                      + 0.5D * r.q[0])))
+)
+"""
+    )
+    st = ser.filter(F.size("ys") >= 49).select(
+        F.size("ys").cast("long").alias("n"), fold.alias("st")
+    )
+    def micro6(c):
+        return (
+            F.round(c * 1e6, 0).cast("long").cast("decimal(24,6)") / 1000000
+        ).cast("double")
+    return st.select(
+        "n",
+        micro6(F.col("st.l")).alias("level"),
+        micro6(F.col("st.b")).alias("trend"),
+        micro6(F.col("st.l") + F.col("st.b") + F.col("st.q")[0]).alias("forecast_next"),
+    )

@@ -19,3 +19,15 @@ def _names() -> list[str]:
 def test_query_matches_oracle(spark, name):
     result = compare_query(spark, name, SF_CORRECT)
     assert result.ok, f"{name}: {result.detail}"
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SWEEP_SF01"),
+    reason="10x-fixture sweep is opt-in: SPARK_GRAFT_SWEEP_SF01=1 "
+    "(~14 min; catches cap/tie/overflow/negative-zero divergence the "
+    "sf0.01 gate cannot see — found customer_feature_scaling's -0.0)",
+)
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle_sf01(spark, name):
+    result = compare_query(spark, name, "/root/testdata/sf0.1")
+    assert result.ok, f"{name}: {result.detail}"
