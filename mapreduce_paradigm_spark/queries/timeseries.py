@@ -1507,3 +1507,106 @@ aggregate(
         micro6(F.col("st.b")).alias("trend"),
         micro6(F.col("st.l") + F.col("st.b") + F.col("st.q")[0]).alias("forecast_next"),
     )
+
+
+_COS24 = "1.0, 0.9659258262890683, 0.8660254037844387, 0.7071067811865476, 0.5000000000000001, 0.25881904510252074, 6.123233995736766e-17, -0.25881904510252063, -0.4999999999999998, -0.7071067811865475, -0.8660254037844387, -0.9659258262890682, -1.0, -0.9659258262890683, -0.8660254037844388, -0.7071067811865479, -0.5000000000000004, -0.25881904510252063, -1.8369701987210297e-16, 0.2588190451025203, 0.5000000000000001, 0.7071067811865474, 0.8660254037844384, 0.9659258262890681"
+_SIN24 = "0.0, 0.25881904510252074, 0.49999999999999994, 0.7071067811865475, 0.8660254037844386, 0.9659258262890683, 1.0, 0.9659258262890683, 0.8660254037844387, 0.7071067811865476, 0.49999999999999994, 0.258819045102521, 1.2246467991473532e-16, -0.2588190451025208, -0.4999999999999997, -0.7071067811865471, -0.8660254037844384, -0.9659258262890683, -1.0, -0.9659258262890684, -0.8660254037844386, -0.7071067811865477, -0.5000000000000004, -0.25881904510252157"
+
+
+@register(
+    "hourly_counts_period24_power",
+    oracle=f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+keyed AS (
+  SELECT CAST(datediff('hour', TIMESTAMP '1970-01-01 00:00:00', hr) % 24
+              AS BIGINT) AS k, y
+  FROM h
+),
+ph AS (SELECT k, CAST(sum(y) AS BIGINT) AS sk FROM keyed GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS HUGEINT) AS s1,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2
+  FROM h
+),
+cs AS (
+  SELECT
+    CAST(sum(CAST(round(sk * ([{_COS24}])[CAST(k + 1 AS INTEGER)] * 1000000, 0)
+                  AS BIGINT)) AS BIGINT) AS c_micro,
+    CAST(sum(CAST(round(sk * ([{_SIN24}])[CAST(k + 1 AS INTEGER)] * 1000000, 0)
+                  AS BIGINT)) AS BIGINT) AS s_micro
+  FROM ph
+)
+SELECT n,
+       CAST(CAST(c_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS dft_cos,
+       CAST(CAST(s_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS dft_sin,
+       round(2 * ((CAST(c_micro AS DOUBLE) / 1000000)
+                  * (CAST(c_micro AS DOUBLE) / 1000000)
+                  + (CAST(s_micro AS DOUBLE) / 1000000)
+                  * (CAST(s_micro AS DOUBLE) / 1000000))
+             / (CAST(n AS DOUBLE)
+                * (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)), 6)
+         AS period24_share
+FROM cs CROSS JOIN tot
+""",
+    description="Single-bin DFT at the 24-hour period over the hourly "
+    "count series: seasonality STRENGTH as the share of variance the "
+    "daily sinusoid explains (2(c²+s²)/(N·SS)) — the detector that says "
+    "whether the dow-hour profile / STL seasonal is signal or noise. "
+    "The trig weights are 24 PRE-COMPUTED double literals shared "
+    "verbatim by both engines (libm cos may differ by an ulp across "
+    "runtimes — never evaluated at query time), phases come from "
+    "TZ-independent NTZ hour arithmetic, phase sums are exact integers, "
+    "and the two projections cross the engines as integer micros. "
+    "Corpus-scale work is one hourly aggregate; the DFT is 24 rows.",
+    tags=("timeseries", "statistics", "events"),
+)
+def q_hourly_counts_period24_power(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    keyed = h.select(
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', hr) % 24"
+        ).cast("long").alias("k"),
+        "y",
+    )
+    ph = keyed.groupBy("k").agg(F.sum("y").cast("long").alias("sk"))
+    tot = h.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("s2"),
+    )
+    cosv = F.expr(f"array({_COS24})[cast(k as int)]")
+    sinv = F.expr(f"array({_SIN24})[cast(k as int)]")
+    cs = ph.agg(
+        F.sum(F.round(F.col("sk") * cosv * 1e6, 0).cast("long"))
+        .cast("long")
+        .alias("c_micro"),
+        F.sum(F.round(F.col("sk") * sinv * 1e6, 0).cast("long"))
+        .cast("long")
+        .alias("s_micro"),
+    )
+    cd = F.col("c_micro").cast("double") / 1e6
+    sd = F.col("s_micro").cast("double") / 1e6
+    return cs.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (F.col("c_micro").cast("decimal(24,6)") / 1000000).cast("double").alias("dft_cos"),
+        (F.col("s_micro").cast("decimal(24,6)") / 1000000).cast("double").alias("dft_sin"),
+        F.round(
+            2
+            * (cd * cd + sd * sd)
+            / (
+                F.col("n").cast("double")
+                * (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                )
+            ),
+            6,
+        ).alias("period24_share"),
+    )
