@@ -1070,3 +1070,136 @@ def q_order_value_cvar95(spark, sf_dir):
         F.col("tn").alias("n_tail"),
         F.round(F.col("ts").cast("double") / F.col("tn") / 1e6, 6).alias("cvar95"),
     )
+
+
+# --- Chow structural-break test ----------------------------------------------
+
+
+@register(
+    "value_time_chow_test",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(datediff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS x,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS y,
+         CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS seg
+  FROM events
+),
+s AS (
+  SELECT seg,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM v GROUP BY 1
+),
+wide AS (
+  SELECT
+    max(CASE WHEN seg = 0 THEN n END) AS n0,
+    max(CASE WHEN seg = 0 THEN sx END) AS sx0,
+    max(CASE WHEN seg = 0 THEN sy END) AS sy0,
+    max(CASE WHEN seg = 0 THEN sxx END) AS sxx0,
+    max(CASE WHEN seg = 0 THEN sxy END) AS sxy0,
+    max(CASE WHEN seg = 0 THEN syy END) AS syy0,
+    max(CASE WHEN seg = 1 THEN n END) AS n1,
+    max(CASE WHEN seg = 1 THEN sx END) AS sx1,
+    max(CASE WHEN seg = 1 THEN sy END) AS sy1,
+    max(CASE WHEN seg = 1 THEN sxx END) AS sxx1,
+    max(CASE WHEN seg = 1 THEN sxy END) AS sxy1,
+    max(CASE WHEN seg = 1 THEN syy END) AS syy1
+  FROM s
+),
+ssr AS (
+  SELECT n0 + n1 AS n,
+    ((CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * sy0 / n0)
+     - (CAST(sxy0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sy0 / n0)
+       * (CAST(sxy0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sy0 / n0)
+       / (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sx0 / n0)) AS ssr0,
+    ((CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy1 / n1)
+     - (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy1 / n1)
+       * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy1 / n1)
+       / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n1)) AS ssr1,
+    ((CAST(syy0 + syy1 AS DOUBLE)
+      - CAST(sy0 + sy1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE) / (n0 + n1))
+     - (CAST(sxy0 + sxy1 AS DOUBLE)
+        - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE) / (n0 + n1))
+       * (CAST(sxy0 + sxy1 AS DOUBLE)
+          - CAST(sx0 + sx1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE) / (n0 + n1))
+       / (CAST(sxx0 + sxx1 AS DOUBLE)
+          - CAST(sx0 + sx1 AS DOUBLE) * CAST(sx0 + sx1 AS DOUBLE) / (n0 + n1)))
+      AS ssrp
+  FROM wide
+)
+SELECT n,
+       round(ssrp / 1e12, 6) AS ssr_pooled_t2,
+       round((ssr0 + ssr1) / 1e12, 6) AS ssr_split_t2,
+       round(((ssrp - ssr0 - ssr1) / 2) / ((ssr0 + ssr1) / (n - 4)), 6)
+         AS chow_f
+FROM ssr
+""",
+    description="Chow structural-break test at the drift split (Jan 16): "
+    "fit value ~ hour-index by OLS pooled and per segment, F = "
+    "((SSR_p − SSR_1 − SSR_2)/k) / ((SSR_1+SSR_2)/(n−2k)), k=2 — did "
+    "the RELATIONSHIP (level+slope) change, not just the marginal "
+    "distribution (PSI/W1's question). Every SSR comes from exact "
+    "128-bit power sums — pooled sums are the INTEGER sums of the "
+    "segment sums, so all three regressions derive from one 2-row "
+    "aggregate, one scan; SSRs reported in trillions (micro² scale). "
+    "One shared closed-form float expression per SSR.",
+    tags=("statistics", "drift", "events"),
+)
+def q_value_time_chow_test(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).cast("long").alias("x"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("y"),
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp_ntz"), 0)
+        .otherwise(1)
+        .alias("seg"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = v.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    wide = s.agg(
+        *[
+            F.max(F.when(F.col("seg") == seg, F.col(c))).alias(f"{c}{seg}")
+            for seg in (0, 1)
+            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ]
+    )
+
+    def ssr(sxx, sxy, syy, sx, sy, n):
+        cyy = syy.cast("double") - sy.cast("double") * sy.cast("double") / n
+        cxy = sxy.cast("double") - sx.cast("double") * sy.cast("double") / n
+        cxx = sxx.cast("double") - sx.cast("double") * sx.cast("double") / n
+        return cyy - cxy * cxy / cxx
+
+    c = F.col
+    ssr0 = ssr(c("sxx0"), c("sxy0"), c("syy0"), c("sx0"), c("sy0"), c("n0"))
+    ssr1 = ssr(c("sxx1"), c("sxy1"), c("syy1"), c("sx1"), c("sy1"), c("n1"))
+    ssrp = ssr(
+        c("sxx0") + c("sxx1"),
+        c("sxy0") + c("sxy1"),
+        c("syy0") + c("syy1"),
+        c("sx0") + c("sx1"),
+        c("sy0") + c("sy1"),
+        c("n0") + c("n1"),
+    )
+    n = (c("n0") + c("n1")).alias("n")
+    return wide.select(
+        n,
+        F.round(ssrp / 1e12, 6).alias("ssr_pooled_t2"),
+        F.round((ssr0 + ssr1) / 1e12, 6).alias("ssr_split_t2"),
+        F.round(
+            ((ssrp - ssr0 - ssr1) / 2) / ((ssr0 + ssr1) / (c("n0") + c("n1") - 4)), 6
+        ).alias("chow_f"),
+    )
