@@ -1203,3 +1203,225 @@ def q_value_time_chow_test(spark, sf_dir):
             ((ssrp - ssr0 - ssr1) / 2) / ((ssr0 + ssr1) / (c("n0") + c("n1") - 4)), 6
         ).alias("chow_f"),
     )
+
+
+# --- OLS influence diagnostics (Cook's distance) -----------------------------
+
+
+@register(
+    "value_time_cooks_top20",
+    oracle="""
+WITH v AS (
+  SELECT event_id,
+         CAST(datediff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS x,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM v
+),
+fit AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) / n AS xbar,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS cxx,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS slope,
+         ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+          - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+            * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+           / (n - 2) AS s2,
+         CAST(sy AS DOUBLE) / n AS ybar
+  FROM s
+),
+d AS (
+  SELECT v.event_id, v.x, v.y,
+         (v.y - (f.ybar + f.slope * (v.x - f.xbar)))
+         * (v.y - (f.ybar + f.slope * (v.x - f.xbar)))
+         * (1.0 / f.n + (v.x - f.xbar) * (v.x - f.xbar) / f.cxx)
+         / (2 * f.s2
+            * (1 - (1.0 / f.n + (v.x - f.xbar) * (v.x - f.xbar) / f.cxx))
+            * (1 - (1.0 / f.n + (v.x - f.xbar) * (v.x - f.xbar) / f.cxx)))
+           AS cook
+  FROM v CROSS JOIN fit f
+)
+SELECT event_id, x, CAST(CAST(y AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS value,
+       round(cook * 1000000, 6) AS cooks_d_ppm
+FROM d
+ORDER BY cook DESC, event_id ASC
+LIMIT 20
+""",
+    description="Cook's distance top-20 influential points of the "
+    "value ~ time OLS — the influence diagnostic that says WHICH rows "
+    "move the fit the Chow test monitors (one pathological batch can "
+    "fake a structural break): D = e²h/(k·s²(1−h)²) with leverage "
+    "h = 1/n + (x−x̄)²/Sxx, everything derived from the SAME one-pass "
+    "128-bit power sums as the fit itself, broadcast to a row-local "
+    "expression. Ranking compares per-row doubles both engines compute "
+    "identically (same inputs, same tree), tie-broken by event_id; "
+    "reported in ppm. One scan + TakeOrdered(20) — no global sort.",
+    tags=("statistics", "drift", "events"),
+)
+def q_value_time_cooks_top20(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).cast("long").alias("x"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, sxyd, syyd = (
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cxx = sxxd - sxd * F.col("sx") / n
+    cxy = sxyd - sxd * F.col("sy") / n
+    cyy = syyd - syd * F.col("sy") / n
+    fit = s.select(
+        "n",
+        (sxd / n).alias("xbar"),
+        cxx.alias("cxx"),
+        (cxy / cxx).alias("slope"),
+        ((cyy - cxy * cxy / cxx) / (n - 2)).alias("s2"),
+        (syd / n).alias("ybar"),
+    )
+    j = v.crossJoin(F.broadcast(fit))
+    resid = F.col("y") - (
+        F.col("ybar") + F.col("slope") * (F.col("x") - F.col("xbar"))
+    )
+    h = 1.0 / F.col("n") + (F.col("x") - F.col("xbar")) * (
+        F.col("x") - F.col("xbar")
+    ) / F.col("cxx")
+    cook = resid * resid * h / (2 * F.col("s2") * (1 - h) * (1 - h))
+    return (
+        j.select(
+            "event_id",
+            "x",
+            (F.col("y").cast("decimal(24,6)") / 1000000).cast("double").alias("value"),
+            cook.alias("cook"),
+        )
+        .orderBy(F.col("cook").desc(), F.col("event_id").asc())
+        .limit(20)
+        .select("event_id", "x", "value", F.round(F.col("cook") * 1e6, 6).alias("cooks_d_ppm"))
+    )
+
+
+# --- partial correlation -----------------------------------------------------
+
+
+@register(
+    "price_qty_partial_corr",
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 1000000, 0) AS BIGINT) AS p,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 1000000, 0) AS BIGINT) AS d
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(p AS HUGEINT)) AS HUGEINT) AS sp,
+         CAST(sum(CAST(q AS HUGEINT)) AS HUGEINT) AS sq,
+         CAST(sum(CAST(d AS HUGEINT)) AS HUGEINT) AS sd,
+         CAST(sum(CAST(p AS HUGEINT) * p) AS HUGEINT) AS spp,
+         CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq,
+         CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd,
+         CAST(sum(CAST(p AS HUGEINT) * q) AS HUGEINT) AS spq,
+         CAST(sum(CAST(p AS HUGEINT) * d) AS HUGEINT) AS spd,
+         CAST(sum(CAST(q AS HUGEINT) * d) AS HUGEINT) AS sqd
+  FROM v
+),
+r AS (
+  SELECT n,
+    (CAST(n AS DOUBLE) * spq - CAST(sp AS DOUBLE) * sq)
+      / sqrt((CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)
+             * (CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)) AS rpq,
+    (CAST(n AS DOUBLE) * spd - CAST(sp AS DOUBLE) * sd)
+      / sqrt((CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)
+             * (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)) AS rpd,
+    (CAST(n AS DOUBLE) * sqd - CAST(sq AS DOUBLE) * sd)
+      / sqrt((CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+             * (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)) AS rqd
+  FROM s
+)
+SELECT n, round(rpq, 6) AS r_pq, round(rpd, 6) AS r_pd, round(rqd, 6) AS r_qd,
+       round((rpq - rpd * rqd) / sqrt((1 - rpd * rpd) * (1 - rqd * rqd)), 6)
+         AS r_pq_given_d
+FROM r
+""",
+    description="First-order partial correlation of price and quantity "
+    "CONTROLLING for discount: r_pq.d = (r_pq − r_pd·r_qd)/√((1−r_pd²)"
+    "(1−r_qd²)) — the confound check the raw correlation matrix "
+    "(lineitem_corr_matrix) can't make (a discount driving both "
+    "variables fakes a price↔qty link). All three pairwise r's assemble "
+    "from ONE aggregate of exact 128-bit power sums over (p, q, d) "
+    "micros; the partial is a closed form over those three doubles. "
+    "One scan, 10-number reduce state.",
+    tags=("statistics", "drift", "mlprep"),
+)
+def q_price_qty_partial_corr(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_extendedprice") * 1e6, 0).cast("long").alias("p"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 1e6, 0).cast("long").alias("d"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("p")).alias("sp"),
+        F.sum(dec("q")).alias("sq"),
+        F.sum(dec("d")).alias("sd"),
+        F.sum(dec("p") * F.col("p")).alias("spp"),
+        F.sum(dec("q") * F.col("q")).alias("sqq"),
+        F.sum(dec("d") * F.col("d")).alias("sdd"),
+        F.sum(dec("p") * F.col("q")).alias("spq"),
+        F.sum(dec("p") * F.col("d")).alias("spd"),
+        F.sum(dec("q") * F.col("d")).alias("sqd"),
+    )
+    n = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(sb).cast("double")) / F.sqrt(
+            (n * F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(sa).cast("double"))
+            * (n * F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(sb).cast("double"))
+        )
+
+    r = s.select(
+        "n",
+        corr("spq", "sp", "sq", "spp", "sqq").alias("rpq"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("rpd"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("rqd"),
+    )
+    return r.select(
+        "n",
+        F.round("rpq", 6).alias("r_pq"),
+        F.round("rpd", 6).alias("r_pd"),
+        F.round("rqd", 6).alias("r_qd"),
+        F.round(
+            (F.col("rpq") - F.col("rpd") * F.col("rqd"))
+            / F.sqrt(
+                (1 - F.col("rpd") * F.col("rpd")) * (1 - F.col("rqd") * F.col("rqd"))
+            ),
+            6,
+        ).alias("r_pq_given_d"),
+    )
