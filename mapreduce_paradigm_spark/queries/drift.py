@@ -1425,3 +1425,208 @@ def q_price_qty_partial_corr(spark, sf_dir):
             6,
         ).alias("r_pq_given_d"),
     )
+
+
+# --- Durbin-Watson residual autocorrelation ----------------------------------
+
+
+@register(
+    "hourly_value_durbin_watson",
+    oracle="""
+WITH h AS (
+  SELECT CAST(datediff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                       date_trunc('hour', ts)) AS BIGINT) AS x,
+         CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM h
+),
+fit AS (
+  SELECT n, CAST(sx AS DOUBLE) / n AS xbar, CAST(sy AS DOUBLE) / n AS ybar,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS slope
+  FROM s
+),
+e AS (
+  SELECT h.x,
+         CAST(round(h.y - (f.ybar + f.slope * (h.x - f.xbar)), 0) AS BIGINT)
+           AS em
+  FROM h CROSS JOIN fit f
+),
+d AS (
+  SELECT em,
+         lag(em) OVER (ORDER BY x) AS ep
+  FROM e
+),
+agg AS (
+  SELECT CAST(sum(CAST(em AS HUGEINT) * em) AS HUGEINT) AS se2,
+         CAST(sum(CASE WHEN ep IS NOT NULL
+                       THEN CAST(em - ep AS HUGEINT) * (em - ep) END)
+              AS HUGEINT) AS sd2
+  FROM d
+)
+SELECT (SELECT n FROM fit) AS n,
+       round(CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE), 6) AS dw
+FROM agg
+""",
+    description="Durbin-Watson statistic of the hourly-revenue-vs-time "
+    "OLS residuals — the serial-correlation diagnostic that says whether "
+    "the regression the Chow/Cook queries examine can be trusted at all "
+    "(DW≈2 independent; <2 positive autocorrelation → understated "
+    "errors). Run on the HOURLY aggregate series (time-bounded) so the "
+    "global order is series-scale, never corpus-scale; residuals round "
+    "to integer micros per row BEFORE the two quadratic sums, which "
+    "then accumulate as 128-bit integers — merge-order-proof — and DW "
+    "is one final division.",
+    tags=("statistics", "drift", "timeseries", "events"),
+)
+def q_hourly_value_durbin_watson(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', date_trunc('hour', ts))"
+        ).cast("long").alias("x")
+    ).agg(F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("y"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = h.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    fit = s.select(
+        "n",
+        (F.col("sx").cast("double") / nd).alias("xbar"),
+        (F.col("sy").cast("double") / nd).alias("ybar"),
+        (
+            (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+            / (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        ).alias("slope"),
+    )
+    e = h.crossJoin(F.broadcast(fit)).select(
+        "x",
+        F.round(
+            F.col("y") - (F.col("ybar") + F.col("slope") * (F.col("x") - F.col("xbar"))),
+            0,
+        ).cast("long").alias("em"),
+        F.col("n"),
+    )
+    d = e.select(
+        "n", "em", F.lag("em").over(Window.orderBy("x")).alias("ep")
+    )
+    agg = d.groupBy("n").agg(
+        F.sum(F.col("em").cast("decimal(38,0)") * F.col("em")).alias("se2"),
+        F.sum(
+            F.when(
+                F.col("ep").isNotNull(),
+                (F.col("em") - F.col("ep")).cast("decimal(38,0)")
+                * (F.col("em") - F.col("ep")),
+            )
+        ).alias("sd2"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("sd2").cast("double") / F.col("se2").cast("double"), 6).alias("dw"),
+    )
+
+
+# --- Jarque-Bera normality screen --------------------------------------------
+
+
+@register(
+    "value_jarque_bera",
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+         CAST(sum(CAST(c AS HUGEINT) * c * c) AS HUGEINT) AS s3,
+         CAST(sum(CAST(c AS HUGEINT) * c * c * c) AS HUGEINT) AS s4
+  FROM v
+),
+m AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) / n AS m1,
+         CAST(s2 AS DOUBLE) / n AS m2,
+         CAST(s3 AS DOUBLE) / n AS m3,
+         CAST(s4 AS DOUBLE) / n AS m4
+  FROM s
+),
+c AS (
+  SELECT n,
+         m2 - m1 * m1 AS mu2,
+         m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1 AS mu3,
+         m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1 AS mu4
+  FROM m
+)
+SELECT n,
+       round(mu3 / sqrt(mu2 * mu2 * mu2), 6) AS skewness,
+       round(mu4 / (mu2 * mu2) - 3, 6) AS excess_kurtosis,
+       round(CAST(n AS DOUBLE) / 6
+             * ((mu3 / sqrt(mu2 * mu2 * mu2)) * (mu3 / sqrt(mu2 * mu2 * mu2))
+                + (mu4 / (mu2 * mu2) - 3) * (mu4 / (mu2 * mu2) - 3) / 4), 6)
+         AS jb_stat
+FROM c
+""",
+    description="Jarque-Bera normality screen of event value: skewness "
+    "and excess kurtosis from exact integer CENTI-unit power sums (the "
+    "fixture's values are 2dp, so c = round(100·v) is exact and c⁴ "
+    "stays within 128-bit range where micro⁴ would overflow), central "
+    "moments by the raw→central identities, JB = n/6(S² + K²/4) as one "
+    "closed form. Says whether the Welch/z machinery's normal "
+    "assumptions hold or the rank tests should be read instead. One "
+    "scan, 5-number reduce state.",
+    tags=("statistics", "drift", "events"),
+)
+def q_value_jarque_bera(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.round(F.col("value") * 100, 0).cast("long").alias("c"))
+    dec = F.col("c").cast("decimal(38,0)")
+    s = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * F.col("c")).alias("s2"),
+        F.sum(dec * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(dec * F.col("c") * F.col("c") * F.col("c")).alias("s4"),
+    )
+    n = F.col("n")
+    m = s.select(
+        "n",
+        *[
+            (F.col(f"s{k}").cast("double") / n).alias(f"m{k}")
+            for k in (1, 2, 3, 4)
+        ],
+    )
+    m1 = F.col("m1")
+    c = m.select(
+        "n",
+        (F.col("m2") - m1 * m1).alias("mu2"),
+        (F.col("m3") - 3 * m1 * F.col("m2") + 2 * m1 * m1 * m1).alias("mu3"),
+        (
+            F.col("m4")
+            - 4 * m1 * F.col("m3")
+            + 6 * m1 * m1 * F.col("m2")
+            - 3 * m1 * m1 * m1 * m1
+        ).alias("mu4"),
+    )
+    skew = F.col("mu3") / F.sqrt(F.col("mu2") * F.col("mu2") * F.col("mu2"))
+    exk = F.col("mu4") / (F.col("mu2") * F.col("mu2")) - 3
+    return c.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("excess_kurtosis"),
+        F.round(F.col("n").cast("double") / 6 * (skew * skew + exk * exk / 4), 6).alias(
+            "jb_stat"
+        ),
+    )
