@@ -1630,3 +1630,120 @@ def q_value_jarque_bera(spark, sf_dir):
             "jb_stat"
         ),
     )
+
+
+# --- Breusch-Pagan heteroscedasticity test -----------------------------------
+
+
+@register(
+    "hourly_value_breusch_pagan",
+    oracle="""
+WITH h AS (
+  SELECT CAST(datediff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                       date_trunc('hour', ts)) AS BIGINT) AS x,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM h
+),
+fit AS (
+  SELECT n, CAST(sx AS DOUBLE) / n AS xbar, CAST(sy AS DOUBLE) / n AS ybar,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS slope
+  FROM s
+),
+e AS (
+  SELECT h.x,
+         CAST(round(h.y - (f.ybar + f.slope * (h.x - f.xbar)), 0) AS BIGINT)
+           AS ec
+  FROM h CROSS JOIN fit f
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(ec AS HUGEINT) * ec) AS HUGEINT) AS su,
+         CAST(sum(CAST(ec AS HUGEINT) * ec * ec * ec) AS HUGEINT) AS suu,
+         CAST(sum(CAST(x AS HUGEINT) * ec * ec) AS HUGEINT) AS sxu
+  FROM e
+)
+SELECT n,
+       round((CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                   - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)))
+             * n, 6) AS bp_lm
+FROM g
+""",
+    description="Breusch-Pagan heteroscedasticity LM statistic for the "
+    "hourly value~time OLS: regress squared residuals on x, LM = n·R² "
+    "(R² of e² on x expanded as the squared Pearson correlation — one "
+    "closed form over exact integer power sums of (x, e², e⁴)). "
+    "Completes the regression-diagnostic triple (Durbin-Watson: serial "
+    "correlation; Jarque-Bera: normality; this: variance stability — "
+    "rising-variance drift is invisible to mean-based monitors). "
+    "Residuals round to CENTI units per row so e⁴ stays inside 128-bit "
+    "range; series-scale work after one corpus aggregate.",
+    tags=("statistics", "drift", "timeseries", "events"),
+)
+def q_hourly_value_breusch_pagan(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', date_trunc('hour', ts))"
+        ).cast("long").alias("x")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = h.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    fit = s.select(
+        "n",
+        (F.col("sx").cast("double") / nd).alias("xbar"),
+        (F.col("sy").cast("double") / nd).alias("ybar"),
+        (
+            (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+            / (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        ).alias("slope"),
+    )
+    e = h.crossJoin(F.broadcast(fit)).select(
+        "x",
+        F.round(
+            F.col("y") - (F.col("ybar") + F.col("slope") * (F.col("x") - F.col("xbar"))),
+            0,
+        ).cast("long").alias("ec"),
+    )
+    g = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("ec") * F.col("ec")).alias("su"),
+        F.sum(dec("ec") * F.col("ec") * F.col("ec") * F.col("ec")).alias("suu"),
+        F.sum(dec("x") * F.col("ec") * F.col("ec")).alias("sxu"),
+    )
+    nD = F.col("n").cast("double")
+    num = nD * F.col("sxu").cast("double") - F.col("sx").cast("double") * F.col("su").cast("double")
+    den = (
+        nD * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * (
+        nD * F.col("suu").cast("double") - F.col("su").cast("double") * F.col("su").cast("double")
+    )
+    return g.select(
+        "n",
+        F.round(num * num / den * F.col("n"), 6).alias("bp_lm"),
+    )
