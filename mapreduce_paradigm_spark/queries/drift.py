@@ -1747,3 +1747,198 @@ def q_hourly_value_breusch_pagan(spark, sf_dir):
         "n",
         F.round(num * num / den * F.col("n"), 6).alias("bp_lm"),
     )
+
+
+# --- difference-in-differences -----------------------------------------------
+
+
+@register(
+    "value_did_estimate",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+         CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS period,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS vm
+  FROM events
+),
+s AS (
+  SELECT grp, period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(vm AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(vm AS HUGEINT) * vm) AS HUGEINT) AS s2
+  FROM v GROUP BY 1, 2
+),
+m AS (
+  SELECT grp, period, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) / n
+           AS mvar
+  FROM s
+),
+wide AS (
+  SELECT
+    max(CASE WHEN grp = 0 AND period = 0 THEN mean END) AS m00,
+    max(CASE WHEN grp = 0 AND period = 1 THEN mean END) AS m01,
+    max(CASE WHEN grp = 1 AND period = 0 THEN mean END) AS m10,
+    max(CASE WHEN grp = 1 AND period = 1 THEN mean END) AS m11,
+    max(CASE WHEN grp = 0 AND period = 0 THEN mvar END) AS v00,
+    max(CASE WHEN grp = 0 AND period = 1 THEN mvar END) AS v01,
+    max(CASE WHEN grp = 1 AND period = 0 THEN mvar END) AS v10,
+    max(CASE WHEN grp = 1 AND period = 1 THEN mvar END) AS v11,
+    CAST(sum(n) AS BIGINT) AS n
+  FROM m
+)
+SELECT n,
+       round(((m11 - m10) - (m01 - m00)) / 1000000, 6) AS did,
+       round(((m11 - m10) - (m01 - m00))
+             / sqrt(v00 + v01 + v10 + v11), 6) AS did_z
+FROM wide
+""",
+    description="Difference-in-differences estimate of the treatment "
+    "(user_id%2) effect across the split: DID = (m₁₁−m₁₀)−(m₀₁−m₀₀) "
+    "with its z from the four group mean-variances — the causal "
+    "counterfactual frame the raw pre/post Welch t can't give (it "
+    "conflates the time trend with the treatment). Event-level "
+    "(docstring: production adds user-level clustering of errors); one "
+    "4-row aggregate of exact integer power sums, one closed form.",
+    tags=("statistics", "drift", "events"),
+)
+def q_value_did_estimate(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp_ntz"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("vm"),
+    )
+    s = v.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vm").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("vm").cast("decimal(38,0)") * F.col("vm")).alias("s2"),
+    )
+    m = s.select(
+        "grp",
+        "period",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("mvar"),
+    )
+    conds = {
+        f"{a}{g}{p}": F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col(c))
+        )
+        for (a, c) in (("m", "mean"), ("v", "mvar"))
+        for g in (0, 1)
+        for p in (0, 1)
+    }
+    wide = m.agg(
+        *[expr.alias(k) for k, expr in conds.items()],
+        F.sum("n").cast("long").alias("n"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    return wide.select(
+        "n",
+        F.round(did / 1e6, 6).alias("did"),
+        F.round(
+            did / F.sqrt(F.col("v00") + F.col("v01") + F.col("v10") + F.col("v11")),
+            6,
+        ).alias("did_z"),
+    )
+
+
+# --- CUPED variance reduction ------------------------------------------------
+
+
+@register(
+    "user_value_cuped",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}'
+                   THEN CAST(round(value * 1000000, 0) AS BIGINT) END), 0)
+              AS BIGINT) AS x,
+         CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}'
+                   THEN CAST(round(value * 1000000, 0) AS BIGINT) END), 0)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM u
+),
+c AS (
+  SELECT n,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS cxx,
+         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS cxy,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy
+  FROM s
+)
+SELECT n,
+       round(cxy / cxx, 6) AS theta,
+       round(cyy / (n - 1) / 1e12, 6) AS var_y_t2,
+       round((cyy - cxy * cxy / cxx) / (n - 1) / 1e12, 6) AS var_y_adj_t2,
+       round(cxy * cxy / (cxx * cyy), 6) AS var_reduction
+FROM c
+""",
+    description="CUPED variance reduction for the post-split per-user "
+    "value metric using the pre-split period as covariate: θ = "
+    "cov(Y,X)/var(X), adjusted Yᵢ−θ(Xᵢ−X̄), variance falls by exactly "
+    "r² — the industry-standard experiment-sensitivity booster (same "
+    "experiment, tighter CI, no extra traffic). Per-user (X, Y) come "
+    "from ONE conditional aggregate (zero-filled for one-sided users, "
+    "mirrored in the oracle), the five power sums are 128-bit exact, "
+    "every reported float is one shared closed form (variances in "
+    "trillions — micro² scale).",
+    tags=("statistics", "drift", "mlprep", "events"),
+)
+def q_user_value_cuped(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1e6, 0).cast("long")
+    split = F.lit(_PSI_SPLIT).cast("timestamp_ntz")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < split, vm)), F.lit(0))
+        .cast("long")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= split, vm)), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    c = s.select(
+        "n",
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")).alias("cxx"),
+        (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")).alias("cxy"),
+        (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")).alias("cyy"),
+    )
+    return c.select(
+        "n",
+        F.round(F.col("cxy") / F.col("cxx"), 6).alias("theta"),
+        F.round(F.col("cyy") / (F.col("n") - 1) / 1e12, 6).alias("var_y_t2"),
+        F.round(
+            (F.col("cyy") - F.col("cxy") * F.col("cxy") / F.col("cxx"))
+            / (F.col("n") - 1)
+            / 1e12,
+            6,
+        ).alias("var_y_adj_t2"),
+        F.round(
+            F.col("cxy") * F.col("cxy") / (F.col("cxx") * F.col("cyy")), 6
+        ).alias("var_reduction"),
+    )
