@@ -1942,3 +1942,135 @@ def q_user_value_cuped(spark, sf_dir):
             F.col("cxy") * F.col("cxy") / (F.col("cxx") * F.col("cyy")), 6
         ).alias("var_reduction"),
     )
+
+
+# --- experiment guardrails: SRM and MDE --------------------------------------
+
+
+@register(
+    "ab_assignment_srm",
+    oracle="""
+WITH g AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+wide AS (
+  SELECT max(CASE WHEN grp = 0 THEN n END) AS n0,
+         max(CASE WHEN grp = 1 THEN n END) AS n1
+  FROM g
+)
+SELECT n0, n1,
+       round((CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2)
+             * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2)
+             / (CAST(n0 + n1 AS DOUBLE) / 2)
+             + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2)
+               * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2)
+               / (CAST(n0 + n1 AS DOUBLE) / 2), 6) AS srm_chi2,
+       abs(CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2)
+           / sqrt(CAST(n0 + n1 AS DOUBLE) / 4) > 3.719016 AS srm_alarm
+FROM wide
+""",
+    description="Sample-ratio-mismatch guardrail for the user_id%2 "
+    "assignment: 1-df chi-squared of observed group sizes against the "
+    "designed 50/50, alarming at |z| > 3.719 (p < 1e-4, the industry "
+    "SRM threshold — assignment bugs invalidate EVERY downstream "
+    "readout, so the gate runs before any effect estimate is read). "
+    "Distinct-user counts per arm, one closed form; the alarm compares "
+    "against a shared literal, no inverse-CDF needed.",
+    tags=("statistics", "drift", "events", "quality"),
+)
+def q_ab_assignment_srm(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy((F.col("user_id") % 2).cast("long").alias("grp")).agg(
+        F.count_distinct("user_id").cast("long").alias("n")
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+    )
+    tot2 = (F.col("n0") + F.col("n1")).cast("double") / 2
+    d0 = F.col("n0").cast("double") - tot2
+    d1 = F.col("n1").cast("double") - tot2
+    return wide.select(
+        "n0",
+        "n1",
+        F.round(d0 * d0 / tot2 + d1 * d1 / tot2, 6).alias("srm_chi2"),
+        (
+            F.abs(d0) / F.sqrt((F.col("n0") + F.col("n1")).cast("double") / 4)
+            > 3.719016
+        ).alias("srm_alarm"),
+    )
+
+
+@register(
+    "ab_conversion_mde",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+         CASE WHEN min(ts) FILTER (WHERE event_type = 'purchase')
+                   > min(ts) FILTER (WHERE event_type = 'signup')
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converted
+  FROM events GROUP BY user_id
+  HAVING min(ts) FILTER (WHERE event_type = 'signup') IS NOT NULL
+),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv
+  FROM assigned GROUP BY grp
+),
+wide AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(conv) AS BIGINT) AS conv,
+         max(CASE WHEN grp = 0 THEN n END) AS n0,
+         max(CASE WHEN grp = 1 THEN n END) AS n1
+  FROM g
+)
+SELECT n, round(CAST(conv AS DOUBLE) / n, 6) AS pooled_rate,
+       round((1.959964 + 0.841621)
+             * sqrt(CAST(conv AS DOUBLE) / n * (1 - CAST(conv AS DOUBLE) / n)
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS mde_abs
+FROM wide
+""",
+    description="Minimum detectable effect (80% power, two-sided 5%) of "
+    "the conversion A/B at its CURRENT sample sizes: MDE = "
+    "(z₀.₉₇₅+z₀.₈)·√(p̄(1−p̄)(1/n₀+1/n₁)) — the pre-readout power check "
+    "(an observed lift below the MDE is noise regardless of its "
+    "p-value). z constants are shared literals (no inverse normal CDF "
+    "in either engine); same per-user reduction as the z-test/odds "
+    "queries, one closed form.",
+    tags=("statistics", "drift", "events"),
+)
+def q_ab_conversion_mde(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assigned = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("fs"),
+        )
+        .filter(F.col("fs").isNotNull())
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("grp"),
+            F.when(F.col("fp") > F.col("fs"), 1).otherwise(0).cast("long").alias("converted"),
+        )
+    )
+    g = assigned.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = g.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("conv"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+    )
+    p = F.col("conv").cast("double") / F.col("n")
+    return wide.select(
+        "n",
+        F.round(p, 6).alias("pooled_rate"),
+        F.round(
+            (F.lit(1.959964) + F.lit(0.841621))
+            * F.sqrt(p * (1 - p) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+            6,
+        ).alias("mde_abs"),
+    )
