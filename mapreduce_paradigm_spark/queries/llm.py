@@ -1555,3 +1555,63 @@ def q_doc_head_tokens_udtf(spark, sf_dir):
         "SELECT d.doc_id, h.t1, h.t2, h.t3 "
         "FROM documents d, LATERAL head_tokens(d.text, 3) h"
     )
+
+
+@register(
+    "source_near_dup_rates",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+capped AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 64),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM common
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE c / (s1.sz + s2.sz - c) >= 0.5
+),
+dup AS (SELECT d1 AS doc_id FROM pairs UNION SELECT d2 FROM pairs)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(dup.doc_id) AS BIGINT) AS n_dup_docs,
+       round(CAST(count(dup.doc_id) AS DOUBLE) / count(*), 6) AS dup_rate
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+GROUP BY 1
+""",
+    description="Near-dup RATE per source — the dedup-health dashboard "
+    "number operators actually watch (a source whose rate jumps is "
+    "re-crawling itself or mirroring another): docs touching ≥1 exact "
+    "Jaccard≥0.5 pair (same df-capped generator as ngram_jaccard_pairs) "
+    "as a share of each source's corpus. Pair machinery is the existing "
+    "inverted-list path; the rollup adds one distinct + one grouped "
+    "count. Composes with source_unigram_js_divergence (who mirrors "
+    "whom) and dedup_delta_new_docs (per-ingest form).",
+    tags=("dedup", "llm", "quality"),
+)
+def q_source_near_dup_rates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=64)
+    dup = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dup_docs"),
+            F.round(
+                F.sum(F.coalesce("is_dup", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
