@@ -2074,3 +2074,69 @@ def q_ab_conversion_mde(spark, sf_dir):
             6,
         ).alias("mde_abs"),
     )
+
+
+# --- categorical composition drift -------------------------------------------
+
+
+@register(
+    "event_type_share_drift",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_cur
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref, CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM c
+)
+SELECT event_type, n_ref, n_cur,
+       round(CAST(n_ref AS DOUBLE) / t_ref, 6) AS share_ref,
+       round(CAST(n_cur AS DOUBLE) / t_cur, 6) AS share_cur,
+       round((CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref)
+             / sqrt((CAST(n_ref + n_cur AS DOUBLE) / (t_ref + t_cur))
+                    * (1 - CAST(n_ref + n_cur AS DOUBLE) / (t_ref + t_cur))
+                    * (1.0 / t_ref + 1.0 / t_cur)), 6) AS share_z
+FROM c CROSS JOIN tot
+""",
+    description="Categorical composition drift across the split: each "
+    "event type's share before/after with a pooled two-proportion z per "
+    "category — the CATEGORICAL sibling of the numeric drift family "
+    "(PSI/W1/KS bin values; this asks whether the event MIX moved, "
+    "which value-distribution monitors can't see). One conditional "
+    "aggregate over (type, window), margins broadcast, shared closed "
+    "form per row.",
+    tags=("statistics", "drift", "events"),
+)
+def q_event_type_share_drift(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_PSI_SPLIT).cast("timestamp_ntz")
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    tot = c.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    sr = F.col("n_ref").cast("double") / F.col("t_ref")
+    sc = F.col("n_cur").cast("double") / F.col("t_cur")
+    pp = (F.col("n_ref") + F.col("n_cur")).cast("double") / (
+        F.col("t_ref") + F.col("t_cur")
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round(sr, 6).alias("share_ref"),
+        F.round(sc, 6).alias("share_cur"),
+        F.round(
+            (sc - sr)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("t_ref") + 1.0 / F.col("t_cur"))),
+            6,
+        ).alias("share_z"),
+    )
