@@ -285,3 +285,11 @@ def test_cli_list_oracle_and_unknown(capsys):
 
     assert main(["oracle", "no_such_query_xyz"]) == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_explain_prints_physical_plan(spark, capsys):
+    from mapreduce_paradigm_spark.__main__ import main
+
+    assert main(["explain", "inverted_index", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
