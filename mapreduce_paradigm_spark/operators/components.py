@@ -71,10 +71,17 @@ def connected_components(
     if not edges_unique:
         sym = sym.distinct()
     sym = sym.persist()
+    # initialize at min(self, neighbors) — exactly the state the old
+    # identity init reached AFTER its first round, for the same one-shuffle
+    # cost the identity init paid on its distinct(): one full
+    # join+union+agg+checkpoint round (and its driver action) is skipped
     labels = (
-        sym.select(F.col("a").alias("v"))
-        .distinct()
-        .withColumn("component", F.col("v"))
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(
+            F.col("a").alias("v"),
+            F.least(F.col("a"), F.col("_mb")).alias("component"),
+        )
         .persist()
     )
     numeric_ids = isinstance(labels.schema["component"].dataType, NumericType)
