@@ -1615,3 +1615,27 @@ def q_source_near_dup_rates(spark, sf_dir):
             ).alias("dup_rate"),
         )
     )
+
+
+@register(
+    "price_tdigest_quantiles",
+    oracle=None,  # mergeable sketch, approximate by construction → rows-only;
+    # rank-error bound vs the exact percentile tier pinned in pytest
+    description="t-digest mergeable quantile sketch over l_extendedprice "
+    "(operators/tdigest.py): per-partition Arrow-batched sketching, "
+    "salted tree merge of ~100-centroid summaries, tail-concentrated "
+    "accuracy (centroid capacity ∝ q(1−q) — p99 stays sharp where "
+    "equi-weight histograms smear). The store-and-merge-later summary "
+    "object neither approx_percentile (one-shot) nor the exact tiers "
+    "(full data) provide; reads p50/p90/p99/p999.",
+    tags=("statistics", "approx", "sketch"),
+)
+def q_price_tdigest_quantiles(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.tdigest import (
+        tdigest_quantiles,
+        tdigest_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    digest = tdigest_sketch(li, "l_extendedprice", max_centroids=100)
+    return tdigest_quantiles(digest, [0.5, 0.9, 0.99, 0.999])

@@ -81,3 +81,33 @@ def test_approx_percentile_close_to_exact(spark):
     ).collect()[0]
     rel = abs(row["approx"] - row["exact"]) / row["exact"]
     assert rel < 0.01, f"approx_percentile rel error {rel:.4f}"
+
+
+def test_tdigest_rank_error_and_merge_invariance(spark):
+    """t-digest accuracy pin: each estimated quantile's TRUE rank must be
+    within 1% of the requested rank (tail-weighted sketches do far better
+    at p99); and the digest total weight must equal the row count (no
+    mass lost through the salted tree merge)."""
+    import numpy as np
+
+    from mapreduce_paradigm_spark.operators.tdigest import (
+        tdigest_quantiles,
+        tdigest_sketch,
+    )
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    vals = np.sort(
+        np.array([r[0] for r in li.select("l_extendedprice").collect()], dtype=float)
+    )
+    n = len(vals)
+    digest = tdigest_sketch(li, "l_extendedprice", max_centroids=100).persist()
+    assert digest.agg({"weight": "sum"}).collect()[0][0] == n  # mass conserved
+    assert digest.count() <= 120  # bounded summary
+    for row in tdigest_quantiles(digest, [0.5, 0.9, 0.99, 0.999]).collect():
+        q, est = row["q"], row["estimate"]
+        true_rank = np.searchsorted(vals, est) / n
+        assert abs(true_rank - q) <= 0.01, (q, est, true_rank)
+    digest.unpersist()
