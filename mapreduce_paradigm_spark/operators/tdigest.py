@@ -120,6 +120,28 @@ def tdigest_sketch(
     )
 
 
+def tdigest_merge(*digests: DataFrame, max_centroids: int = 100) -> DataFrame:
+    """Merge stored digests (the store-per-day/per-source use case): union
+    the centroid sets — weights carry — and re-compress once. Associative
+    and commutative up to compression, like the reference's posting-list
+    union (src/main.cpp:119-128)."""
+    import functools
+
+    allc = functools.reduce(lambda a, b: a.unionByName(b), digests)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _compress(
+            pdf["mean"].to_numpy(np.float64),
+            pdf["weight"].to_numpy(np.int64),
+            max_centroids,
+        )
+        return pd.DataFrame({"mean": m, "weight": w})
+
+    return allc.groupBy(F.lit(1).alias("_k")).applyInPandas(
+        lambda pdf: merge_group(pdf[["mean", "weight"]]), _CENTROID_SCHEMA
+    )
+
+
 def tdigest_quantiles(digest: DataFrame, qs: list[float]) -> DataFrame:
     """Read quantiles from a digest via midpoint-rule interpolation."""
     spark = digest.sparkSession

@@ -111,3 +111,40 @@ def test_tdigest_rank_error_and_merge_invariance(spark):
         true_rank = np.searchsorted(vals, est) / n
         assert abs(true_rank - q) <= 0.01, (q, est, true_rank)
     digest.unpersist()
+
+
+def test_tdigest_split_merge_equals_whole_accuracy(spark):
+    """The mergeability contract itself: sketch two disjoint halves
+    separately (as a store-per-day pipeline would), merge the STORED
+    centroid sets, and the merged digest must read quantiles as
+    accurately as a digest built over the whole data in one pass."""
+    import numpy as np
+
+    from mapreduce_paradigm_spark.operators.tdigest import (
+        tdigest_quantiles,
+        tdigest_sketch,
+    )
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    half_a = li.filter("l_orderkey % 2 = 0")
+    half_b = li.filter("l_orderkey % 2 = 1")
+    from mapreduce_paradigm_spark.operators.tdigest import tdigest_merge
+
+    da = tdigest_sketch(half_a, "l_extendedprice")
+    db = tdigest_sketch(half_b, "l_extendedprice")
+    pdf = tdigest_merge(da, db).toPandas().sort_values("mean")
+    m = pdf["mean"].to_numpy(np.float64)
+    w = pdf["weight"].to_numpy(np.int64)
+    vals = np.sort(
+        np.array([r[0] for r in li.select("l_extendedprice").collect()], dtype=float)
+    )
+    n = len(vals)
+    assert int(w.sum()) == n
+    cum = np.cumsum(w) - w / 2
+    for q in (0.5, 0.9, 0.99, 0.999):
+        est = float(np.interp(q * w.sum(), cum, m))
+        true_rank = np.searchsorted(vals, est) / n
+        assert abs(true_rank - q) <= 0.01, (q, est, true_rank)
