@@ -162,3 +162,24 @@ def tdigest_quantiles(digest: DataFrame, qs: list[float]) -> DataFrame:
             est = float(np.interp(target, cum, m))
         rows.append((float(q), est))
     return spark.createDataFrame(rows, "q double, estimate double")
+
+
+def tdigest_by_key(
+    df: DataFrame, key: str, col: str, max_centroids: int = 100
+) -> DataFrame:
+    """Per-key digests: ``(key, mean, weight)`` — the store-per-group form
+    (one digest row-set per day/source/experiment arm, merged later with
+    ``tdigest_merge``). One shuffle on the key; each group sketches its
+    values in a single Arrow pass."""
+
+    def sketch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[col].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        m, w = _compress(v, np.ones(v.size, dtype=np.int64), max_centroids)
+        return pd.DataFrame({key: pdf[key].iloc[0], "mean": m, "weight": w})
+
+    return (
+        df.select(key, F.col(col).cast("double").alias(col))
+        .groupBy(key)
+        .applyInPandas(sketch_group, f"{key} string, mean double, weight long")
+    )

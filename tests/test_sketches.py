@@ -148,3 +148,41 @@ def test_tdigest_split_merge_equals_whole_accuracy(spark):
         est = float(np.interp(q * w.sum(), cum, m))
         true_rank = np.searchsorted(vals, est) / n
         assert abs(true_rank - q) <= 0.01, (q, est, true_rank)
+
+
+def test_tdigest_by_key_grouped_p99(spark):
+    """Grouped digests: per-returnflag p99 from ~100-centroid summaries
+    must sit within 1% rank of each group's true distribution."""
+    import numpy as np
+
+    from mapreduce_paradigm_spark.operators.tdigest import tdigest_by_key
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    digests = tdigest_by_key(li, "l_returnflag", "l_extendedprice").toPandas()
+    truth = {
+        flag: np.sort(
+            np.array(
+                [
+                    r[0]
+                    for r in li.filter(li.l_returnflag == flag)
+                    .select("l_extendedprice")
+                    .collect()
+                ],
+                dtype=float,
+            )
+        )
+        for flag in ("A", "N", "R")
+    }
+    for flag, grp in digests.groupby("l_returnflag"):
+        grp = grp.sort_values("mean")
+        m = grp["mean"].to_numpy(float)
+        w = grp["weight"].to_numpy(float)
+        vals = truth[flag]
+        assert int(w.sum()) == len(vals)
+        cum = np.cumsum(w) - w / 2
+        est = float(np.interp(0.99 * w.sum(), cum, m))
+        rank = np.searchsorted(vals, est) / len(vals)
+        assert abs(rank - 0.99) <= 0.01, (flag, est, rank)
