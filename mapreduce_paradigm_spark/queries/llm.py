@@ -1639,3 +1639,75 @@ def q_price_tdigest_quantiles(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     digest = tdigest_sketch(li, "l_extendedprice", max_centroids=100)
     return tdigest_quantiles(digest, [0.5, 0.9, 0.99, 0.999])
+
+
+_DD_ALPHA = 0.01
+_DD_GAMMA = (1 + _DD_ALPHA) / (1 - _DD_ALPHA)  # 1.0202...
+
+
+@register(
+    "price_ddsketch_quantiles",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(ceil(ln(l_extendedprice) / ln({_DD_GAMMA!r})) AS BIGINT) AS k,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_extendedprice > 0
+  GROUP BY 1
+),
+cum AS (
+  SELECT k, c,
+         sum(c) OVER (ORDER BY k) AS cm,
+         sum(c) OVER () AS n
+  FROM b
+),
+qs AS (SELECT unnest([0.5, 0.9, 0.99, 0.999]) AS q),
+pick AS (
+  SELECT qs.q, min(cum.k) AS k
+  FROM qs JOIN cum ON cum.cm >= qs.q * cum.n
+  GROUP BY 1
+)
+SELECT q,
+       round(2 * power({_DD_GAMMA!r}, k) / ({_DD_GAMMA!r} + 1), 4) AS estimate
+FROM pick
+""",
+    description="DDSketch quantiles (α=1%) over l_extendedprice — the "
+    "RELATIVE-error guarantee beside t-digest's rank-error one "
+    "(est/true ∈ [1−α, 1+α] at EVERY quantile, tails included): "
+    "log-γ bucket histogram (integer bucket counts — a sketch whose "
+    "state is exactly SQL-expressible, so unlike the t-digest it "
+    "carries a FULL value-hash oracle), cumulative walk to the target "
+    "rank, midpoint value 2γᵏ/(γ+1). Buckets are mergeable integer "
+    "(k, count) pairs — the same store-and-merge-later shape. One "
+    "aggregate over ~900 buckets for this value range; relative-error "
+    "bound pinned in pytest.",
+    tags=("statistics", "approx", "sketch"),
+)
+def q_price_ddsketch_quantiles(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lg = F.lit(float(_DD_GAMMA))
+    b = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .groupBy(
+            F.ceil(F.log(F.col("l_extendedprice")) / F.log(lg)).cast("long").alias("k")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = b.select(
+        "k",
+        "c",
+        F.sum("c").over(Window.orderBy("k")).alias("cm"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,), (0.999,)], "q double")
+    pick = (
+        qs.join(cum, F.col("cm") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("k").alias("k"))
+    )
+    return pick.select(
+        "q",
+        F.round(2 * F.pow(lg, F.col("k")) / (lg + 1), 4).alias("estimate"),
+    )

@@ -186,3 +186,28 @@ def test_tdigest_by_key_grouped_p99(spark):
         est = float(np.interp(0.99 * w.sum(), cum, m))
         rank = np.searchsorted(vals, est) / len(vals)
         assert abs(rank - 0.99) <= 0.01, (flag, est, rank)
+
+
+def test_ddsketch_relative_error_bound(spark):
+    """DDSketch guarantee: every estimate within α=1% RELATIVE error of the
+    true quantile value (the bound t-digest doesn't make)."""
+    import numpy as np
+
+    from mapreduce_paradigm_spark.registry import all_specs
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    vals = np.sort(
+        np.array([r[0] for r in li.select("l_extendedprice").collect()], dtype=float)
+    )
+    est = {
+        r["q"]: r["estimate"]
+        for r in all_specs()["price_ddsketch_quantiles"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    for q, e in est.items():
+        true = float(np.quantile(vals, q, method="inverted_cdf"))
+        assert abs(e / true - 1) <= 0.0101, (q, e, true)
