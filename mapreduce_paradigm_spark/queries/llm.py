@@ -1711,3 +1711,86 @@ def q_price_ddsketch_quantiles(spark, sf_dir):
         "q",
         F.round(2 * F.pow(lg, F.col("k")) / (lg + 1), 4).alias("estimate"),
     )
+
+
+_CMS_W = 64  # buckets per row
+_CMS_D = 4  # hash rows
+_CMS_M = 9007199254740881  # 53-bit prime of the house rolling hash
+
+
+@register(
+    "word_count_min_sketch_hh",
+    oracle=f"""
+WITH w AS (
+  SELECT lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS word
+  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents)
+  WHERE lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) <> ''
+),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+seeded AS (
+  SELECT wc.word, wc.n, d.i,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(wc.word || '#' || CAST(d.i AS VARCHAR), ''),
+                            ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, c) -> (acc * 257 + c) % {_CMS_M}
+         ) % {_CMS_W} AS BIGINT) AS bucket
+  FROM wc CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i) d
+),
+cms AS (
+  SELECT i, bucket, CAST(sum(n) AS BIGINT) AS c
+  FROM seeded GROUP BY 1, 2
+),
+top10 AS (
+  SELECT word, n FROM wc ORDER BY n DESC, word ASC LIMIT 10
+),
+est AS (
+  SELECT t.word, t.n, min(cms.c) AS cms_est
+  FROM top10 t
+  JOIN seeded s ON s.word = t.word
+  JOIN cms ON cms.i = s.i AND cms.bucket = s.bucket
+  GROUP BY 1, 2
+)
+SELECT word, n AS true_n, cms_est FROM est
+""",
+    description="Count-min sketch heavy-hitter readout over the corpus "
+    "word stream: d=4 × w=64 counters keyed by the house 53-bit "
+    "polynomial rolling hash with seed-suffix rows ('word#i') — a hash "
+    "BOTH engines compute identically (Horner fold, doc_fingerprints' "
+    "trick), so unlike typical CMS implementations the sketch STATE and "
+    "the estimates are fully value-hash-oracled. Reads the exact top-10 "
+    "words against their CMS estimates (est ≥ truth always; "
+    "overestimate bounded by colliding mass — pinned in pytest). "
+    "Counters are (i, bucket, count) integer rows — mergeable across "
+    "shards/days by addition, the same store-and-merge shape as the "
+    "digest sketches.",
+    tags=("statistics", "approx", "sketch", "llm"),
+)
+def q_word_count_min_sketch_hh(spark, sf_dir):
+    from pyspark.sql.functions import broadcast
+
+    from mapreduce_paradigm_spark.functions import doc_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = doc_words(docs).groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    seeds = spark.range(_CMS_D).select(F.col("id").cast("long").alias("i"))
+    fold = (
+        "aggregate(transform(split(concat(word, '#', cast(i as string)), ''), "
+        "ch -> cast(ascii(ch) as bigint)), 0L, "
+        f"(acc, c) -> pmod(acc * 257 + c, {_CMS_M}L))"
+    )
+    seeded = wc.crossJoin(broadcast(seeds)).withColumn(
+        "bucket", F.expr(fold) % _CMS_W
+    )
+    cms = seeded.groupBy("i", "bucket").agg(F.sum("n").cast("long").alias("c"))
+    top10 = (
+        wc.orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(10)
+        .select("word", F.col("n").cast("long").alias("true_n"))
+    )
+    return (
+        top10.join(seeded.select("word", "i", "bucket"), "word")
+        .join(cms, ["i", "bucket"])
+        .groupBy("word", "true_n")
+        .agg(F.min("c").alias("cms_est"))
+    )

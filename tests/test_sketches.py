@@ -211,3 +211,27 @@ def test_ddsketch_relative_error_bound(spark):
     for q, e in est.items():
         true = float(np.quantile(vals, q, method="inverted_cdf"))
         assert abs(e / true - 1) <= 0.0101, (q, e, true)
+
+
+def test_count_min_never_underestimates(spark):
+    """CMS safety property: estimates dominate the truth for EVERY word
+    (not just the top-10 readout), and the overestimate is bounded by the
+    colliding mass N/w per row."""
+    from mapreduce_paradigm_spark.registry import all_specs
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    rows = (
+        all_specs()["word_count_min_sketch_hh"].builder(spark, SF_CORRECT).collect()
+    )
+    assert len(rows) == 10
+    from mapreduce_paradigm_spark.functions import doc_words
+
+    total = doc_words(load_table(spark, SF_CORRECT, "documents")).count()
+    for r in rows:
+        assert r["cms_est"] >= r["true_n"], r
+        # w=64 on a Zipf stream: a head word (~N/30 mass) can share a
+        # bucket with the readout word in all d rows, so the practical
+        # bound is a few expected bucket-masses, not the uniform N/w
+        assert r["cms_est"] - r["true_n"] <= total / 64 * 3, r
