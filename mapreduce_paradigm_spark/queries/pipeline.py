@@ -829,3 +829,124 @@ def q_training_corpus_pipeline(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("bin_tokens"),
     )
+
+
+# --- end-to-end web-analytics pipeline ---------------------------------------
+
+
+@register(
+    "web_analytics_pipeline",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, event_type, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM tagged
+),
+sess AS (
+  SELECT user_id, session_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 1000000, 0) AS BIGINT) END), 0) AS BIGINT)
+           AS rev_micro
+  FROM sessioned GROUP BY 1, 2
+),
+staged AS (
+  SELECT CASE WHEN has_purchase = 1 THEN 'purchase'
+              WHEN has_click = 1 THEN 'click'
+              WHEN has_view = 1 THEN 'view'
+              ELSE 'other' END AS stage,
+         n_events, rev_micro
+  FROM sess
+)
+SELECT stage,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 4) AS session_share,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(CAST(sum(rev_micro) AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS revenue
+FROM staged
+GROUP BY 1
+""",
+    description="The events-domain END-TO-END pipeline as one declarative "
+    "plan (the analytics twin of training_corpus_pipeline): gap "
+    "sessionization (two window passes) → per-session funnel flags and "
+    "exact purchase revenue → deepest-stage classification → per-stage "
+    "rollup with session shares. Every stage is a registered operator on "
+    "its own (sessionize_30min, user_funnel_stages, dsum); composed, the "
+    "user shuffle is paid ONCE and reused by both window passes and the "
+    "session aggregate — the whole funnel report is one job, one "
+    "corpus-scale exchange. Revenue crosses engines as integer micros.",
+    tags=("pipeline", "sessionize", "funnel", "events"),
+)
+def q_web_analytics_pipeline(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = tagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    sess = sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("has_view"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_click"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 1e6, 0).cast("long"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("rev_micro"),
+    )
+    staged = sess.select(
+        F.when(F.col("has_purchase") == 1, "purchase")
+        .when(F.col("has_click") == 1, "click")
+        .when(F.col("has_view") == 1, "view")
+        .otherwise("other")
+        .alias("stage"),
+        "n_events",
+        "rev_micro",
+    )
+    wall = Window.partitionBy()
+    agg = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("rev_micro").alias("rm"),
+    )
+    return agg.select(
+        "stage",
+        "n_sessions",
+        F.round(
+            F.col("n_sessions").cast("double") / F.sum("n_sessions").over(wall), 4
+        ).alias("session_share"),
+        "n_events",
+        (F.col("rm").cast("decimal(24,6)") / 1000000).cast("double").alias("revenue"),
+    )
