@@ -888,6 +888,7 @@ GROUP BY 1
     "user shuffle is paid ONCE and reused by both window passes and the "
     "session aggregate — the whole funnel report is one job, one "
     "corpus-scale exchange. Revenue crosses engines as integer micros.",
+    bench=True,
     tags=("pipeline", "sessionize", "funnel", "events"),
 )
 def q_web_analytics_pipeline(spark, sf_dir):
