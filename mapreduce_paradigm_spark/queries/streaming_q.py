@@ -579,3 +579,24 @@ def q_streaming_pit_enrichment(spark, sf_dir):
         F.sum("rev_micro").alias("rev_micro"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_value_tdigest",
+    oracle=None,  # sketch state ≠ SQL; accuracy + state-accumulation pinned
+    # in tests/test_sketches.py against the exact distribution
+    description="t-digest quantile sketch maintained as STREAMING STATE "
+    "(applyInPandasWithState with centroid-array state, not counters): "
+    "each micro-batch folds into the stored digest under the same k1 "
+    "compression as the batch operator, so state stays ≤ ~100 centroids "
+    "however long the stream runs — bounded-state percentile monitoring "
+    "on an unbounded stream. Runs over a real 4-file chunked source "
+    "(state must survive micro-batches); emits per-batch digest "
+    "summaries, final rank error ≤ 1% pinned in pytest.",
+    tags=("streaming", "statistics", "sketch", "approx"),
+)
+def q_streaming_value_tdigest(spark, sf_dir):
+    from mapreduce_paradigm_spark.streaming import streaming_value_tdigest
+
+    out = run_to_memory(streaming_value_tdigest(spark, sf_dir), output_mode="update")
+    return out.select("k", "n_centroids", "total_weight")

@@ -530,3 +530,73 @@ def cdc_keep_latest_foreachbatch(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_value_tdigest(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4, max_centroids: int = 100
+) -> DataFrame:
+    """Streaming t-digest: the quantile sketch maintained AS STREAMING
+    STATE via ``applyInPandasWithState`` — custom state that is a real
+    data structure (centroid arrays), not a counter tuple. Each
+    micro-batch folds its values into the stored digest with the same k1
+    compression the batch operator uses (operators/tdigest.py), so the
+    state stays ≤ ~max_centroids however long the stream runs — the
+    bounded-state property that makes percentile monitoring feasible on
+    an unbounded stream.
+
+    Grouped under a single constant key here (one corpus digest; at scale
+    keep per-shard/per-source keys — digests merge on read with
+    tdigest_merge). Runs over a REAL multi-file chunked source, so state
+    must survive and accumulate across micro-batches; the final digest's
+    rank accuracy vs the exact distribution is pinned in pytest (the
+    incremental merge order differs from the one-shot batch digest, so
+    hash-parity is not the contract — accuracy is)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduce_paradigm_spark.operators.tdigest import _compress
+
+    src = _stream_table_chunked(spark, sf_dir, "events", n_chunks=n_chunks)
+    ev = src.select(F.lit(1).alias("k"), F.col("value").cast("double").alias("v"))
+
+    def update(key, pdfs, state):
+        if state.exists:
+            means, weights = state.get
+            means = list(means)
+            weights = list(weights)
+        else:
+            means, weights = [], []
+        vals = []
+        for pdf in pdfs:
+            v = pdf["v"].to_numpy(dtype=np.float64)
+            vals.append(v[~np.isnan(v)])
+        v = np.concatenate(vals) if vals else np.empty(0)
+        m, w = _compress(
+            np.concatenate([np.asarray(means, dtype=np.float64), v]),
+            np.concatenate(
+                [np.asarray(weights, dtype=np.int64), np.ones(v.size, dtype=np.int64)]
+            ),
+            max_centroids,
+        )
+        state.update((m.tolist(), w.tolist()))
+        yield pd.DataFrame(
+            {
+                "k": [key[0]],
+                "n_centroids": [len(m)],
+                "total_weight": [int(w.sum())],
+                "means": [m.tolist()],
+                "weights": [w.tolist()],
+            }
+        )
+
+    return ev.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "k INT, n_centroids BIGINT, total_weight BIGINT, "
+            "means ARRAY<DOUBLE>, weights ARRAY<BIGINT>"
+        ),
+        stateStructType="means ARRAY<DOUBLE>, weights ARRAY<BIGINT>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -235,3 +235,39 @@ def test_count_min_never_underestimates(spark):
         # bucket with the readout word in all d rows, so the practical
         # bound is a few expected bucket-masses, not the uniform N/w
         assert r["cms_est"] - r["true_n"] <= total / 64 * 3, r
+
+
+def test_streaming_tdigest_accumulates_and_stays_accurate(spark):
+    """Streaming digest: state survives 4 real micro-batches (total weight
+    equals the row count), stays bounded, and the FINAL digest reads
+    quantiles within 1% rank of the exact distribution."""
+    import numpy as np
+
+    from mapreduce_paradigm_spark.sources.tables import load_table
+    from mapreduce_paradigm_spark.streaming import (
+        run_to_memory,
+        streaming_value_tdigest,
+    )
+
+    from .conftest import SF_CORRECT
+
+    out = run_to_memory(
+        streaming_value_tdigest(spark, SF_CORRECT), output_mode="update"
+    ).toPandas()
+    # update mode re-emits per batch; the final emission carries the digest
+    final = out.iloc[out["total_weight"].to_numpy().argmax()]
+    ev = load_table(spark, SF_CORRECT, "events")
+    vals = np.sort(
+        np.array([r[0] for r in ev.select("value").collect()], dtype=float)
+    )
+    assert int(final["total_weight"]) == len(vals)  # state accumulated
+    assert final["n_centroids"] <= 120  # bounded however long the stream
+    m = np.asarray(final["means"], dtype=float)
+    w = np.asarray(final["weights"], dtype=float)
+    order = np.argsort(m)
+    m, w = m[order], w[order]
+    cum = np.cumsum(w) - w / 2
+    for q in (0.5, 0.9, 0.99):
+        est = float(np.interp(q * w.sum(), cum, m))
+        rank = np.searchsorted(vals, est) / len(vals)
+        assert abs(rank - q) <= 0.01, (q, est, rank)
