@@ -1794,3 +1794,42 @@ def q_word_count_min_sketch_hh(spark, sf_dir):
         .groupBy("word", "true_n")
         .agg(F.min("c").alias("cms_est"))
     )
+
+
+@register(
+    "price_tdigest_p99_by_flag",
+    oracle=None,  # grouped sketch readout; per-group rank error pinned in pytest
+    description="Per-returnflag p99 read from grouped t-digests "
+    "(operators/tdigest.py tdigest_by_key): one shuffle on the key, each "
+    "group sketched in a single Arrow pass to ~100 centroids — the "
+    "store-per-group form whose digests later merge with tdigest_merge "
+    "(per-day → per-month rollups without re-touching raw data). "
+    "Grouped 1% rank-error bound pinned in tests/test_sketches.py.",
+    tags=("statistics", "approx", "sketch"),
+)
+def q_price_tdigest_p99_by_flag(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_paradigm_spark.operators.tdigest import tdigest_by_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    digests = tdigest_by_key(li, "l_returnflag", "l_extendedprice")
+
+    def readout(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("mean")
+        m = pdf["mean"].to_numpy(np.float64)
+        w = pdf["weight"].to_numpy(np.float64)
+        cum = np.cumsum(w) - w / 2
+        est = float(np.interp(0.99 * w.sum(), cum, m))
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n": [int(w.sum())],
+                "p99_est": [est],
+            }
+        )
+
+    return digests.groupBy("l_returnflag").applyInPandas(
+        readout, "l_returnflag string, n long, p99_est double"
+    )
