@@ -1610,3 +1610,89 @@ def q_hourly_counts_period24_power(spark, sf_dir):
             6,
         ).alias("period24_share"),
     )
+
+
+@register(
+    "revenue_forecast_pinball_loss",
+    oracle="""
+WITH monthly AS (
+  SELECT n.n_name AS nation, date_trunc('month', o.o_orderdate) AS month,
+         CAST(sum(CAST(round(o.o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+bt AS (
+  SELECT a.nation, a.rev AS actual, f.rev AS forecast
+  FROM monthly a
+  JOIN monthly f ON a.nation = f.nation
+                AND f.month = a.month - INTERVAL 1 MONTH
+),
+loss AS (
+  SELECT nation, actual, forecast,
+         CASE WHEN actual >= forecast
+              THEN CAST(9 * (actual - forecast) AS HUGEINT)
+              ELSE CAST(1 * (forecast - actual) AS HUGEINT) END AS pb10_micro,
+         CASE WHEN actual >= forecast
+              THEN CAST(5 * (actual - forecast) AS HUGEINT)
+              ELSE CAST(5 * (forecast - actual) AS HUGEINT) END AS pb5_micro,
+         CAST(abs(actual - forecast) AS HUGEINT) AS ae_micro
+  FROM bt
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round(CAST(sum(pb10_micro) AS DOUBLE) / 10 / count(*) / 1000000, 4)
+         AS pinball_q90,
+       round(CAST(sum(pb5_micro) AS DOUBLE) / 10 / count(*) / 1000000, 4)
+         AS pinball_q50,
+       round(CAST(sum(ae_micro) AS DOUBLE) / count(*) / 1000000, 4) AS mae
+FROM loss
+""",
+    description="Pinball (quantile) loss backtest of the naive one-month "
+    "forecast: L_q = q·(y−f)⁺ + (1−q)·(f−y)⁺ at q=0.9 and q=0.5 beside "
+    "MAE — the scoring rule for QUANTILE forecasts (a p90 forecast "
+    "judged by MAE looks 'biased'; pinball is what it is optimal for; "
+    "q=0.5 pinball = MAE/2 is the built-in sanity identity). Losses "
+    "stay exact integers (q scaled ×10) until one division. Same "
+    "monthly-grid shape as the seasonal-naive backtest.",
+    tags=("timeseries", "forecast", "statistics"),
+)
+def q_revenue_forecast_pinball_loss(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 1e6, 0).cast("long")).alias("rev"))
+    )
+    a = monthly.alias("a")
+    f_ = monthly.alias("f")
+    bt = a.join(
+        f_,
+        (F.col("a.nation") == F.col("f.nation"))
+        & (F.col("f.month") == F.expr("a.month - INTERVAL 1 MONTH")),
+    ).select(
+        F.col("a.rev").alias("actual"), F.col("f.rev").alias("forecast")
+    )
+    diff = F.col("actual") - F.col("forecast")
+    loss = bt.select(
+        F.when(diff >= 0, 9 * diff).otherwise(-diff).cast("decimal(38,0)").alias("pb10_micro"),
+        (5 * F.abs(diff)).cast("decimal(38,0)").alias("pb5_micro"),
+        F.abs(diff).cast("decimal(38,0)").alias("ae_micro"),
+    )
+    return loss.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.sum("pb10_micro").cast("double") / 10 / F.count(F.lit(1)) / 1e6, 4).alias(
+            "pinball_q90"
+        ),
+        F.round(F.sum("pb5_micro").cast("double") / 10 / F.count(F.lit(1)) / 1e6, 4).alias(
+            "pinball_q50"
+        ),
+        F.round(F.sum("ae_micro").cast("double") / F.count(F.lit(1)) / 1e6, 4).alias("mae"),
+    )
