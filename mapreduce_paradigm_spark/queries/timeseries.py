@@ -1696,3 +1696,101 @@ def q_revenue_forecast_pinball_loss(spark, sf_dir):
         ),
         F.round(F.sum("ae_micro").cast("double") / F.count(F.lit(1)) / 1e6, 4).alias("mae"),
     )
+
+
+@register(
+    "revenue_forecast_conformal_interval",
+    oracle="""
+WITH monthly AS (
+  SELECT n.n_name AS nation, date_trunc('month', o.o_orderdate) AS month,
+         CAST(sum(CAST(round(o.o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+resid AS (
+  SELECT CAST(abs(a.rev - f.rev) AS BIGINT) AS ae
+  FROM monthly a
+  JOIN monthly f ON a.nation = f.nation
+                AND f.month = a.month - INTERVAL 1 MONTH
+),
+grid AS (SELECT ae, CAST(count(*) AS BIGINT) AS cnt FROM resid GROUP BY 1),
+cum AS (
+  SELECT ae, sum(cnt) OVER (ORDER BY ae) AS c, sum(cnt) OVER () AS n
+  FROM grid
+),
+qhat AS (
+  -- split-conformal: ceil((n+1)(1-α))-th order statistic, α = 0.1
+  SELECT min(ae) AS q_micro, CAST(min(n) AS BIGINT) AS n
+  FROM cum WHERE 10 * c >= 9 * (n + 1)
+),
+latest AS (
+  SELECT nation, rev AS forecast
+  FROM monthly m
+  WHERE month = (SELECT max(month) FROM monthly x WHERE x.nation = m.nation)
+)
+SELECT l.nation,
+       CAST(CAST(l.forecast AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS forecast,
+       CAST(CAST(l.forecast - q.q_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE)
+         AS lo90,
+       CAST(CAST(l.forecast + q.q_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE)
+         AS hi90
+FROM latest l CROSS JOIN qhat q
+""",
+    description="Split-conformal 90% prediction interval for the naive "
+    "next-month forecast: q̂ = the ⌈(n+1)(1−α)⌉-th order statistic of "
+    "the backtest |residuals| (exact integer 10·cum ≥ 9(n+1) cut on the "
+    "residual grid — the finite-sample-valid quantile, not the plug-in "
+    "one), interval = forecast ± q̂ per nation. Distribution-free "
+    "coverage guarantee under exchangeability — the honest uncertainty "
+    "statement point forecasts (Holt/seasonal-naive) lack. "
+    "Residual-grid-scale work after the monthly aggregate.",
+    tags=("timeseries", "forecast", "statistics"),
+)
+def q_revenue_forecast_conformal_interval(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 1e6, 0).cast("long")).alias("rev"))
+        .persist()
+    )
+    a, f_ = monthly.alias("a"), monthly.alias("f")
+    resid = a.join(
+        f_,
+        (F.col("a.nation") == F.col("f.nation"))
+        & (F.col("f.month") == F.expr("a.month - INTERVAL 1 MONTH")),
+    ).select(F.abs(F.col("a.rev") - F.col("f.rev")).cast("long").alias("ae"))
+    grid = resid.groupBy("ae").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = grid.select(
+        "ae",
+        F.sum("cnt").over(Window.orderBy("ae")).alias("c"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    qhat = cum.filter(10 * F.col("c") >= 9 * (F.col("n") + 1)).agg(
+        F.min("ae").alias("q_micro"), F.min("n").cast("long").alias("n")
+    )
+    wlast = Window.partitionBy("nation").orderBy(F.col("month").desc())
+    latest = (
+        monthly.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("nation", F.col("rev").alias("forecast"))
+    )
+    return latest.crossJoin(F.broadcast(qhat)).select(
+        "nation",
+        (F.col("forecast").cast("decimal(24,6)") / 1000000).cast("double").alias("forecast"),
+        ((F.col("forecast") - F.col("q_micro")).cast("decimal(24,6)") / 1000000)
+        .cast("double")
+        .alias("lo90"),
+        ((F.col("forecast") + F.col("q_micro")).cast("decimal(24,6)") / 1000000)
+        .cast("double")
+        .alias("hi90"),
+    )
