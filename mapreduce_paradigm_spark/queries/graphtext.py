@@ -567,3 +567,76 @@ def q_doc_graph_kcore(spark, sf_dir):
     from mapreduce_paradigm_spark.operators.components import kcore_vertices
 
     return kcore_vertices(_irregular_graph(spark, sf_dir), k=4)
+
+
+@register(
+    "markov_next_event_hitrate",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT prev_type, event_type AS predicted
+  FROM (SELECT prev_type, event_type, n,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY n DESC, event_type ASC) AS rn
+        FROM trans)
+  WHERE rn = 1
+)
+SELECT t.prev_type,
+       p.predicted,
+       CAST(sum(t.n) AS BIGINT) AS n_transitions,
+       CAST(sum(CASE WHEN t.event_type = p.predicted THEN t.n ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN t.event_type = p.predicted THEN t.n ELSE 0 END)
+                  AS DOUBLE) / sum(t.n), 6) AS hit_rate
+FROM trans t JOIN pred p ON t.prev_type = p.prev_type
+GROUP BY 1, 2
+""",
+    description="In-sample eval of the 1st-order Markov next-event model: "
+    "per current state, the argmax-transition prediction (count-desc, "
+    "type-asc total order — no float argmax) and its hit rate — the "
+    "baseline any sequence model must beat, and the eval-harness closer "
+    "for user_event_transitions (which gives probabilities but no "
+    "skill number). Transition matrix is |types|²-sized after one "
+    "lag + count pass; everything downstream is grid metadata.",
+    tags=("graph", "events", "mlprep", "statistics"),
+)
+def q_markov_next_event_hitrate(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wp = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    pred = (
+        trans.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("event_type").alias("predicted"))
+    )
+    hits = F.sum(
+        F.when(F.col("event_type") == F.col("predicted"), F.col("n")).otherwise(0)
+    )
+    return (
+        trans.join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type", "predicted")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            hits.cast("long").alias("n_hits"),
+            F.round(hits.cast("double") / F.sum("n"), 6).alias("hit_rate"),
+        )
+    )
