@@ -1833,3 +1833,67 @@ def q_price_tdigest_p99_by_flag(spark, sf_dir):
     return digests.groupBy("l_returnflag").applyInPandas(
         readout, "l_returnflag string, n long, p99_est double"
     )
+
+
+@register(
+    "ingest_batch_novelty_curve",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+capped AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 64),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM common
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE c / (s1.sz + s2.sz - c) >= 0.5
+),
+dup_later AS (
+  -- a doc is non-novel if some SAME-OR-EARLIER-batch doc duplicates it
+  SELECT DISTINCT CASE WHEN d1 % 5 >= d2 % 5 THEN d1 ELSE d2 END AS doc_id
+  FROM pairs WHERE d1 % 5 <> d2 % 5
+)
+SELECT CAST(d.doc_id % 5 AS BIGINT) AS batch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(dl.doc_id) AS BIGINT) AS n_seen_before,
+       round(1 - CAST(count(dl.doc_id) AS DOUBLE) / count(*), 6) AS novelty_rate
+FROM documents d LEFT JOIN dup_later dl ON d.doc_id = dl.doc_id
+GROUP BY 1
+""",
+    description="Ingest novelty curve: docs arrive in 5 pseudo-batches "
+    "(doc_id % 5 as arrival order); a doc is NON-novel if an "
+    "EARLIER-batch doc near-duplicates it (exact Jaccard≥0.5, df-capped "
+    "generator) — per batch: novelty rate. THE corpus-growth health "
+    "curve (a crawl whose novelty decays to zero is re-crawling itself; "
+    "budget should move to new sources — the decision "
+    "source_near_dup_rates can't make because it has no time axis). "
+    "Cross-batch pair classification is row-local on the pair stream.",
+    tags=("dedup", "llm", "quality", "drift"),
+)
+def q_ingest_batch_novelty_curve(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=64)
+    b1, b2 = F.col("d1") % 5, F.col("d2") % 5
+    dup_later = (
+        pairs.filter(b1 != b2)
+        .select(F.when(b1 >= b2, F.col("d1")).otherwise(F.col("d2")).alias("doc_id"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 5).cast("long").alias("batch"))
+        .join(dup_later, "doc_id", "left")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("seen", F.lit(0))).cast("long").alias("n_seen_before"),
+            F.round(
+                1 - F.sum(F.coalesce("seen", F.lit(0))).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )
