@@ -1897,3 +1897,105 @@ def q_ingest_batch_novelty_curve(spark, sf_dir):
             ).alias("novelty_rate"),
         )
     )
+
+
+@register(
+    "doc_bigram_interp_nll",
+    oracle="""
+WITH toks AS (
+  SELECT d.doc_id, d.source, t.word, t.pos
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+        FROM documents) d,
+       LATERAL (SELECT unnest(d.a) AS word,
+                       generate_subscripts(d.a, 1) AS pos) t
+),
+seq AS (
+  SELECT doc_id, source, word, pos,
+         lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+),
+uni AS (SELECT word, CAST(count(*) AS BIGINT) AS cw FROM toks GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM toks),
+bi AS (
+  SELECT prev, word, CAST(count(*) AS BIGINT) AS cbw
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+pre AS (SELECT prev, CAST(sum(cbw) AS BIGINT) AS cp FROM bi GROUP BY 1),
+scored AS (
+  SELECT s.doc_id, s.source,
+         CAST(round(-ln(
+           CASE WHEN s.prev IS NULL
+                THEN CAST(u.cw AS DOUBLE) / tot.t
+                ELSE 0.5 * (CAST(coalesce(b.cbw, 0) AS DOUBLE) / pre.cp)
+                     + 0.5 * (CAST(u.cw AS DOUBLE) / tot.t) END
+         ) * 1000000, 0) AS BIGINT) AS nll_micro
+  FROM seq s
+  JOIN uni u ON s.word = u.word
+  LEFT JOIN bi b ON s.prev = b.prev AND s.word = b.word
+  LEFT JOIN pre ON s.prev = pre.prev
+  CROSS JOIN tot
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(CAST(sum(nll_micro) AS HUGEINT) AS DOUBLE)
+             / count(*) / 1000000, 6) AS avg_nll
+FROM scored
+GROUP BY 1
+""",
+    description="Interpolated bigram language-model negative log-likelihood "
+    "per source (λ=0.5 bigram/unigram mixture, MLE on the corpus itself): "
+    "the context-aware fluency score beside doc_unigram_logprob's "
+    "bag-of-words one — template text scores low NLL under bigrams even "
+    "when its unigram mix looks normal. First tokens back off to the "
+    "unigram; bigram denominators are PREFIX counts (Σ successors), so "
+    "probabilities sum to 1 per context by construction. Per-token ln "
+    "rounds to integer micros before the per-source integer sum. "
+    "Corpus-scale work: one lag window + three count joins, all keyed "
+    "shuffles; vocab²-bounded bigram table.",
+    tags=("llm", "text", "quality"),
+)
+def q_doc_bigram_interp_nll(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.withColumn("prev", F.lag("word").over(w))
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    bi = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cbw"))
+    )
+    pre = bi.groupBy("prev").agg(F.sum("cbw").cast("long").alias("cp"))
+    p = F.when(
+        F.col("prev").isNull(), F.col("cw").cast("double") / F.col("t")
+    ).otherwise(
+        0.5 * (F.coalesce(F.col("cbw"), F.lit(0)).cast("double") / F.col("cp"))
+        + 0.5 * (F.col("cw").cast("double") / F.col("t"))
+    )
+    scored = (
+        seq.join(uni, "word")
+        .join(bi, ["prev", "word"], "left")
+        .join(pre, "prev", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(-F.log(p) * 1e6, 0).cast("long").alias("nll_micro"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("nll_micro").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("avg_nll"),
+    )
