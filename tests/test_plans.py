@@ -337,3 +337,14 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in plan:
             flagged[name] = True
     assert not flagged, flagged
+
+
+def test_web_pipeline_single_corpus_exchange(spark):
+    # the whole sessionize→funnel→rollup pipeline must pay exactly ONE
+    # corpus-scale shuffle: both windows and the session aggregate share
+    # the user_id partitioning; later exchanges move only the stage grid
+    import re
+
+    plan = formatted_plan(_df(spark, "web_analytics_pipeline"))
+    user_exchanges = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) == 1, plan
