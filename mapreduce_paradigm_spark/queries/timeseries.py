@@ -942,8 +942,8 @@ def q_events_seasonal_adjusted_hourly(spark, sf_dir):
     "user_value_ohlc_6h",
     oracle="""
 SELECT user_id,
-       to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
-         AT TIME ZONE 'UTC' AS bar_start,
+       make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT))
+         AS bar_start,
        CAST(count(*) AS BIGINT) AS n_obs,
        round(arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id), 6)
          AS open,
@@ -968,15 +968,23 @@ GROUP BY 1, 2
 )
 def q_user_value_ohlc_6h(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    bar = F.timestamp_seconds(
-        (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 21600) * 21600)
+    # TZ-INDEPENDENT bucketing: seconds since epoch computed on the NTZ
+    # value itself (timestampdiff), never via a cast through the session
+    # zone — a half-hour-offset driver session (Lord Howe +10:30) shifts
+    # cast-based epochs by 1.75 bucket widths and regroups the bars
+    # (caught by the round-5 timezone sweep: 7690 vs 7677 rows)
+    bar = F.expr(
+        "timestampadd(SECOND, cast(floor(timestampdiff(SECOND, "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 21600) * 21600 as int), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
     )
-    # single 128-bit tie-break key (micros·10⁶ + event_id): arg_min/max
-    # need one orderable value on both engines; the constant session-tz
-    # offset inside unix_micros cannot reorder keys, so the chosen ROW is
-    # engine-independent even though the key values differ
+    # single 128-bit tie-break key (micros·10⁶ + event_id), also from NTZ
+    # arithmetic so the key VALUES (not just their order) are
+    # session-independent
     order_key = (
-        F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("decimal(38,0)")
         * F.lit(1000000)
         + F.col("event_id")
     )
