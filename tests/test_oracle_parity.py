@@ -31,3 +31,35 @@ def test_query_matches_oracle(spark, name):
 def test_query_matches_oracle_sf01(spark, name):
     result = compare_query(spark, name, "/root/testdata/sf0.1")
     assert result.ok, f"{name}: {result.detail}"
+
+
+def _time_touching() -> list[str]:
+    return sorted(
+        n
+        for n, s in all_specs().items()
+        if any(
+            t in s.tags
+            for t in ("events", "streaming", "timeseries", "window", "datetime")
+        )
+    )
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_TZ_SWEEP"),
+    reason="timezone sweep is opt-in: SPARK_GRAFT_TZ_SWEEP=1 (~2 min; runs "
+    "every time-touching query under a half-hour-offset session zone — "
+    "catches epoch-through-session-zone casts; found user_value_ohlc_6h's "
+    "bar-boundary shift)",
+)
+@pytest.mark.parametrize("name", _time_touching())
+def test_query_matches_oracle_exotic_tz(name):
+    from mapreduce_paradigm_spark.session import get_spark
+
+    spark = get_spark(
+        extra_conf={"spark.sql.session.timeZone": "Australia/Lord_Howe"}
+    )
+    try:
+        result = compare_query(spark, name, SF_CORRECT)
+        assert result.ok, f"{name}: {result.detail}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
