@@ -2140,3 +2140,115 @@ def q_event_type_share_drift(spark, sf_dir):
             6,
         ).alias("share_z"),
     )
+
+
+# --- sequential probability ratio test ---------------------------------------
+
+_SPRT_P0 = 0.30  # H0 conversion rate (design assumption)
+_SPRT_P1 = 0.36  # H1: 20% relative lift
+_SPRT_A = 2.944439  # ln((1-β)/α) = ln(0.95/0.05) — accept H1
+_SPRT_B = -2.944439  # ln(β/(1-α)) — accept H0
+
+
+@register(
+    "ab_conversion_sprt",
+    oracle=f"""
+WITH assigned AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup') AS signup_ts,
+         CASE WHEN min(ts) FILTER (WHERE event_type = 'purchase')
+                   > min(ts) FILTER (WHERE event_type = 'signup')
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+  HAVING min(ts) FILTER (WHERE event_type = 'signup') IS NOT NULL
+),
+walk AS (
+  SELECT signup_ts, user_id,
+         CAST(sum(CAST(round(
+           CASE WHEN converted = 1
+                THEN ln({_SPRT_P1} / {_SPRT_P0})
+                ELSE ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})) END * 1000000, 0)
+           AS BIGINT)) OVER (ORDER BY signup_ts, user_id) AS BIGINT) AS llr_micro,
+         CAST(row_number() OVER (ORDER BY signup_ts, user_id) AS BIGINT) AS n
+  FROM assigned
+),
+crossing AS (
+  SELECT min(n) AS n_decide FROM walk
+  WHERE llr_micro >= {int(_SPRT_A * 1e6)} OR llr_micro <= {int(_SPRT_B * 1e6)}
+),
+final AS (SELECT llr_micro, n FROM walk ORDER BY n DESC LIMIT 1)
+SELECT f.n AS n_total,
+       CAST(CAST(f.llr_micro AS DECIMAL(24,6)) / 1000000 AS DOUBLE) AS final_llr,
+       c.n_decide,
+       CASE WHEN c.n_decide IS NULL THEN 'continue'
+            WHEN (SELECT llr_micro FROM walk WHERE n = c.n_decide)
+                 >= {int(_SPRT_A * 1e6)} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM final f CROSS JOIN crossing c
+""",
+    description="Wald SPRT over the signup-ordered conversion stream "
+    "(H0: p=0.30 vs H1: p=0.36, α=β=0.05): the cumulative log-likelihood "
+    "walk with its first boundary crossing — the sequential-monitoring "
+    "answer to PEEKING (fixed-horizon z-tests inflate false positives "
+    "when read early; SPRT boundaries are always-valid). Per-user LLR "
+    "increments are two CONSTANTS rounded to integer micros, so the "
+    "walk is an exact integer cumulative sum and the crossing index is "
+    "engine-independent; the walk is a total-order window over the "
+    "signup sequence (time-bounded user stream — the same scale posture "
+    "as the series queries).",
+    tags=("statistics", "drift", "events"),
+)
+def q_ab_conversion_sprt(spark, sf_dir):
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    assigned = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+        )
+        .filter(F.col("signup_ts").isNotNull())
+        .select(
+            "user_id",
+            "signup_ts",
+            F.when(F.col("fp") > F.col("signup_ts"), 1).otherwise(0).alias("converted"),
+        )
+    )
+    inc_1 = int(round(math.log(_SPRT_P1 / _SPRT_P0) * 1e6))
+    inc_0 = int(round(math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e6))
+    w = Window.orderBy("signup_ts", "user_id")
+    walk = assigned.select(
+        F.sum(
+            F.when(F.col("converted") == 1, inc_1).otherwise(inc_0)
+        )
+        .over(w)
+        .cast("long")
+        .alias("llr_micro"),
+        F.row_number().over(w).cast("long").alias("n"),
+    ).persist()
+    a_mi, b_mi = int(_SPRT_A * 1e6), int(_SPRT_B * 1e6)
+    crossing = walk.filter(
+        (F.col("llr_micro") >= a_mi) | (F.col("llr_micro") <= b_mi)
+    ).agg(F.min("n").alias("n_decide"))
+    final = walk.orderBy(F.col("n").desc()).limit(1)
+    decide_val = (
+        walk.join(crossing, walk.n == crossing.n_decide)
+        .select(F.col("llr_micro").alias("dv"))
+    )
+    out = (
+        final.crossJoin(F.broadcast(crossing))
+        .join(F.broadcast(decide_val), F.lit(True), "left")
+        .select(
+            F.col("n").alias("n_total"),
+            (F.col("llr_micro").cast("decimal(24,6)") / 1000000)
+            .cast("double")
+            .alias("final_llr"),
+            "n_decide",
+            F.when(F.col("n_decide").isNull(), "continue")
+            .when(F.col("dv") >= a_mi, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+        )
+    )
+    return out
