@@ -71,21 +71,12 @@ def _gate_priority() -> dict[str, tuple[int, int]]:
     return {n: (last_round[n], passed.get(n, 0)) for n in last_round}
 
 
-# Gate priority overrides. Within the never-checked group the tiebreak is
-# registry (module-import) order, which tracks registration recency for NEW
-# queries but not backlog age — the two sliding/as-of queries have waited
-# since round 1 purely because 102 registered > 2×50 gate budget, and
-# round 3's new registrations would otherwise queue ahead of them again.
-# customers_without_orders_anti is pinned for a different reason: its only
-# green row (r1) hashed the old vacuous 0-row predicate; the survivor-
-# bearing form (commit 698c64e) needs a fresh driver row, and as a stale
-# green it would sort behind every never-checked query. Drop each name once
-# its fresh CORRECTNESS row lands.
-_GATE_BACKLOG = (
-    "events_sliding_window_counts",
-    "last_click_before_view",
-    "customers_without_orders_anti",
-)
+# Gate priority overrides: names pinned to the FRONT of the gate queue when
+# they would otherwise sort behind the never-checked group (e.g. a stale
+# green row that hashed an older semantics). All round-3 pins landed fresh
+# green rows in CORRECTNESS_r03 and were dropped; empty means pure
+# staleness-first ordering.
+_GATE_BACKLOG: tuple[str, ...] = ()
 
 
 def _ordered_specs():

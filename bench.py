@@ -60,6 +60,22 @@ def main() -> None:
         timings[name] = min(per_run)
 
     total = round(sum(timings.values()), 3)
+    # The driver captures only the TAIL of stdout (round-3 lesson: the single
+    # line with embedded per-run arrays outgrew the captured tail and parsed
+    # as null).  So: full detail goes to BENCH_DETAIL.json on disk, and the
+    # FINAL stdout line is the compact headline the driver parses.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "load_avg_1m": round(os.getloadavg()[0], 2),
+        "sf": sf,
+        "cpus": int(cpus),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
@@ -67,11 +83,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": runs,
-                "load_avg_1m": round(os.getloadavg()[0], 2),
                 "sf": sf,
-                "cpus": int(cpus),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -89,71 +89,64 @@ def asof_join_nearest(
     at exactly left.ts matches, Δ=0), forward candidates strict — so an
     equal-timestamp right row is considered once, as backward.
 
-    Shape: the backward and forward candidates each come from ONE window
-    pass over the same key-partitioned union (ascending and descending
-    time order respectively) — two sorts, one shuffle, no range self-join;
-    the tolerance filter and the |Δ| argmin are row-local."""
+    Shape: the backward and forward candidates are BOTH computed as window
+    passes over one key-partitioned tagged union — two sorts sharing a
+    single shuffle (same partitionBy keys ⇒ exchange reuse), no range
+    self-join and no rejoin at all; the tolerance filter and the |Δ| argmin
+    are row-local. (Earlier revisions rejoined separate backward/forward
+    passes on the full left row tuple, which silently dropped left rows
+    containing NULLs and cross-paired duplicate left rows; computing both
+    passes over the same rows eliminates that hazard structurally.)"""
     lcols = list(left.columns)
     vts = ["__rts", *value_cols]
 
-    def tagged(tag_left: int, tag_right: int) -> DataFrame:
-        l = left.select(
-            *lcols,
-            F.col(left_ts).alias("__ts"),
-            F.lit(tag_left).alias("__tag"),
-            F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
-            *[
-                F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}")
-                for v in value_cols
-            ],
-        )
-        r = right.select(
-            *[
-                F.lit(None).cast(left.schema[c].dataType).alias(c)
-                for c in lcols
-                if c not in on
-            ],
-            *on,
-            F.col(right_ts).alias("__ts"),
-            F.lit(tag_right).alias("__tag"),
-            F.col(right_ts).alias("__rts"),
-            *[F.col(v).alias(f"__v_{v}") for v in value_cols],
-        ).select(*lcols, "__ts", "__tag", "__rts", *[f"__v_{v}" for v in value_cols])
-        return l.unionByName(r)
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        *[
+            F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}")
+            for v in value_cols
+        ],
+    )
+    r = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in on
+        ],
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+    ).select(*lcols, "__ts", "__tag", "__rts", *[f"__v_{v}" for v in value_cols])
+    u = l.unionByName(r)
 
     tb = F.struct(*[F.col(f"__v_{v}") for v in value_cols])
 
-    # backward (non-strict): rights sort BEFORE lefts at equal ts
+    # backward (non-strict): rights (tag 1) sort BEFORE lefts (tag 0) at
+    # equal ts — tag DESC; ties among same-ts rights resolved by greatest
+    # value tuple (tb asc + last())
     wb = (
         Window.partitionBy(*on)
-        .orderBy(F.asc("__ts"), F.asc("__tag"), F.asc(tb))
+        .orderBy(F.asc("__ts"), F.desc("__tag"), F.asc(tb))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    back = tagged(tag_left=1, tag_right=0).withColumn("__tbv", tb)
-    for v in vts:
-        back = back.withColumn(f"__b_{v}", F.last(f"__v_{v}" if v != "__rts" else "__rts", ignorenulls=True).over(wb))
-    back = back.filter(F.col("__tag") == 1).select(
-        *lcols, "__ts", *[F.col(f"__b_{v}").alias(f"__bk_{v}") for v in vts]
-    )
-
-    # forward (strict): lefts sort BEFORE rights at equal ts, time DESC
+    # forward (strict): lefts sort BEFORE rights at equal ts (tag ASC),
+    # time DESC — an equal-ts right row is never a forward candidate
     wf = (
         Window.partitionBy(*on)
         .orderBy(F.desc("__ts"), F.asc("__tag"), F.asc(tb))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fwd = tagged(tag_left=0, tag_right=1)
+    j = u
     for v in vts:
-        fwd = fwd.withColumn(f"__f_{v}", F.last(f"__v_{v}" if v != "__rts" else "__rts", ignorenulls=True).over(wf))
-    fwd = fwd.filter(F.col("__tag") == 0).select(
-        *lcols, "__ts", *[F.col(f"__f_{v}").alias(f"__fw_{v}") for v in vts]
-    )
-
-    # rejoin the two passes on the FULL left row (requires the left side to
-    # carry a unique key among its columns, true of every fixture fact
-    # table); joining on (key, ts) alone would cross-pair left rows that
-    # share a timestamp
-    j = back.join(fwd, [*lcols, "__ts"])
+        src = f"__v_{v}" if v != "__rts" else "__rts"
+        j = j.withColumn(f"__bk_{v}", F.last(src, ignorenulls=True).over(wb))
+        j = j.withColumn(f"__fw_{v}", F.last(src, ignorenulls=True).over(wf))
+    j = j.filter(F.col("__tag") == 0)
     bd = F.unix_micros(F.col("__ts").cast("timestamp")) - F.unix_micros(
         F.col("__bk___rts").cast("timestamp")
     )

@@ -15,6 +15,9 @@ Everything is DataFrame-native (xxhash64 / bit ops / window), no UDFs.
 
 from __future__ import annotations
 
+import threading
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -24,24 +27,64 @@ from pyspark.sql import functions as F
 # df.persist() entries live in the SQL CacheManager until explicitly
 # unpersisted (the ContextCleaner does NOT reap them on GC), so a long-lived
 # session issuing repeated dedup calls would accumulate cached blocks
-# without bound. Operators persist through _tracked_persist and release the
-# PREVIOUS call's caches on entry: peak footprint = one operator call's
-# working set. Callers wanting eager cleanup call release_caches() after
-# materializing a result; the only cost of an early release is recompute.
+# without bound. Discipline: operators persist intermediates through
+# _tracked_persist and, at their return site, transfer them via _scoped()
+# to a weakref finalizer on the RETURNED DataFrame — the persisted blocks
+# live exactly as long as the plan they back, and are unpersisted when the
+# caller drops the result. (An earlier revision swept a module-global list
+# on every builder entry, which silently invalidated the caches behind a
+# previously built but not-yet-executed plan; scoping fixes that.)
+# Interleaved builder calls from concurrent threads may attribute an
+# intermediate to the other call's scope — harmless (worst case a delayed
+# release or an early recompute), never a wrong result.
 
-_LIVE_CACHES: list[DataFrame] = []
+_CACHE_LOCK = threading.RLock()
+_PENDING: list[DataFrame] = []  # persists made by the builder call in progress
+_FINALIZERS: list[weakref.finalize] = []  # live scopes, for eager release
+
+
+def _release_jdfs(jdfs) -> None:
+    for j in jdfs:
+        try:
+            j.unpersist(False)
+        except Exception:
+            pass  # session stopped / gateway down — nothing left to free
 
 
 def release_caches() -> None:
-    """Unpersist every intermediate cached by prior dedup-operator calls."""
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
+    """Eagerly unpersist every intermediate cached by live dedup-family
+    plans (benchmark/test hygiene). Normally unnecessary: each plan's
+    caches are released automatically when its result DataFrame is
+    garbage-collected. Cost of an early release is only recompute."""
+    with _CACHE_LOCK:
+        fins, _FINALIZERS[:] = list(_FINALIZERS), []
+        pend, _PENDING[:] = list(_PENDING), []
+    for f in fins:
+        f()  # idempotent; runs _release_jdfs for that scope
+    _release_jdfs([d._jdf for d in pend])
 
 
 def _tracked_persist(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _LIVE_CACHES.append(df)
+    with _CACHE_LOCK:
+        _PENDING.append(df)
     return df
+
+
+def _scoped(result: DataFrame) -> DataFrame:
+    """Adopt the in-progress call's persisted intermediates into ``result``'s
+    lifetime: a weakref finalizer unpersists them (via their JVM handles,
+    which the closure keeps alive) when ``result`` is garbage-collected."""
+    with _CACHE_LOCK:
+        mine, _PENDING[:] = list(_PENDING), []
+        if mine:
+            fin = weakref.finalize(result, _release_jdfs, [d._jdf for d in mine])
+            # at interpreter exit the JVM is tearing down anyway — don't
+            # race it from the atexit hook
+            fin.atexit = False
+            _FINALIZERS.append(fin)
+            _FINALIZERS[:] = [f for f in _FINALIZERS if f.alive]
+    return result
 
 
 # --- normalization -----------------------------------------------------------
@@ -157,7 +200,6 @@ def jaccard_pairs(
     Σ df²-bounded work becomes corpus-linear (standard candidate pruning;
     slightly lowers recall for pathological templates, exact otherwise).
     """
-    release_caches()
     postings = shingle_postings(docs, k, text_col)
     if max_shingle_df is not None:
         postings = postings.filter(F.col("df") <= max_shingle_df)
@@ -173,7 +215,7 @@ def jaccard_pairs(
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     jac = F.col("n_common") / (F.col("s1.sz") + F.col("s2.sz") - F.col("n_common"))
-    return (
+    return _scoped(
         common.join(s1, F.col("d1") == F.col("s1.doc_id"))
         .join(s2, F.col("d2") == F.col("s2.doc_id"))
         .filter(jac >= threshold)
@@ -212,7 +254,6 @@ def delta_jaccard_pairs(
     shingle of any reported pair. Same df-cap semantics as
     ``jaccard_pairs``.
     """
-    release_caches()
     shingles = _tracked_persist(hashed_shingles(docs, k, text_col))
     postings = shingle_postings(docs, k, text_col, shingles=shingles)
     if max_shingle_df is not None:
@@ -239,7 +280,7 @@ def delta_jaccard_pairs(
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     jac = F.col("n_common") / (F.col("s1.sz") + F.col("s2.sz") - F.col("n_common"))
-    return (
+    return _scoped(
         common.join(s1, F.col("d1") == F.col("s1.doc_id"))
         .join(s2, F.col("d2") == F.col("s2.doc_id"))
         .filter(jac >= threshold)
@@ -387,7 +428,6 @@ def minhash_lsh_pairs(
     1.6 s) and, at 100 TB, keeps the verify stage linear in candidates
     rather than superlinear in shingle document frequency.
     """
-    release_caches()
     rows = num_hashes // bands
     # ONE corpus scan: the hashed shingle stream feeds both the signature
     # path (candidates) and the postings path (verify); persisted because
@@ -445,7 +485,7 @@ def minhash_lsh_pairs(
         )
     )
     jac = F.col("n_common") / (F.col("sz1") + F.col("sz2") - F.col("n_common"))
-    return verified.filter(jac >= threshold).select("d1", "d2", jac.alias("jaccard"))
+    return _scoped(verified.filter(jac >= threshold).select("d1", "d2", jac.alias("jaccard")))
 
 
 # --- embedding-cosine near-dup ----------------------------------------------
@@ -658,7 +698,6 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "t
     """
     # fingerprints feed 4 bucket branches: persist the (tiny) result rather
     # than recomputing the 63-aggregate pipeline per chunk
-    release_caches()
     sh = _tracked_persist(simhash(docs, text_col))
     chunks = [(0, 16), (16, 16), (32, 16), (48, 15)]
     # bucket per chunk value, pairs by in-array combination explode (the
@@ -691,7 +730,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "t
         .select(F.explode(pair_expr).alias("p"))
         .select("p.d1", "p.d2", "p.h1", "p.h2")
     )
-    return (
+    return _scoped(
         pairs.distinct()
         .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -824,7 +863,6 @@ def jaccard_pairs_prefix_filter(
     array_intersect on the two (already grouped) shingle sets plus the
     PPJoin length filter — no re-scan of the corpus.
     """
-    release_caches()
     # ONE grouped pass gives both shingle df AND the posting lists; per-doc
     # ranked sets are rebuilt from the postings explode — no (doc, shingle)
     # × df join, one fewer full-stream shuffle than the naive 4-stage plan.
@@ -885,7 +923,7 @@ def jaccard_pairs_prefix_filter(
     length_ok = (
         F.col("s1") >= F.lit(threshold) * F.col("s2")
     ) & (F.col("s2") >= F.lit(threshold) * F.col("s1"))
-    return (
+    return _scoped(
         cand.join(a, "d1")
         .join(b, "d2")
         .filter(length_ok)
@@ -914,7 +952,6 @@ def containment_pairs(
     pair explode, sizes joined back — so the df-cap and 100 TB arguments
     carry over unchanged; only the final scoring expression differs.
     """
-    release_caches()
     postings = shingle_postings(docs, k, text_col)
     if max_shingle_df is not None:
         postings = postings.filter(F.col("df") <= max_shingle_df)
@@ -946,6 +983,6 @@ def containment_pairs(
         F.col("s1.sz").alias("dst_sz"),
         c21.alias("containment"),
     )
-    return fwd.unionByName(rev).filter(
+    return _scoped(fwd.unionByName(rev).filter(
         F.col("containment") >= threshold
-    )
+    ))

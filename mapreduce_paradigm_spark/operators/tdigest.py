@@ -149,6 +149,12 @@ def tdigest_quantiles(digest: DataFrame, qs: list[float]) -> DataFrame:
     m = pdf["mean"].to_numpy(np.float64)
     w = pdf["weight"].to_numpy(np.float64)
     total = w.sum()
+    if m.size == 0 or total <= 0:
+        # empty digest (all-NULL/empty input column): NULL estimates rather
+        # than an IndexError on cum[0]
+        return spark.createDataFrame(
+            [(float(q), None) for q in qs], "q double, estimate double"
+        )
     # centroid midpoints in cumulative-weight space
     cum = np.cumsum(w) - w / 2
     rows = []

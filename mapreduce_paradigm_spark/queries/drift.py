@@ -2201,6 +2201,8 @@ FROM final f CROSS JOIN crossing c
 def q_ab_conversion_sprt(spark, sf_dir):
     import math
 
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     ev = load_table(spark, sf_dir, "events")
     assigned = (
         ev.groupBy("user_id")
@@ -2226,7 +2228,11 @@ def q_ab_conversion_sprt(spark, sf_dir):
         .cast("long")
         .alias("llr_micro"),
         F.row_number().over(w).cast("long").alias("n"),
-    ).persist()
+    )
+    # walk feeds three subtrees (crossing, final, decide_val); cache scoped
+    # to the returned plan so repeated invocations in a long-lived session
+    # don't accumulate cached blocks (dedup-family discipline)
+    walk = _tracked_persist(walk)
     a_mi, b_mi = int(_SPRT_A * 1e6), int(_SPRT_B * 1e6)
     crossing = walk.filter(
         (F.col("llr_micro") >= a_mi) | (F.col("llr_micro") <= b_mi)
@@ -2251,4 +2257,4 @@ def q_ab_conversion_sprt(spark, sf_dir):
             .alias("decision"),
         )
     )
-    return out
+    return _scoped(out)

@@ -468,14 +468,14 @@ GROUP BY doc_id
 )
 def q_bm25_ranking(spark, sf_dir):
     from mapreduce_paradigm_spark.functions import doc_words
-    from mapreduce_paradigm_spark.operators.dedup import _tracked_persist
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
 
     terms_wanted = ("hash", "join", "batch")
     docs = load_table(spark, sf_dir, "documents")
     # (doc_id, word), normalized, non-empty, NOT distinct; persisted so the
-    # dl and tf subtrees share ONE tokenization scan (no release_caches
-    # here: hybrid_rrf_fusion composes this builder and frees the cache
-    # itself)
+    # dl and tf subtrees share ONE tokenization scan; the cache's lifetime
+    # is scoped to the returned plan (weakref finalizer), so composers like
+    # hybrid_rrf_fusion keep it alive exactly as long as their own plan
     dw = _tracked_persist(doc_words(docs))
     dl = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n = dl.agg(
@@ -508,12 +508,12 @@ def q_bm25_ranking(spark, sf_dir):
             F.round(score * 1e6, 0).cast("long").alias("score_micro"),
         )
     )
-    return terms.groupBy("doc_id").agg(
+    return _scoped(terms.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_terms"),
         (F.sum("score_micro").cast("decimal(24,6)") / F.lit(1000000))
         .cast("double")
         .alias("bm25"),
-    )
+    ))
 
 
 @register(

@@ -62,16 +62,13 @@ WHERE n_both >= 5
     tags=("text", "llm", "cooccurrence"),
 )
 def q_word_cooccurrence_pmi(spark, sf_dir):
-    from mapreduce_paradigm_spark.operators.dedup import (
-        _tracked_persist,
-        release_caches,
-    )
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
 
     docs = load_table(spark, sf_dir, "documents")
     # ONE scan of the text column: the per-doc vocabulary arrays feed all
     # three consumers (pairs, df, N) — without the persist each subtree
-    # re-reads and re-tokenizes the corpus (4 parquet scans in the plan)
-    release_caches()
+    # re-reads and re-tokenizes the corpus (4 parquet scans in the plan);
+    # cache scoped to the returned plan
     words_per_doc = _tracked_persist(
         docs.select(
             "doc_id",
@@ -98,7 +95,7 @@ def q_word_cooccurrence_pmi(spark, sf_dir):
     )
     d1 = df.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
     d2 = df.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
-    return (
+    return _scoped(
         pairs.join(F.broadcast(d1), "w1")
         .join(F.broadcast(d2), "w2")
         .crossJoin(F.broadcast(n))
@@ -449,12 +446,8 @@ WHERE d.deg >= 2
     tags=("graph", "join", "documents"),
 )
 def q_doc_graph_clustering_coeff(spark, sf_dir):
-    from mapreduce_paradigm_spark.operators.dedup import (
-        _tracked_persist,
-        release_caches,
-    )
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
 
-    release_caches()
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
@@ -470,8 +463,8 @@ def q_doc_graph_clustering_coeff(spark, sf_dir):
             )
         ).alias("b"),
     )
-    # feeds degrees AND the two-hop triangle join; tracked so the next
-    # dedup-family query's release_caches() frees it
+    # feeds degrees AND the two-hop triangle join; cache scoped to the
+    # returned plan (freed when the caller drops the result)
     e = _tracked_persist(
         e0.filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
@@ -509,7 +502,7 @@ def q_doc_graph_clustering_coeff(spark, sf_dir):
             ).alias("cc"),
         )
     )
-    return out
+    return _scoped(out)
 
 
 # --- k-core decomposition ----------------------------------------------------

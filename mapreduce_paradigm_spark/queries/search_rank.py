@@ -86,16 +86,12 @@ ORDER BY rnk LIMIT 50
     tags=("flagship", "index", "search"),
 )
 def q_query_likelihood_dirichlet(spark, sf_dir):
-    from mapreduce_paradigm_spark.operators.dedup import (
-        _tracked_persist,
-        release_caches,
-    )
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
 
     docs = load_table(spark, sf_dir, "documents")
     # ONE corpus tokenization: dl, C, cf and tf all consume this stream —
     # unpersisted, each subtree re-scans and re-tokenizes (4 parquet scans
-    # showed up in the plan audit; PLANS.md)
-    release_caches()
+    # showed up in the plan audit; PLANS.md); cache scoped to the plan
     dw = _tracked_persist(doc_words(docs))
     dl = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     coll = dw.agg(F.count(F.lit(1)).alias("c_total"))
@@ -113,7 +109,7 @@ def q_query_likelihood_dirichlet(spark, sf_dir):
     )
     scored = terms.groupBy("doc_id").agg(F.sum("score_micro").alias("ql_micro"))
     w = Window.orderBy(F.col("ql_micro").desc(), F.col("doc_id").asc())
-    return (
+    return _scoped(
         scored.select(
             "doc_id",
             (F.col("ql_micro").cast("decimal(24,6)") / F.lit(1000000))

@@ -13,6 +13,8 @@ Kafka/object-store sources — only ``readStream.format`` changes.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 import uuid
 
@@ -372,6 +374,34 @@ def transform_with_state_user_types(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+
+def _promote_state(state_dir: str) -> None:
+    """Crash-safe promotion of ``state_dir + '_next'`` over ``state_dir``:
+    rename the live state ASIDE first, promote, then delete the aside copy.
+    The previous state thus survives any single-step failure — the
+    delete-then-move this replaces could lose the entire table if
+    interrupted between the two steps (and a crashed promote is recovered
+    by ``_read_state`` falling back to the aside copy)."""
+    old = state_dir + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(state_dir):
+        os.rename(state_dir, old)
+    os.rename(state_dir + "_next", state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _read_state(spark: SparkSession, state_dir: str):
+    """Prior state table, or None on the first batch; reads the aside copy
+    when a crash landed between ``_promote_state``'s rename-aside and
+    promote steps."""
+    for d in (state_dir, state_dir + "_old"):
+        try:
+            return spark.read.parquet(d)
+        except Exception:
+            continue
+    return None
+
+
 def incremental_index_foreachbatch(
     spark: SparkSession, sf_dir: str, state_dir: str
 ) -> None:
@@ -384,21 +414,14 @@ def incremental_index_foreachbatch(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        try:
-            existing = s.read.parquet(state_dir)
-        except Exception:
-            existing = None
+        existing = _read_state(s, state_dir)
         merged = batch_df if existing is None else existing.unionByName(batch_df)
         (
             merged.distinct()
             .write.mode("overwrite")
             .parquet(state_dir + "_next")
         )
-        # atomic-ish swap: state written to _next, then promoted
-        import shutil
-
-        shutil.rmtree(state_dir, ignore_errors=True)
-        shutil.move(state_dir + "_next", state_dir)
+        _promote_state(state_dir)
 
     q = (
         partial.writeStream.foreachBatch(merge)
@@ -439,10 +462,7 @@ def continuous_minute_rollup_foreachbatch(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("micros"),
         )
-        try:
-            existing = s.read.parquet(state_dir)
-        except Exception:
-            existing = None
+        existing = _read_state(s, state_dir)
         merged = (
             partial
             if existing is None
@@ -451,10 +471,7 @@ def continuous_minute_rollup_foreachbatch(
             .agg(F.sum("n").alias("n"), F.sum("micros").alias("micros"))
         )
         merged.write.mode("overwrite").parquet(state_dir + "_next")
-        import shutil
-
-        shutil.rmtree(state_dir, ignore_errors=True)
-        shutil.move(state_dir + "_next", state_dir)
+        _promote_state(state_dir)
 
     q = (
         ev.writeStream.foreachBatch(merge)
@@ -482,10 +499,9 @@ def cdc_keep_latest_foreachbatch(
     keeping row 1 per key. Keep-latest under a total order is an
     associative, commutative max-by, so ANY micro-batch split of the change
     log produces bit-identical final state — certified by the batch-oracle
-    hash match. State swap is atomic (write-next + rename), the same
-    crash-safe pattern as the rollup upsert; at scale the state becomes a
-    MERGE-capable table and each batch touches only its changed keys."""
-    import shutil
+    hash match. State promotion is crash-safe (write-next + rename-aside,
+    ``_promote_state``); at scale the state becomes a MERGE-capable table
+    and each batch touches only its changed keys."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -504,10 +520,7 @@ def cdc_keep_latest_foreachbatch(
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        try:
-            existing = s.read.parquet(state_dir)
-        except Exception:
-            existing = None
+        existing = _read_state(s, state_dir)
         merged = (
             latest
             if existing is None
@@ -517,8 +530,7 @@ def cdc_keep_latest_foreachbatch(
             .drop("rn")
         )
         merged.write.mode("overwrite").parquet(state_dir + "_next")
-        shutil.rmtree(state_dir, ignore_errors=True)
-        shutil.move(state_dir + "_next", state_dir)
+        _promote_state(state_dir)
 
     q = (
         ev.writeStream.foreachBatch(merge)
