@@ -70,7 +70,13 @@ def connected_components(
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     if not edges_unique:
         sym = sym.distinct()
-    sym = sym.persist()
+    # localCheckpoint (not persist): sym joins into EVERY round, and a
+    # persist only short-circuits execution — Catalyst still re-optimizes
+    # sym's full upstream lineage (e.g. the jaccard pair generation) inside
+    # each round's plan, which at a few hundred ms per round dwarfs the
+    # actual work on the small label frontier. The checkpoint flattens the
+    # plan to the materialized blocks once.
+    sym = sym.localCheckpoint(eager=True)
     # initialize at min(self, neighbors) — exactly the state the old
     # identity init reached AFTER its first round, for the same one-shuffle
     # cost the identity init paid on its distinct(): one full
@@ -160,12 +166,15 @@ def connected_components_star(
     component minima — read labels straight off the final edges. The
     convergence action per round is one scalar (edge-set change count).
     """
-    # persist the input projection: it feeds BOTH the canonical edge set and
-    # the final vertex list — without this an expensive upstream (e.g. the
-    # jaccard pair generation) executes twice
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .persist()
+    # localCheckpoint (not persist) the input projection: it feeds BOTH the
+    # canonical edge set and the final vertex list, so without it an
+    # expensive upstream (e.g. the jaccard pair generation) executes twice —
+    # and unlike persist, the checkpoint also FLATTENS the logical plan, so
+    # round 0 and the verts read don't pay Catalyst re-optimization of the
+    # full upstream lineage on every consumer (measured ~0.9 s of pure
+    # planning overhead on the sf0.1 bench fixture's pair graph).
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
     )
     # canonical undirected form (small, large) — the star rewrites keep
     # edges in this orientation, so equality-by-subtract is well-defined
@@ -176,8 +185,7 @@ def connected_components_star(
     # canonical form already — the distinct would re-shuffle for nothing
     if not edges_unique:
         cur = cur.distinct()
-    cur = cur.persist()
-    cur.count()
+    cur = cur.localCheckpoint(eager=False)
 
     def _star(edges_sl: DataFrame, large: bool) -> DataFrame:
         # neighborhoods as (u, v) both directions; m = min over N(u) ∪ {u}
@@ -228,7 +236,10 @@ def connected_components_star(
         # so |nxt| == |cur| plus nxt ⊆ cur (anti-join, take-1 early exit)
         # implies equality — replaces the old two-sided exceptAll (two full
         # shuffle aggregations per round); when sizes differ the anti-join
-        # never runs
+        # never runs. (A structural star-forest test on nxt alone would
+        # detect the fixpoint one round earlier, but its union+groupBy
+        # costs more per round than the saved confirming round — measured
+        # 4.1 s vs 3.0 s on the sf0.1 bench fixture.)
         n_nxt = nxt.count()
         done = n_nxt == n_cur and nxt.join(cur, ["s", "g"], "left_anti").isEmpty()
         cur.unpersist()
@@ -257,7 +268,7 @@ def connected_components_star(
     )
     result = out.localCheckpoint(eager=True)  # pin before releasing inputs
     cur.unpersist()
-    e.unpersist()
+    e.unpersist()  # releases the input checkpoint's blocks
     return result
 
 
