@@ -12,6 +12,7 @@ from mapreduce_paradigm_spark.queries import (  # noqa: F401
     relational,
     rollup_sampling,
     search_rank,
+    sources_q,
     sqlx,
     statistics,
     streaming_q,
