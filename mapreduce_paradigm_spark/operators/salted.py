@@ -79,15 +79,31 @@ def salted_join(
     the join semantics because every (key, salt) pair on the big side
     finds the replicated small row with that same salt. Registered with a
     plain-join oracle so the equivalence is hash-certified.
+
+    Salt derivation: hash of the FULL big-side row content by default
+    (``salt_src`` names a single column to hash instead, e.g. a row id).
+    It must NOT be a function of the join key alone — all rows of the hot
+    key would then share one salt value and still land on one reducer, a
+    silent no-op mitigation — and must not use ``spark_partition_id``/
+    ``rand``, which change under retries and speculative execution. A
+    row-content hash is both: deterministic per row, spreading per key.
     """
-    src = F.col(salt_src) if salt_src else F.col(big_key)
+    if salt_src is not None:
+        src_cols = [F.col(salt_src)]
+    else:
+        src_cols = [F.col(c) for c in big.columns]
     b = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(src), F.lit(buckets)).cast("int")
+        "_salt", F.pmod(F.xxhash64(*src_cols), F.lit(buckets)).cast("int")
     )
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
+    if big_key == small_key:
+        # same-name keys: an expression condition would be ambiguous; the
+        # on-list join also merges the key and salt columns like a plain
+        # string-key join would
+        return b.join(s, [big_key, "_salt"]).drop("_salt")
     return b.join(
         s,
-        (F.col(big_key) == F.col(small_key)) & (b["_salt"] == s["_salt"]),
+        (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]),
     ).drop("_salt")
