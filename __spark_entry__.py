@@ -79,15 +79,33 @@ def _gate_priority() -> dict[str, tuple[int, int]]:
 _GATE_BACKLOG: tuple[str, ...] = ()
 
 
+def _registration_age() -> dict[str, int]:
+    """name -> first-registration rank from the committed append-only
+    ledger REGISTRY_AGE.txt. Within the never-checked group the tiebreak
+    must be how LONG a query has waited, not module import order — a new
+    module imported early would otherwise queue its fresh registrations
+    ahead of queries that have waited since round 1 (the round-3 verdict's
+    queue-jumping hazard). New names are appended to the ledger when
+    registered; names missing from it sort last (newest)."""
+    path = os.path.join(_REPO_ROOT, "REGISTRY_AGE.txt")
+    try:
+        with open(path) as f:
+            return {line.strip(): i for i, line in enumerate(f) if line.strip()}
+    except OSError:
+        return {}
+
+
 def _ordered_specs():
     specs = all_specs()
     prio = _gate_priority()
+    age = _registration_age()
     names = list(specs)
     reg_index = {n: i for i, n in enumerate(names)}
     names.sort(
         key=lambda n: (
             n not in _GATE_BACKLOG,
             *prio.get(n, (0, 0)),
+            age.get(n, len(age)),
             reg_index[n],
         )
     )

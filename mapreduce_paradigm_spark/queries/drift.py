@@ -486,6 +486,7 @@ FROM terms
     "for validation windows; at corpus scale feed the same formula "
     "equi-depth histogram boundaries (price_equidepth_histogram) instead "
     "of raw distinct values.",
+    bench=True,
     tags=("statistics", "drift", "events"),
 )
 def q_events_value_wasserstein_drift(spark, sf_dir):

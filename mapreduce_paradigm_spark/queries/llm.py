@@ -374,6 +374,7 @@ GROUP BY 1
     "suite). Benchmark shingle-hash set broadcast, map-side semi-join, zero "
     "corpus shuffle before the per-doc hit count "
     "(operators/dedup.py: benchmark_contamination).",
+    bench=True,
     tags=("dedup", "llm", "textstats"),
 )
 def q_benchmark_contamination(spark, sf_dir):
@@ -773,6 +774,7 @@ def q_doc_chunks_udtf(spark, sf_dir):
     "exact cosine verify WITHIN clusters only — Σ|cluster|² work instead "
     "of all-pairs O(n²). Precision equals the exact tier by construction "
     "(same cosine + threshold); recall and determinism pinned in pytest.",
+    bench=True,
     tags=("dedup", "similarity", "llm", "approx"),
 )
 def q_embedding_semantic_cluster_dedup(spark, sf_dir):

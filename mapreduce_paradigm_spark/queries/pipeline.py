@@ -60,6 +60,7 @@ FROM aug
     "so deterministic PII is injected in-query (doc_id-derived, varying "
     "per doc) to keep the oracle non-vacuous. The hygiene step that runs "
     "before any training-data release.",
+    bench=True,
     tags=("llm", "textstats", "privacy"),
 )
 def q_pii_redaction(spark, sf_dir):
