@@ -509,15 +509,24 @@ def embedding_near_dup_pairs(
     candidates drop 2^nbits-fold while this function's filter semantics
     stay the verification step.
     """
+    from mapreduce_paradigm_spark.functions import dot_product, l2_norm
+
+    # precompute each vector's l2 norm ONCE scan-side: the per-pair cosine
+    # is then a single zip_with/aggregate dot product instead of three
+    # (dot(a,b), dot(a,a), dot(b,b)) — 3x less per-pair arithmetic with
+    # BIT-IDENTICAL results, because l2_norm runs the exact same sequential
+    # expression over the same array either way (value hashes unchanged).
     d = emb.select(
-        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("e")
-    )
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("e"),
+    ).withColumn("n", l2_norm("e"))
     a, b = d.alias("a"), d.alias("b")
-    from mapreduce_paradigm_spark.functions import cosine_similarity
 
     return (
         a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", cosine_similarity("a.e", "b.e"))
+        .withColumn(
+            "cosine", dot_product("a.e", "b.e") / (F.col("a.n") * F.col("b.n"))
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a.id").alias("d1"),
@@ -773,7 +782,7 @@ def semantic_cluster_near_dups(
     """
     import numpy as np
 
-    from mapreduce_paradigm_spark.functions import cosine_similarity
+    from mapreduce_paradigm_spark.functions import dot_product, l2_norm
     from mapreduce_paradigm_spark.operators.similarity import (
         _lloyd_refine,
         _unit_normalized,
@@ -809,8 +818,16 @@ def semantic_cluster_near_dups(
                 }
             )
 
-    assigned = norm.select(F.col(id_col).alias("id"), "emb_d").mapInPandas(
-        assign, schema="id BIGINT, cluster_id INT"
+    # materialize the (tiny: n·nassign rows) assignment table ONCE — the
+    # cluster self-join below consumes it on BOTH sides, and without the
+    # checkpoint each side re-runs the Arrow assignment pass and its whole
+    # normalization lineage (measured ~2x the query's wall at sf0.1).
+    # localCheckpoint blocks are reaped by the ContextCleaner on GC, so no
+    # cache-scope bookkeeping is needed.
+    assigned = (
+        norm.select(F.col(id_col).alias("id"), "emb_d")
+        .mapInPandas(assign, schema="id BIGINT, cluster_id INT")
+        .localCheckpoint(eager=True)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     candidates = (
@@ -822,14 +839,28 @@ def semantic_cluster_near_dups(
         .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
         .distinct()
     )
+    # (A cluster-colocated verify — collect_list the embeddings per cluster
+    # and explode pair structs carrying both vectors — was tried and is
+    # 3.5x SLOWER here: every candidate materializes 2 × dim doubles in the
+    # explode, ~1 GB of struct churn, vs the 16-byte candidate stream these
+    # id-only joins shuffle. Keep the joins; they're also the shape that
+    # lets AQE pick per-side strategies at scale.)
+    # per-vector norms precomputed scan-side (see embedding_near_dup_pairs:
+    # one dot per pair instead of three, bit-identical values)
     raw = emb.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).cast("array<double>").alias("e"),
-    )
-    return (
-        candidates.join(raw.select(F.col("id").alias("d1"), F.col("e").alias("e1")), "d1")
-        .join(raw.select(F.col("id").alias("d2"), F.col("e").alias("e2")), "d2")
-        .withColumn("cosine", cosine_similarity("e1", "e2"))
+    ).withColumn("n", l2_norm("e"))
+    return _scoped(
+        candidates.join(
+            raw.select(F.col("id").alias("d1"), F.col("e").alias("e1"), F.col("n").alias("n1")),
+            "d1",
+        )
+        .join(
+            raw.select(F.col("id").alias("d2"), F.col("e").alias("e2"), F.col("n").alias("n2")),
+            "d2",
+        )
+        .withColumn("cosine", dot_product("e1", "e2") / (F.col("n1") * F.col("n2")))
         .filter(F.col("cosine") >= threshold)
         .select("d1", "d2", F.round("cosine", 4).alias("cosine"))
     )
