@@ -348,3 +348,22 @@ def test_web_pipeline_single_corpus_exchange(spark):
     plan = formatted_plan(_df(spark, "web_analytics_pipeline"))
     user_exchanges = re.findall(r"hashpartitioning\(user_id", plan)
     assert len(user_exchanges) == 1, plan
+
+
+def test_registry_age_ledger_complete():
+    """Every registered query must appear in REGISTRY_AGE.txt: the gate's
+    never-checked ordering uses the ledger as registration AGE, so a name
+    missing from it would implicitly sort last — fine — but an
+    intentionally appended ledger keeps the ordering auditable and stops
+    a new module's import position from jumping the verification queue.
+    When this fails: append the new names (never reorder existing ones)."""
+    import os
+
+    from mapreduce_paradigm_spark.registry import all_specs
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "REGISTRY_AGE.txt")) as f:
+        ledger = [line.strip() for line in f if line.strip()]
+    assert len(ledger) == len(set(ledger)), "duplicate names in REGISTRY_AGE.txt"
+    missing = sorted(set(all_specs()) - set(ledger))
+    assert not missing, f"append to REGISTRY_AGE.txt: {missing}"
