@@ -42,12 +42,17 @@ GATES = [
     {
         "name": "plan_lint",
         "env": {"SPARK_GRAFT_PLAN_LINT": "1"},
-        "args": ["tests/test_plans.py", "-k", "lint"],
+        "args": ["tests/test_plans.py", "-k", "cartesian"],
     },
     {
         "name": "skew_gate",
         "env": {"SPARK_GRAFT_SKEW_GATE": "1"},
         "args": ["tests/test_skew_gate.py"],
+    },
+    {
+        "name": "retry_gate",
+        "env": {"SPARK_GRAFT_RETRY_GATE": "1"},
+        "args": ["tests/test_retry_gate.py"],
     },
 ]
 
@@ -110,10 +115,14 @@ def main() -> None:
         print(f"    rc={res['rc']} passed={res['passed']} "
               f"failed={res['failed']} in {res['wall_sec']}s", flush=True)
 
-    skew_detail = os.path.join(_REPO, ".gates", "skew.json")
-    if os.path.exists(skew_detail) and (not wanted or "skew_gate" in wanted):
-        with open(skew_detail) as f:
-            out["skew_measurements"] = json.load(f)
+    for detail_key, fname, gname in (
+        ("skew_measurements", "skew.json", "skew_gate"),
+        ("retry_measurements", "retry.json", "retry_gate"),
+    ):
+        detail = os.path.join(_REPO, ".gates", fname)
+        if os.path.exists(detail) and (not wanted or gname in wanted):
+            with open(detail) as f:
+                out[detail_key] = json.load(f)
 
     path = os.path.join(_REPO, f"GATES_r{args.round:02d}.json")
     # merge with a prior partial run of other gates this round
@@ -121,8 +130,9 @@ def main() -> None:
         with open(path) as f:
             prior = json.load(f)
         prior["gates"].update(out["gates"])
-        if "skew_measurements" in out:
-            prior["skew_measurements"] = out["skew_measurements"]
+        for k in ("skew_measurements", "retry_measurements"):
+            if k in out:
+                prior[k] = out[k]
         out = prior
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)

@@ -565,7 +565,7 @@ def embedding_near_dup_lsh(
     """
     import numpy as np
 
-    from mapreduce_paradigm_spark.functions import cosine_similarity
+    from mapreduce_paradigm_spark.functions import dot_product, l2_norm
 
     # All bands' signatures in ONE corpus pass: the (bands·nbits, dim) plane
     # matrix is broadcast and each Arrow batch is signed with a single numpy
@@ -609,14 +609,18 @@ def embedding_near_dup_lsh(
         .distinct()
     )
     # exact rerank: identical cosine + threshold as the all-pairs tier, so
-    # output ⊆ exact and values bit-match where pairs survive
+    # output ⊆ exact and values bit-match where pairs survive (norms
+    # precomputed per vector — one dot per pair, bit-identical; see
+    # embedding_near_dup_pairs)
     d = emb.select(
         F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("e")
-    )
+    ).withColumn("n", l2_norm("e"))
     return (
         candidates.join(d.alias("ea"), F.col("d1") == F.col("ea.id"))
         .join(d.alias("eb"), F.col("d2") == F.col("eb.id"))
-        .withColumn("cosine", cosine_similarity("ea.e", "eb.e"))
+        .withColumn(
+            "cosine", dot_product("ea.e", "eb.e") / (F.col("ea.n") * F.col("eb.n"))
+        )
         .filter(F.col("cosine") >= threshold)
         .select("d1", "d2", F.round("cosine", 4).alias("cosine"))
     )

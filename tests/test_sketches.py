@@ -271,3 +271,18 @@ def test_streaming_tdigest_accumulates_and_stays_accurate(spark):
         est = float(np.interp(q * w.sum(), cum, m))
         rank = np.searchsorted(vals, est) / len(vals)
         assert abs(rank - q) <= 0.01, (q, est, rank)
+
+
+def test_tdigest_quantiles_empty_digest(spark):
+    """Round-3 advisory regression pin: an empty digest (all-NULL/empty
+    input column) must yield NULL estimates, not IndexError on cum[0]."""
+    from mapreduce_paradigm_spark.operators.tdigest import (
+        tdigest_quantiles,
+        tdigest_sketch,
+    )
+
+    empty = spark.createDataFrame([(None,), (None,)], "v DOUBLE")
+    digest = tdigest_sketch(empty, "v")
+    rows = tdigest_quantiles(digest, [0.5, 0.9]).collect()
+    assert [r["q"] for r in rows] == [0.5, 0.9]
+    assert all(r["estimate"] is None for r in rows)

@@ -206,3 +206,31 @@ def test_asof_nearest_edges(spark):
     )
     got = {r["view_id"]: r["asof_event_id"] for r in out.collect()}
     assert got == {10: 100, 11: 101, 12: 103, 13: None, 20: 200}
+
+
+def test_asof_nearest_null_and_duplicate_left_rows(spark):
+    """Round-3 advisory regression pin: the old implementation rejoined
+    backward/forward passes on the FULL left row, silently DROPPING any
+    left row containing a NULL (NULL != NULL in a join) and cross-pairing
+    fully-duplicate left rows. The single-union rewrite must keep both:
+    one output row per input row, NULLs intact."""
+    from mapreduce_paradigm_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, None, "2024-01-01 10:05:00"),   # NULL payload column
+            (1, None, "2024-01-01 10:05:00"),   # exact duplicate row
+            (1, 7, "2024-01-01 10:05:00"),
+        ],
+        "user_id BIGINT, payload BIGINT, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:00:00")],
+        "user_id BIGINT, event_id BIGINT, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = asof_join_nearest(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["event_id"], tolerance_seconds=1800,
+    ).collect()
+    assert len(out) == 3, "NULL-bearing / duplicate left rows must survive"
+    assert all(r["asof_event_id"] == 100 for r in out)
