@@ -539,9 +539,57 @@ def _irregular_graph(spark, sf_dir):
     return fan.unionByName(hubs)
 
 
+def _kcore_oracle_sql(k: int = 4, rounds: int = 16) -> str:
+    """Exact k-core oracle by UNROLLING the peeling fixpoint: round i
+    keeps edges whose both endpoints have degree >= k in round i-1's edge
+    set. Every stage is AS MATERIALIZED — default CTE inlining would
+    duplicate each predecessor 4x per stage (exponential plan). Peeling is monotone (each round only removes) and idempotent at
+    the fixpoint, so ``rounds`` unrolled stages compute the exact k-core
+    whenever convergence takes <= rounds — the Spark side raises
+    ConvergenceError past 50 rounds, and the sf fixtures converge in < 10
+    (verified at sf0.001/0.01/0.1); extra stages are no-ops. This upgrades
+    the driver check from rows-only to a full value-hash match despite
+    'iterative fixpoint' not being one recursive CTE (aggregates are not
+    allowed in a recursive term)."""
+    sql = """
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+fan AS (
+  SELECT doc_id AS a, (doc_id * 31 + v.j * v.j) % n.n_docs AS b
+  FROM documents, n, (VALUES (1), (2), (3), (4)) v(j)
+  WHERE v.j <= 1 + (doc_id % 4)
+),
+hubs AS (
+  SELECT doc_id AS a, doc_id % 16 AS b FROM documents WHERE doc_id % 7 = 0
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM (SELECT a, b FROM fan UNION ALL SELECT a, b FROM hubs)
+  WHERE a <> b
+)"""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+k{i} AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM {prev} UNION ALL SELECT b AS v FROM {prev}) t
+  GROUP BY v HAVING count(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN k{i} x ON e.a = x.v
+  JOIN k{i} y ON e.b = y.v
+)"""
+        prev = f"e{i}"
+    sql += f"""
+SELECT v, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT a AS v FROM {prev} UNION ALL SELECT b AS v FROM {prev}) t
+GROUP BY v
+"""
+    return sql
+
+
 @register(
     "doc_graph_kcore",
-    oracle=None,  # iterative fixpoint; exact peel pinned by pytest oracle
+    oracle=_kcore_oracle_sql(),
     description="k-core decomposition (k=4) of an irregular deterministic "
     "doc graph via distributed peeling (operators/components.py "
     "kcore_vertices): repeatedly drop vertices with degree < k until the "
@@ -551,9 +599,10 @@ def _irregular_graph(spark, sf_dir):
     "aggregate plus one semi-join edge filter, both keyed by vertex; the "
     "driver sees only a scalar edge count per round, and rounds are "
     "bounded by peeling depth with a loud ConvergenceError guard. "
-    "Returns each survivor with its in-core degree. Exactness is pinned "
-    "by a pure-Python peeling oracle in pytest (driver check is "
-    "rows-only: the fixpoint is not expressible in one SQL query).",
+    "Returns each survivor with its in-core degree. Full hash oracle via "
+    "a 16-stage UNROLLED peel in DuckDB (monotone + idempotent at the "
+    "fixpoint, so a generous unroll is exact; see _kcore_oracle_sql) — "
+    "plus the pure-Python peeling oracle in pytest.",
     tags=("graph", "iterative", "documents"),
 )
 def q_doc_graph_kcore(spark, sf_dir):
