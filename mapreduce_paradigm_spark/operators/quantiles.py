@@ -13,7 +13,7 @@ data rows, no driver-side values beyond B counts. This is the classic
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
