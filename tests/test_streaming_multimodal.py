@@ -128,3 +128,54 @@ def test_continuous_rollup_restart_does_not_double_count(spark, tmp_path):
     continuous_minute_rollup_foreachbatch(spark, SF_SMOKE, state, ckpt)
     second = sorted(map(tuple, spark.read.parquet(state).collect()))
     assert first == second
+
+
+def test_state_promotion_survives_crash_at_every_step(spark, tmp_path):
+    """Round-3 advisory regression pin: the old delete-then-move state swap
+    lost the ENTIRE state table if interrupted between the two steps. The
+    rename-aside protocol (_promote_state) + fallback reader (_read_state)
+    must recover the previous-or-next state from a crash at ANY single
+    step: after rename-aside (live dir missing), and after promote (aside
+    dir still present)."""
+    import os
+    import shutil
+
+    from mapreduce_paradigm_spark.streaming import _promote_state, _read_state
+
+    state = str(tmp_path / "state")
+
+    def write(path, vals):
+        spark.createDataFrame([(v,) for v in vals], "v BIGINT").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+
+    # normal promotion: v1 live -> v2 staged -> promoted
+    write(state, [1])
+    write(state + "_next", [2])
+    _promote_state(state)
+    assert sorted(r["v"] for r in _read_state(spark, state).collect()) == [2]
+    assert not os.path.exists(state + "_old")
+
+    # crash AFTER rename-aside, BEFORE promote: live dir is gone, aside
+    # holds v2, _next holds the fully-written v3 — reader must fall back
+    # to the aside copy (the state v3 was derived from)
+    write(state + "_next", [3])
+    shutil.rmtree(state + "_old", ignore_errors=True)
+    os.rename(state, state + "_old")  # simulate the partial promotion
+    got = sorted(r["v"] for r in _read_state(spark, state).collect())
+    assert got == [2], "reader must recover the aside copy"
+    # recovery completes by re-running the promotion
+    _promote_state(state)
+    assert sorted(r["v"] for r in _read_state(spark, state).collect()) == [3]
+
+    # crash AFTER promote, BEFORE aside cleanup: live v4, stale aside v3 —
+    # reader must prefer the live dir, and the next promotion must not trip
+    # over the leftover aside dir
+    write(state + "_next", [4])
+    _promote_state(state)
+    write(state + "_aside_sim", [0])  # noise dir, ignored
+    os.rename(state + "_aside_sim", state + "_old")
+    assert sorted(r["v"] for r in _read_state(spark, state).collect()) == [4]
+    write(state + "_next", [5])
+    _promote_state(state)
+    assert sorted(r["v"] for r in _read_state(spark, state).collect()) == [5]
