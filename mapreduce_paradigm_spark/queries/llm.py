@@ -2001,3 +2001,181 @@ def q_doc_bigram_interp_nll(spark, sf_dir):
             6,
         ).alias("avg_nll"),
     )
+
+
+_DSIR_SQL_BODY = """
+WITH dw AS (
+  SELECT doc_id, lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS word
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+        FROM documents)
+  WHERE lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) <> ''
+),
+feats AS (
+  SELECT doc_id,
+         (ascii(substr(word, 1, 1)) * 97
+          + ascii(substr(word, length(word), 1)) * 31
+          + length(word)) % 128 AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM dw GROUP BY 1, 2
+),
+bt AS (
+  SELECT b,
+         CAST(sum(n) AS BIGINT) AS n_raw,
+         CAST(sum(CASE WHEN d.lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS n_tgt
+  FROM feats f JOIN documents d USING (doc_id) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+               CAST(sum(n_tgt) AS BIGINT) AS t_tgt FROM bt),
+lr AS (
+  SELECT b,
+         ln((n_tgt + 1.0) / (t_tgt + 128)) - ln((n_raw + 1.0) / (t_raw + 128))
+           AS lr
+  FROM bt CROSS JOIN tot
+),
+terms AS (
+  SELECT f.doc_id, f.n,
+         CAST(round(f.n * lr.lr * 1000000, 0) AS BIGINT) AS micro
+  FROM feats f JOIN lr USING (b)
+)
+,
+scored AS (
+  SELECT doc_id,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(CAST(sum(micro) AS DECIMAL(24,6)) / 1000000 AS DOUBLE)
+           AS log_importance,
+         CAST(CASE WHEN sum(micro) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+  FROM terms GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_DSIR_SQL_BODY
+    + """
+SELECT doc_id, n_tokens, log_importance, keep_flag FROM scored
+""",
+    description="DSIR-style data selection (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling'): hashed "
+    "unigram features (128 buckets; cross-engine-deterministic "
+    "first/last-codepoint polynomial, collisions ARE the method), "
+    "Laplace-smoothed bucket distributions for the TARGET slice "
+    "(lang='en') vs the RAW corpus, and per-document log importance "
+    "log p_t(d) - log p_r(d) = sum_b n_b(d)*(ln p_t[b] - ln p_r[b]). "
+    "Per-bucket terms follow the bm25 integer-micro convention "
+    "(round each term to micros, INTEGER sum) so the score is "
+    "independent of partition merge order. Plan: ONE tokenization "
+    "shuffle builds (doc, bucket, n); bucket totals are one B-row "
+    "aggregate; the B-row log-ratio table broadcasts back — per-doc "
+    "scoring is a broadcast join + integer sum, no second corpus "
+    "shuffle. keep_flag = importance > 0 is the resampling decision "
+    "surface (at 100 TB: threshold or weighted-reservoir on the weight).",
+    tags=("llm", "sampling", "quality"),
+)
+def q_dsir_importance_weights(spark, sf_dir):
+    return _dsir_doc_scores(spark, sf_dir)
+
+
+def _dsir_doc_scores(spark, sf_dir):
+    from mapreduce_paradigm_spark.functions import doc_words
+
+    B = 128
+    docs = load_table(spark, sf_dir, "documents")
+    dw = doc_words(docs)
+    bucket = F.pmod(
+        F.ascii(F.substring("word", 1, 1)) * 97
+        + F.ascii(F.expr("substring(word, length(word), 1)")) * 31
+        + F.length("word"),
+        F.lit(B),
+    )
+    feats = (
+        dw.select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bt = (
+        feats.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("b")
+        .agg(
+            F.sum("n").alias("n_raw"),
+            F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias(
+                "n_tgt"
+            ),
+        )
+    )
+    tot = bt.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
+    )
+    lr = bt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("n_tgt") + 1.0) / (F.col("t_tgt") + B))
+            - F.log((F.col("n_raw") + 1.0) / (F.col("t_raw") + B))
+        ).alias("lr"),
+    )
+    terms = feats.join(F.broadcast(lr), "b").select(
+        "doc_id",
+        "n",
+        F.round(F.col("n") * F.col("lr") * 1_000_000, 0).cast("long").alias("micro"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        (F.sum("micro").cast("decimal(24,6)") / F.lit(1_000_000))
+        .cast("double")
+        .alias("log_importance"),
+        F.when(F.sum("micro") > 0, 1).otherwise(0).cast("long").alias("keep_flag"),
+    )
+
+
+@register(
+    "dsir_weighted_resample",
+    oracle=_DSIR_SQL_BODY
+    + """
+SELECT doc_id, log_importance, sample_rank FROM (
+  SELECT doc_id, log_importance,
+         CAST(row_number() OVER (
+           ORDER BY round(
+             ln(-ln(((doc_id * 2654435761) % 2147483647 + 1)
+                    / 2147483649.0))
+             - log_importance, 6) ASC, doc_id ASC
+         ) AS BIGINT) AS sample_rank
+  FROM scored
+) WHERE sample_rank <= 200
+""",
+    description="The resampling half of DSIR: weighted sampling WITHOUT "
+    "replacement of 200 documents with probability proportional to the "
+    "importance weight w = exp(log_importance), via A-ES exponential "
+    "sort keys (Efraimidis & Spirakis): keep the k largest u^(1/w). "
+    "Computed in the ln domain — ln(-ln u) - log_importance — so no exp "
+    "is ever evaluated (exp differs in the last ulp across engines; ln "
+    "of exact ratios is the proven hash-stable convention), and keys are "
+    "rounded 6dp with a doc_id tiebreak. u is a deterministic integer-"
+    "arithmetic pseudo-uniform (Knuth multiplicative hash of doc_id, "
+    "strictly inside (0,1)) — reproducible across engines, retries, and "
+    "partition layouts, unlike rand(seed) which is partition-dependent. "
+    "At 100 TB the global top-k-by-key is the standard "
+    "TakeOrderedAndProject (no full sort); per-shard reservoirs merge "
+    "associatively if a streaming variant is needed.",
+    tags=("llm", "sampling"),
+)
+def q_dsir_weighted_resample(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    scored = _dsir_doc_scores(spark, sf_dir)
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647) + 1
+    ) / F.lit(2147483649.0)
+    key = F.round(F.log(-F.log(u)) - F.col("log_importance"), 6)
+    # distributed top-k FIRST (orderBy+limit compiles to
+    # TakeOrderedAndProject — per-partition heaps, no global sort), then
+    # rank only the 200 survivors; a row_number over the full corpus
+    # would serialize the whole sort onto one task at scale
+    top = scored.select("doc_id", "log_importance", key.alias("k")).orderBy(
+        F.col("k").asc(), F.col("doc_id").asc()
+    ).limit(200)
+    w = Window.orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "log_importance",
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+    )
