@@ -374,3 +374,30 @@ def test_delta_jaccard_equals_full_pairs_restricted(spark):
         ).collect()
     }
     assert delta == full and delta  # non-vacuous: fixture has delta pairs
+
+
+def test_concurrent_dedup_builders_do_not_corrupt_each_other(spark):
+    """Round-3 advisory regression pin: the old module-global cache sweep
+    meant building query B invalidated the persisted intermediates behind
+    a built-but-unexecuted query A. With plan-scoped caches, two dedup
+    plans built INTERLEAVED (build A, build B, then execute both) must
+    produce the same results as building and executing each serially."""
+    from mapreduce_paradigm_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+
+    def run(df):
+        return {tuple(r) for r in df.collect()}
+
+    # serial reference
+    ref_a = run(minhash_lsh_pairs(docs, threshold=0.5))
+    ref_b = run(jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=64))
+    # interleaved build, then execute: B's construction must not unpersist
+    # (or otherwise perturb) the intermediates A's plan references
+    plan_a = minhash_lsh_pairs(docs, threshold=0.5)
+    plan_b = jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=64)
+    assert run(plan_a) == ref_a
+    assert run(plan_b) == ref_b
