@@ -146,6 +146,38 @@ def hashed_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
     )
 
 
+def hashed_shingles_pos(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, pos, sid)`` stream — ``hashed_shingles`` plus the 1-based
+    token position each k-gram window starts at. Position is what turns
+    membership signals into EDITS: consecutive duplicated windows merge
+    into maximal spans (see ``duplicate_span_extraction``), the removal
+    primitive of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") — their suffix-array pass re-expressed as a
+    window-hash df + gaps-and-islands, the shape that distributes. Same
+    8-byte-key shuffle discipline and collision bound as
+    ``hashed_shingles``."""
+    arr = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    token_args = ", ".join(f"toks[i + {j}]" for j in range(-1, k - 1))
+    return arr.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {k} THEN "
+                f"transform(sequence(1, size(toks) - {k - 1}), "
+                f"i -> xxhash64({token_args})) "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            )
+        ).alias("pos0", "sid"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "sid"
+    )
+
+
 def shingle_postings(
     docs: DataFrame,
     k: int = 3,
@@ -787,15 +819,34 @@ def semantic_cluster_near_dups(
     import numpy as np
 
     from mapreduce_paradigm_spark.functions import dot_product, l2_norm
-    from mapreduce_paradigm_spark.operators.similarity import (
-        _lloyd_refine,
-        _unit_normalized,
-    )
+    from mapreduce_paradigm_spark.operators.similarity import _lloyd_refine
 
     spark = emb.sparkSession
-    norm = _unit_normalized(emb, emb_col)
+    # Materialize ONE base frame (id, e-as-double, ‖e‖) and derive every
+    # consumer from it: the seed pick, each Lloyd pass, the assignment
+    # pass, and BOTH sides of the verify join — without the checkpoint the
+    # scan + cast lineage re-executes 6 times (measured ~2x the query's
+    # wall at sf0.1). Same contract as Spark ML's KMeans, which caches its
+    # training input; at cluster scale this is n × dim doubles of executor
+    # storage (spill-safe), or persist to reliable storage if executor
+    # loss during training matters. Unit vectors are re-derived per
+    # consumer (x · 1/n — bit-identical to ``_unit_normalized``) because
+    # the multiply is whole-stage-codegen arithmetic over checkpointed
+    # blocks, far cheaper than materializing a second corpus-wide copy.
+    base = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).cast("array<double>").alias("e"),
+        )
+        .withColumn("n", l2_norm("e"))
+        .localCheckpoint(eager=True)
+    )
+    inv = 1.0 / F.col("n")
+    norm = base.select(
+        "id", F.transform(F.col("e"), lambda x: x * inv).alias("emb_d")
+    )
     cs = (
-        norm.withColumn("_h", F.xxhash64(F.col(id_col)))
+        norm.withColumn("_h", F.xxhash64(F.col("id")))
         .orderBy("_h")
         .limit(nlist)
         .select("emb_d")
@@ -824,13 +875,11 @@ def semantic_cluster_near_dups(
 
     # materialize the (tiny: n·nassign rows) assignment table ONCE — the
     # cluster self-join below consumes it on BOTH sides, and without the
-    # checkpoint each side re-runs the Arrow assignment pass and its whole
-    # normalization lineage (measured ~2x the query's wall at sf0.1).
+    # checkpoint each side re-runs the Arrow assignment pass twice.
     # localCheckpoint blocks are reaped by the ContextCleaner on GC, so no
     # cache-scope bookkeeping is needed.
     assigned = (
-        norm.select(F.col(id_col).alias("id"), "emb_d")
-        .mapInPandas(assign, schema="id BIGINT, cluster_id INT")
+        norm.mapInPandas(assign, schema="id BIGINT, cluster_id INT")
         .localCheckpoint(eager=True)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
@@ -850,11 +899,9 @@ def semantic_cluster_near_dups(
     # id-only joins shuffle. Keep the joins; they're also the shape that
     # lets AQE pick per-side strategies at scale.)
     # per-vector norms precomputed scan-side (see embedding_near_dup_pairs:
-    # one dot per pair instead of three, bit-identical values)
-    raw = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(emb_col).cast("array<double>").alias("e"),
-    ).withColumn("n", l2_norm("e"))
+    # one dot per pair instead of three, bit-identical values); reads the
+    # checkpointed base, not the source — no parquet rescan per join side
+    raw = base
     return _scoped(
         candidates.join(
             raw.select(F.col("id").alias("d1"), F.col("e").alias("e1"), F.col("n").alias("n1")),

@@ -214,6 +214,63 @@ def q_duplicated_span_fraction(spark, sf_dir):
     )
 
 
+@register(
+    "duplicate_span_extraction",
+    oracle=r"""
+WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+             FROM documents),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4] AS s
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a) - 4)) AS i) t
+  WHERE len(a) >= 5
+),
+df AS (SELECT s FROM w GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM w WHERE s IN (SELECT s FROM df))
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 4 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM dup GROUP BY doc_id, grp
+""",
+    description="Maximal cross-document duplicated SPANS per doc — the "
+    "removal primitive of Lee et al. 2022 (suffix-array substring dedup) "
+    "re-expressed distributed: position-tracked 5-gram window hashes, "
+    "windows appearing in ≥2 distinct docs marked duplicated, consecutive "
+    "duplicated window starts merged gaps-and-islands (pos − row_number) "
+    "into maximal (span_start, span_end) token ranges. Complements "
+    "duplicated_span_fraction (a per-doc SCORE): this emits the actual "
+    "edit list a cleaning pass applies. Three shuffles (window df on "
+    "8-byte sids, the dup-sid semi-join, the per-doc island rollup); text "
+    "never shuffles after hashing, and the duplicated-sid set — a small "
+    "fraction of a clean corpus — broadcasts.",
+    bench=True,
+    tags=("dedup", "textstats", "llm"),
+)
+def q_duplicate_span_extraction(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import hashed_shingles_pos
+
+    sh = hashed_shingles_pos(load_table(spark, sf_dir, "documents"), k=5)
+    dup_sids = (
+        sh.groupBy("sid")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sid")
+    )
+    dup = sh.join(dup_sids, "sid", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(4)).alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .drop("grp")
+    )
+
+
 # --- sketch percentiles ------------------------------------------------------
 
 
