@@ -417,6 +417,131 @@ def pq_topk_cosine(
     )
 
 
+def sq8_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    train_sample: int = 2048,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN: each normalized vector stores as one
+    uint8 per dimension — 4× smaller than float32, 8× than float64 — and
+    queries score against the DEQUANTIZED codes (asymmetric distance, the
+    FAISS ``SQ8`` scheme). The complement of PQ on the compression-
+    fidelity curve: 4× compression but near-exact scores (uniform grid
+    error ~1/512 per dim), where PQ is 32× with coarser scores — SQ8
+    shortlists barely need verifying, so ``refine`` can stay small.
+
+    Per-dimension [min, max] grids are trained driver-side on a
+    deterministic hash-ordered sample (bounded work at any corpus size);
+    out-of-range values at encode time clip to the grid edge, exactly as
+    a pre-trained quantizer must at 100 TB where training never sees the
+    whole corpus. ONE ``mapInPandas`` corpus pass encodes each Arrow
+    batch, dequantizes, and emits its local top-``k·refine`` per query
+    (dimension-by-dimension accumulation — deterministic regardless of
+    batch shape; the corpus never shuffles); the global shortlist is
+    reranked EXACTLY on raw vectors, so returned cosines are exact and
+    only recall is approximate — pinned vs the exact tier in pytest.
+    Rows-only driver check, like the other approximate tiers.
+    """
+    spark = corpus.sparkSession
+    sample_rows = (
+        _unit_normalized(corpus, emb_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h")
+        .limit(train_sample)
+        .select("emb_d")
+        .collect()
+    )
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    mn = sample.min(axis=0)
+    span = sample.max(axis=0) - mn
+    span[span == 0.0] = 1.0  # constant dims encode as code 0, decode to mn
+
+    qrows = (
+        _unit_normalized(queries, emb_col)
+        .select(F.col(id_col), F.col("emb_d"))
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (nq, dim)
+    shortlist = k * refine
+    bq = spark.sparkContext.broadcast((q_ids, qmat, mn, span))
+
+    c = _unit_normalized(corpus, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("emb_d")
+    )
+
+    def local_sq_topk(batches):
+        import pandas as pd
+
+        ids, Q, lo, sp = bq.value
+        nq, dim = Q.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["emb_d"].to_numpy())  # (batch, dim)
+            n_ids = pdf["neighbor_id"].to_numpy()
+            # encode → uint8 codes (this is ALL a production scan stores),
+            # then dequantize to grid midpoint values for scoring
+            codes = np.clip(np.rint((X - lo) / sp * 255.0), 0, 255).astype(
+                np.uint8
+            )
+            Xq = lo + codes.astype(np.float64) * (sp / 255.0)
+            # fixed dimension order → bit-identical accumulation whatever
+            # the Arrow batch shape (same discipline as topk_cosine)
+            acc = Xq[:, 0][:, None] * Q[:, 0][None, :]
+            for i in range(1, dim):
+                acc = acc + Xq[:, i][:, None] * Q[:, i][None, :]
+            out_q, out_n, out_s = [], [], []
+            take = min(shortlist, len(n_ids))
+            for j in range(nq):
+                col = acc[:, j].copy()
+                col[n_ids == ids[j]] = -np.inf
+                order = np.lexsort((n_ids, -col))[:take]
+                keep = col[order] > -np.inf
+                out_q.append(np.full(keep.sum(), ids[j]))
+                out_n.append(n_ids[order][keep])
+                out_s.append(col[order][keep])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sq": np.concatenate(out_s),
+                }
+            )
+
+    cand = c.mapInPandas(
+        local_sq_topk, schema="q_id BIGINT, neighbor_id BIGINT, sq DOUBLE"
+    )
+    w_sq = Window.partitionBy("q_id").orderBy(F.desc("sq"), F.asc("neighbor_id"))
+    shortlisted = (
+        cand.withColumn("srk", F.row_number().over(w_sq))
+        .filter(F.col("srk") <= shortlist)
+        .select("q_id", "neighbor_id")
+    )
+    # exact rerank on shortlist members only (nq·k·refine rows re-enter)
+    cvec = _unit_normalized(corpus, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("emb_d").alias("c_emb")
+    )
+    qvec = _unit_normalized(queries, emb_col).select(
+        F.col(id_col).alias("q_id"), F.col("emb_d").alias("q_emb")
+    )
+    scored = (
+        shortlisted.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "q_id")
+        .withColumn("cosine", dot_product("q_emb", "c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     dim: int,

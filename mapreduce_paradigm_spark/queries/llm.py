@@ -548,6 +548,26 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return lsh_topk_cosine(emb, queries, dim=64, k=5, nbits=8, multiprobe=2)
 
 
+@register(
+    "embedding_sq8_topk",
+    oracle=None,  # approximate by construction (quantized shortlist recall < 1)
+    description="Scalar-quantization (SQ8) ANN: one uint8 per dimension "
+    "(4x smaller than float32), per-dim [min,max] grids trained on a "
+    "deterministic hash-ordered sample, asymmetric query-vs-dequantized "
+    "scoring in one mapInPandas corpus pass, exact rerank of the "
+    "shortlist — the high-fidelity point on the compression curve (PQ is "
+    "32x but coarse); recall pinned vs the exact tier in pytest "
+    "(operators/similarity.py: sq8_topk_cosine).",
+    tags=("similarity", "llm", "approx"),
+)
+def q_embedding_sq8_topk(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.similarity import sq8_topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return sq8_topk_cosine(emb, queries, k=5, refine=2)
+
+
 # --- text analysis -----------------------------------------------------------
 
 

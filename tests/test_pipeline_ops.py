@@ -43,6 +43,33 @@ def test_pq_topk_recall_determinism_and_contract(spark):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_sq8_topk_recall_determinism_and_contract(spark):
+    from mapreduce_paradigm_spark.operators.similarity import sq8_topk_cosine
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = _pairs(topk_cosine(emb, queries, k=5).collect())
+
+    run1 = sq8_topk_cosine(emb, queries, k=5, refine=2).collect()
+    run2 = sq8_topk_cosine(emb, queries, k=5, refine=2).collect()
+    # deterministic: hash-ordered training sample + fixed-order dim folds
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+
+    # SQ8's per-dim grid error is ~1/512 — tiny vs inter-point distances
+    # even on random vectors, so recall sits near 1 (measured 1.0 at
+    # refine=2 on this fixture); pin with margin, far above PQ's 0.45 floor
+    recall = len(_pairs(run1) & exact) / len(exact)
+    assert recall >= 0.85, f"recall {recall}"
+
+    # contract: exact cosines, contiguous ranks, no self-matches
+    by_q: dict[int, list] = {}
+    for r in sorted(run1, key=lambda r: (r["q_id"], r["rank"])):
+        assert r["q_id"] != r["neighbor_id"]
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
 def test_pq_refine_monotone_recall(spark):
     """A larger ADC shortlist is a superset of a smaller one, and exact
     rerank of a candidate superset can only improve recall."""
