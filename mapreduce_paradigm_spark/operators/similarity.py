@@ -417,6 +417,97 @@ def pq_topk_cosine(
     )
 
 
+def pca_project(
+    emb: DataFrame,
+    n_components: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """PCA projection of an embedding corpus onto its top principal
+    components — the standard pre-step for whitening, visualization, and
+    cheap coarse clustering of training-data embeddings.
+
+    Distributed shape (the same one Spark ML's PCA uses): ONE
+    ``mapInPandas`` corpus pass emits per-batch moment partials
+    (count, Σx, flattened Σxxᵀ — a dim×dim matrix, tiny for embedding
+    dims); the driver reduces them in sorted order (deterministic
+    regardless of task completion order — the components-loop contract),
+    forms the covariance, and eigendecomposes the dim×dim matrix
+    driver-side (O(dim³), negligible). Component SIGNS are canonicalized
+    (largest-|loading| coordinate made positive, ties to the lowest
+    index) so output is rerun- and cluster-size-stable. The projection
+    itself stays JVM-side: each component ships as a literal array and
+    each coordinate is one ``dot_product`` inside whole-stage codegen —
+    the corpus is scanned, never shuffled, and no Python touches the
+    projection hot path. Returns ``(id, pc)`` with ``pc`` the
+    ``n_components`` projected coordinates (mean-centered), rounded to 6
+    for cross-run stability. Rows-only driver check (eigendecomposition
+    is not SQL-expressible); loadings are pinned against an exact local
+    numpy PCA in pytest.
+    """
+    import pandas as pd
+
+    spark = emb.sparkSession
+    d = _as_double(emb, emb_col)
+
+    def partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["emb_d"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    rows = d.select("emb_d").mapInPandas(
+        partials, schema="n BIGINT, s ARRAY<DOUBLE>, ss ARRAY<DOUBLE>"
+    ).collect()
+    if not rows:  # empty corpus: no moments, no components — empty result
+        return spark.createDataFrame([], "id BIGINT, pc ARRAY<DOUBLE>")
+    rows.sort(key=lambda r: (r["n"], tuple(r["s"])))
+    n = sum(r["n"] for r in rows)
+    dim = len(rows[0]["s"])
+    s = np.zeros(dim)
+    ss = np.zeros((dim, dim))
+    for r in rows:
+        s += np.asarray(r["s"])
+        ss += np.asarray(r["ss"]).reshape(dim, dim)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = vecs[:, ::-1][:, :n_components].T  # (p, dim), descending
+    for i in range(n_components):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    centered = F.transform(
+        F.col("emb_d"),
+        lambda x, i: x - F.element_at(
+            F.array(*[F.lit(float(v)) for v in mean]), i + 1
+        ),
+    )
+    proj = d.withColumn("c", centered).select(
+        F.col(id_col).alias("id"),
+        F.array(
+            *[
+                F.round(
+                    dot_product(
+                        F.col("c"),
+                        F.array(*[F.lit(float(v)) for v in comps[i]]),
+                    ),
+                    6,
+                )
+                for i in range(n_components)
+            ]
+        ).alias("pc"),
+    )
+    return proj
+
+
 def sq8_topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,

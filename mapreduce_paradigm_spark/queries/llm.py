@@ -1640,6 +1640,140 @@ def q_source_near_dup_rates(spark, sf_dir):
 
 
 @register(
+    "source_kmv_overlap",
+    oracle=r"""
+WITH arr AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS a FROM documents),
+sh AS (SELECT DISTINCT source, unnest(list_transform(a[1:len(a)-2], (x,i) -> x || ' ' || a[i+1] || ' ' || a[i+2])) AS s
+       FROM arr WHERE len(a) >= 3),
+hvs AS (SELECT DISTINCT source, ('0x' || substr(md5(s),1,15))::BIGINT AS hv FROM sh),
+sk AS (SELECT source, hv FROM (
+         SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS r FROM hvs) WHERE r <= 256),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b FROM srcs a JOIN srcs b ON a.source < b.source),
+m AS (SELECT DISTINCT p.src_a, p.src_b, s.hv FROM pairs p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b),
+mr AS (SELECT src_a, src_b, hv,
+              row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS r,
+              count(*) OVER (PARTITION BY src_a, src_b) AS m_n
+       FROM m),
+topk AS (SELECT * FROM mr WHERE r <= 256),
+agg AS (SELECT src_a, src_b, max(hv) AS kv, count(*) AS kn, max(m_n) AS m_n FROM topk GROUP BY 1, 2),
+icount AS (SELECT t.src_a, t.src_b, count(*) AS ki
+           FROM topk t
+           JOIN sk s1 ON s1.source = t.src_a AND s1.hv = t.hv
+           JOIN sk s2 ON s2.source = t.src_b AND s2.hv = t.hv
+           GROUP BY 1, 2)
+SELECT a.src_a, a.src_b,
+       round(CASE WHEN a.m_n >= 256 THEN (256 - 1) / (CAST(a.kv AS DOUBLE) / 1152921504606846976.0)
+                  ELSE CAST(a.m_n AS DOUBLE) END, 4) AS union_est,
+       round(CAST(coalesce(i.ki, 0) AS DOUBLE) / a.kn, 6) AS jaccard_est,
+       round(CAST(coalesce(i.ki, 0) AS DOUBLE) / a.kn *
+             CASE WHEN a.m_n >= 256 THEN (256 - 1) / (CAST(a.kv AS DOUBLE) / 1152921504606846976.0)
+                  ELSE CAST(a.m_n AS DOUBLE) END, 4) AS inter_est
+FROM agg a LEFT JOIN icount i ON a.src_a = i.src_a AND a.src_b = i.src_b
+""",
+    description="KMV (k-minimum-values, Beyer et al. SIGMOD'07) sketch of "
+    "each source's distinct 3-gram shingles, then pairwise UNION / "
+    "JACCARD / INTERSECTION cardinality estimates from sketch merges "
+    "alone — the mergeable-summary answer to 'which sources mirror each "
+    "other' that HLL cannot give (HLL unions but never intersects "
+    "reliably). Unlike the other sketch tiers this one carries a FULL "
+    "value-hash oracle: hashes are md5-derived 60-bit ints computed "
+    "identically in both engines, and every estimate is exact arithmetic "
+    "on the deterministic k smallest — same rows, same hash, both "
+    "engines. Corpus-scale work is one distinct + one per-source top-k "
+    "(single shuffle each); everything after operates on n_sources × 256 "
+    "rows, so the O(sources²) pair stage is sketch-sized, never "
+    "corpus-sized — the 100 TB shape for cross-shard overlap audits.",
+    bench=False,
+    tags=("sketch", "dedup", "llm", "quality"),
+)
+def q_source_kmv_overlap(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    K = 256
+    hspace = float(1 << 60)
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(
+        "source", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    sh = arr.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN "
+                "transform(sequence(1, size(toks) - 2), "
+                "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("s"),
+    )
+    # portable 60-bit hash: first 15 hex chars of md5, identical in DuckDB
+    hvs = sh.select(
+        "source",
+        F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("hv")
+    sk = (
+        hvs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= K)
+        .select("source", "hv")
+    )
+    # everything below is sketch-sized (n_sources × K rows)
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    m = (
+        pairs.join(sk, sk["source"] == pairs["src_a"])
+        .select("src_a", "src_b", "hv")
+        .unionByName(
+            pairs.join(sk, sk["source"] == pairs["src_b"]).select(
+                "src_a", "src_b", "hv"
+            )
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("hv")
+    wn = Window.partitionBy("src_a", "src_b")
+    topk = (
+        m.withColumn("r", F.row_number().over(wp))
+        .withColumn("m_n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("r") <= K)
+    )
+    agg = topk.groupBy("src_a", "src_b").agg(
+        F.max("hv").alias("kv"),
+        F.count(F.lit(1)).alias("kn"),
+        F.max("m_n").alias("m_n"),
+    )
+    s1 = sk.select(F.col("source").alias("src_a"), F.col("hv"))
+    s2 = sk.select(F.col("source").alias("src_b"), F.col("hv"))
+    icount = (
+        topk.join(s1, ["src_a", "hv"], "left_semi")
+        .join(s2, ["src_b", "hv"], "left_semi")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("ki"))
+    )
+    union_est = F.when(
+        F.col("m_n") >= K, (K - 1) / (F.col("kv").cast("double") / F.lit(hspace))
+    ).otherwise(F.col("m_n").cast("double"))
+    jac = F.coalesce(F.col("ki"), F.lit(0)).cast("double") / F.col("kn")
+    return (
+        agg.join(icount, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(union_est, 4).alias("union_est"),
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(jac * union_est, 4).alias("inter_est"),
+        )
+    )
+
+
+@register(
     "price_tdigest_quantiles",
     oracle=None,  # mergeable sketch, approximate by construction → rows-only;
     # rank-error bound vs the exact percentile tier pinned in pytest

@@ -283,6 +283,29 @@ def q_embedding_array_hof_suite(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition is not SQL-expressible → rows-only;
+    # loadings and projections pinned vs exact local numpy PCA in pytest
+    description="PCA projection of the embedding corpus onto its top-4 "
+    "principal components: one mapInPandas pass emits per-batch moment "
+    "partials (count, Σx, Σxxᵀ — dim² floats, tiny), the driver reduces "
+    "them sorted and eigendecomposes the dim×dim covariance, and the "
+    "projection runs JVM-side as literal-array dot products inside "
+    "whole-stage codegen — corpus scanned once per phase, never "
+    "shuffled, no Python in the projection path. Component signs "
+    "canonicalized for rerun stability (operators/similarity.py: "
+    "pca_project).",
+    tags=("mlprep", "embeddings", "llm"),
+)
+def q_embedding_pca_project(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.similarity import pca_project
+
+    return pca_project(
+        load_table(spark, sf_dir, "embeddings"), n_components=4
+    ).withColumnRenamed("id", "vec_id")
+
+
 # --- feature scaling (min-max + z-score) -------------------------------------
 
 

@@ -81,6 +81,34 @@ def test_pq_refine_monotone_recall(spark):
     assert r_hi >= r_lo, f"refine=8 recall {r_hi} < refine=2 recall {r_lo}"
 
 
+def test_pca_project_matches_numpy_and_deterministic(spark):
+    import numpy as np
+
+    from mapreduce_paradigm_spark.operators.similarity import pca_project
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    run1 = {r["id"]: r["pc"] for r in pca_project(emb, n_components=4).collect()}
+    run2 = {r["id"]: r["pc"] for r in pca_project(emb, n_components=4).collect()}
+    assert run1 == run2  # sorted partial reduce + canonical signs
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :4].T
+    for i in range(4):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    expect = (X - mean) @ comps.T
+    got = np.array([run1[i] for i in ids])
+    # distributed moment partials differ from numpy's sum only by float
+    # association; projections must agree far below the round(6) grid
+    assert np.allclose(got, expect, atol=5e-5), np.abs(got - expect).max()
+
+
 def test_bloom_contamination_equals_exact_operator(spark):
     """The bloom is a pre-filter, not an approximation: after the exact
     verify join the result must EQUAL the broadcast-set operator row for
