@@ -115,6 +115,124 @@ def q_word_cooccurrence_pmi(spark, sf_dir):
     )
 
 
+@register(
+    "word_collocation_llr",
+    oracle="""
+WITH dw AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dw),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY 1),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n_both
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT w1, w2, n_both,
+         CAST(n_both AS DOUBLE) AS k11,
+         CAST(d1.df - n_both AS DOUBLE) AS k12,
+         CAST(d2.df - n_both AS DOUBLE) AS k21,
+         CAST(n_docs - d1.df - d2.df + n_both AS DOUBLE) AS k22,
+         CAST(d1.df AS DOUBLE) AS c1, CAST(d2.df AS DOUBLE) AS c2,
+         CAST(n_docs AS DOUBLE) AS nn
+  FROM pairs JOIN df d1 ON w1 = d1.w JOIN df d2 ON w2 = d2.w CROSS JOIN n
+  WHERE n_both >= 5
+)
+SELECT w1, w2, n_both,
+       round(2.0 * ((((CASE WHEN k11 > 0 THEN k11 * ln(k11 * nn / (c1 * c2)) ELSE 0.0 END)
+         + (CASE WHEN k12 > 0 THEN k12 * ln(k12 * nn / (c1 * (nn - c2))) ELSE 0.0 END))
+         + (CASE WHEN k21 > 0 THEN k21 * ln(k21 * nn / ((nn - c1) * c2)) ELSE 0.0 END))
+         + (CASE WHEN k22 > 0 THEN k22 * ln(k22 * nn / ((nn - c1) * (nn - c2))) ELSE 0.0 END)), 6)
+       AS llr
+FROM cells
+""",
+    description="Dunning log-likelihood-ratio collocation test (Dunning "
+    "1993) over within-document word pairs — the significance-aware "
+    "complement to word_cooccurrence_pmi: PMI overrates rare pairs (two "
+    "hapaxes co-occurring once get max PMI), while G² weighs the full "
+    "2×2 contingency table so evidence scales with count. Reuses the "
+    "exact PMI machinery: per-doc sorted distinct vocabulary arrays, "
+    "in-array combination explode (never a corpus self-join), one "
+    "pair-count shuffle, broadcast df/N joins. All four contingency "
+    "cells are exact integers; the G² expression is written in the same "
+    "left-to-right order in both engines, so the doubles agree "
+    "bit-for-bit before round(6).",
+    tags=("text", "llm", "cooccurrence", "statistics"),
+)
+def q_word_collocation_llr(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    words_per_doc = _tracked_persist(
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("ws"),
+        )
+    )
+    dw = words_per_doc.select("doc_id", F.explode("ws").alias("w"))
+    n = words_per_doc.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    sorted_ws = words_per_doc.select("doc_id", F.sort_array("ws").alias("ws"))
+    pair_expr = F.expr(
+        "flatten(transform(ws, (x, i) -> "
+        "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS w1, y AS w2))))"
+    )
+    pairs = (
+        sorted_ws.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    d1 = df.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
+    d2 = df.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
+    cells = (
+        pairs.join(F.broadcast(d1), "w1")
+        .join(F.broadcast(d2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "n_both",
+            F.col("n_both").cast("double").alias("k11"),
+            (F.col("df1") - F.col("n_both")).cast("double").alias("k12"),
+            (F.col("df2") - F.col("n_both")).cast("double").alias("k21"),
+            (F.col("n_docs") - F.col("df1") - F.col("df2") + F.col("n_both"))
+            .cast("double")
+            .alias("k22"),
+            F.col("df1").cast("double").alias("c1"),
+            F.col("df2").cast("double").alias("c2"),
+            F.col("n_docs").cast("double").alias("nn"),
+        )
+    )
+
+    def term(k, denom):
+        return F.when(k > 0, k * F.log(k * F.col("nn") / denom)).otherwise(
+            F.lit(0.0)
+        )
+
+    # same association order as the oracle: ((t11 + t12) + t21) + t22
+    g2 = 2.0 * (
+        (
+            (
+                term(F.col("k11"), F.col("c1") * F.col("c2"))
+                + term(F.col("k12"), F.col("c1") * (F.col("nn") - F.col("c2")))
+            )
+            + term(F.col("k21"), (F.col("nn") - F.col("c1")) * F.col("c2"))
+        )
+        + term(
+            F.col("k22"), (F.col("nn") - F.col("c1")) * (F.col("nn") - F.col("c2"))
+        )
+    )
+    return _scoped(
+        cells.select("w1", "w2", "n_both", F.round(g2, 6).alias("llr"))
+    )
+
+
 # --- triangle counting -------------------------------------------------------
 
 

@@ -456,6 +456,141 @@ def q_doc_graph_pagerank(spark, sf_dir):
         edges.unpersist()
 
 
+# --- HITS hubs/authorities (exact fixed-point, 5 rounds) ---------------------
+
+_HITS_ITER = 5
+
+
+def _hits_oracle() -> str:
+    """Unrolled fixed-point HITS as chained CTEs — same discipline as the
+    PageRank oracle: every stage is BIGINT arithmetic (sum → HUGEINT in
+    DuckDB, pinned back), normalization is integer ppm DIV."""
+    cte = [
+        "WITH n AS (SELECT count(*) AS n_docs FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "edges AS (SELECT doc_id AS src, (doc_id * 31 + k.k) % n_docs AS dst"
+        " FROM documents, n, (VALUES (1), (2), (3)) k(k))",
+        "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(_HITS_ITER):
+        cte.append(
+            f"ar{i + 1} AS (SELECT nodes.node,"
+            f" CAST(COALESCE(c.s, 0) AS BIGINT) AS raw"
+            f" FROM nodes LEFT JOIN ("
+            f"SELECT dst, CAST(sum(h) AS BIGINT) AS s"
+            f" FROM edges JOIN h{i} ON src = node GROUP BY dst) c"
+            f" ON nodes.node = c.dst)"
+        )
+        # totals via a frameless window, NOT a scalar subquery: the subquery
+        # form references the prior CTE twice, and DuckDB inlines CTEs, so
+        # the expansion doubles per half-round (2^10 — never finishes)
+        cte.append(
+            f"a{i + 1} AS (SELECT node, CAST((raw * 1000000) //"
+            f" CAST(sum(raw) OVER () AS BIGINT)"
+            f" AS BIGINT) AS a FROM ar{i + 1})"
+        )
+        cte.append(
+            f"hr{i + 1} AS (SELECT nodes.node,"
+            f" CAST(COALESCE(c.s, 0) AS BIGINT) AS raw"
+            f" FROM nodes LEFT JOIN ("
+            f"SELECT src, CAST(sum(a) AS BIGINT) AS s"
+            f" FROM edges JOIN a{i + 1} ON dst = node GROUP BY src) c"
+            f" ON nodes.node = c.src)"
+        )
+        cte.append(
+            f"h{i + 1} AS (SELECT node, CAST((raw * 1000000) //"
+            f" CAST(sum(raw) OVER () AS BIGINT)"
+            f" AS BIGINT) AS h FROM hr{i + 1})"
+        )
+    return (
+        ",\n".join(cte)
+        + f"\nSELECT h.node, h.h AS hub_ppm, a.a AS auth_ppm"
+        f" FROM h{_HITS_ITER} h JOIN a{_HITS_ITER} a USING (node)"
+    )
+
+
+@register(
+    "doc_graph_hits",
+    oracle=_hits_oracle(),
+    description=f"HITS hubs & authorities (Kleinberg 1999; {_HITS_ITER} "
+    "synchronous rounds) over the same deterministic citation graph "
+    "PageRank uses — the asymmetric-role complement: a page can be a "
+    "great index (hub) without being cited (authority), which a single "
+    "PageRank score conflates. Scores are EXACT fixed-point integers: "
+    "each half-round is one edges⋈scores join grouped on the other "
+    "endpoint, and the usual L2 normalization is replaced by integer "
+    "ppm shares (raw·10⁶ DIV Σraw — same invariant-scale role, "
+    "hash-stable), so the iterative algorithm hash-matches the unrolled "
+    "DuckDB CTE oracle. The Σraw scalar rides a broadcast crossJoin "
+    "(never a collect); at 100 TB pre-partition edges and scores on the "
+    "node key so every half-round's join is co-located, as the "
+    "components operators do.",
+    tags=("graph", "iterative", "documents"),
+)
+def q_doc_graph_hits(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    edges = (
+        docs.crossJoin(F.broadcast(ncnt))
+        .select(
+            F.col("node").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("node") * 31 + F.lit(k), F.col("n_docs"))
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .persist()
+    )
+
+    def half_round(scores, score_col, group_key, out_key):
+        # one join + one grouped sum, then integer ppm normalization with
+        # the total riding a broadcast crossJoin (scalar-only, no collect)
+        raw = (
+            edges.join(scores, edges[group_key] == scores.node)
+            .groupBy(out_key)
+            .agg(F.sum(score_col).alias("s"))
+        )
+        raw = (
+            docs.join(raw, docs.node == raw[out_key], "left")
+            .select(
+                "node", F.coalesce("s", F.lit(0)).cast("long").alias("raw")
+            )
+            # raw feeds BOTH the normalization and its own Σ subtree; without
+            # flattening, each half-round embeds the prior plan twice and the
+            # logical tree doubles per half-round (2^10 by round 5 — Catalyst
+            # never finishes). One tiny (n_nodes-row) materialization per
+            # half-round keeps the plan linear — the components-loop contract.
+            .localCheckpoint(eager=True)
+        )
+        total = raw.agg(F.sum("raw").cast("long").alias("tot"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            "node", F.expr("(raw * 1000000) DIV tot").alias(score_col)
+        )
+
+    hubs = docs.select("node", F.lit(1000000).cast("long").alias("h"))
+    try:
+        for _ in range(_HITS_ITER):
+            auths = half_round(hubs, "h", "src", "dst").withColumnRenamed(
+                "h", "a"
+            )
+            hubs = half_round(auths, "a", "dst", "src").withColumnRenamed(
+                "a", "h"
+            )
+        return hubs.join(auths, "node").select(
+            "node",
+            F.col("h").alias("hub_ppm"),
+            F.col("a").alias("auth_ppm"),
+        )
+    finally:
+        edges.unpersist()
+
+
 # --- interval overlap join (campaign attribution) ----------------------------
 
 
