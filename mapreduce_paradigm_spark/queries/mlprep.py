@@ -306,6 +306,153 @@ def q_embedding_pca_project(spark, sf_dir):
     ).withColumnRenamed("id", "vec_id")
 
 
+@register(
+    "label_score_auc",
+    oracle="""
+WITH s AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS score,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+g AS (
+  SELECT score,
+         CAST(sum(y) AS BIGINT) AS np_s,
+         CAST(count(*) - sum(y) AS BIGINT) AS nn_s
+  FROM s GROUP BY score
+),
+c AS (
+  SELECT np_s, nn_s,
+         CAST(coalesce(sum(nn_s) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS nn_below
+  FROM g
+)
+SELECT CAST(sum(np_s) AS BIGINT) AS n_pos,
+       CAST(sum(nn_s) AS BIGINT) AS n_neg,
+       round(sum(np_s * (nn_below + nn_s / 2.0))
+             / (sum(np_s) * sum(nn_s)), 6) AS auc
+FROM c
+""",
+    description="Binary ROC-AUC of a score column (first embedding "
+    "coordinate vs label≥5) via the rank-sum identity, computed in the "
+    "DISTRIBUTED shape: aggregate to per-distinct-score (n_pos, n_neg) "
+    "counts first, then one cumulative window over the distinct-score "
+    "stream — AUC = Σ np(s)·(nn_below(s) + nn(s)/2) / (np·nn), ties "
+    "handled exactly by the nn/2 term. The global window runs over "
+    "DISTINCT SCORES, not rows, so its state is score-cardinality-sized "
+    "— the standard scale trick vs ranking every row in one partition. "
+    "Every term is an exact integer (or exact .5), so the sum is "
+    "order-independent and hash-stable; full oracle.",
+    tags=("mlprep", "statistics", "embeddings"),
+)
+def q_label_score_auc(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").cast("long").alias("np_s"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nn_s"),
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "np_s",
+        "nn_s",
+        F.coalesce(F.sum("nn_s").over(w), F.lit(0)).cast("long").alias("nn_below"),
+    )
+    return c.agg(
+        F.sum("np_s").cast("long").alias("n_pos"),
+        F.sum("nn_s").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("np_s") * (F.col("nn_below") + F.col("nn_s") / 2.0))
+            / (F.sum("np_s") * F.sum("nn_s")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "label_score_calibration",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS sm,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+r AS (
+  SELECT sm, y,
+         row_number() OVER (ORDER BY sm, vec_id) AS rn,
+         count(*) OVER () AS n
+  FROM s
+)
+SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(sm) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_score,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
+       round(CAST(sum(CAST((sm - y * 1000000) AS DECIMAL(19,0))
+                      * (sm - y * 1000000)) AS DOUBLE)
+             / count(*) / 1e12, 6) AS brier
+FROM r GROUP BY 1
+""",
+    description="Reliability diagram (calibration deciles) + per-bucket "
+    "Brier score for a score column vs the binary label: rank-decile "
+    "buckets (deterministic (rn−1)·10 DIV n on a vec_id-tie-broken "
+    "order), then per-bucket mean score, positive rate, and Brier — the "
+    "model-eval triple a training pipeline reads before trusting a "
+    "quality classifier's scores as probabilities. Integer-micros "
+    "discipline throughout: scores micro-round BEFORE summing and the "
+    "Brier numerator is an exact 128-bit-decimal sum of integer "
+    "squares, so every output is an exact-integer ratio — "
+    "order-independent, hash-stable. The global row_number is the "
+    "oracle-parity form; at 100 TB decile edges come from "
+    "approx_percentile (or a distributed sort) and the bucket join "
+    "broadcasts — same downstream rollup.",
+    tags=("mlprep", "statistics", "embeddings"),
+)
+def q_label_score_calibration(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("sm"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    wr = Window.orderBy("sm", "vec_id")
+    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r = s.select(
+        "sm",
+        "y",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    sq = (F.col("sm") - F.col("y") * 1000000).cast("decimal(19,0)") * (
+        F.col("sm") - F.col("y") * 1000000
+    )
+    return (
+        r.groupBy(
+            F.expr("((rn - 1) * 10) DIV n").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum("sm").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+            ).alias("avg_score"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("pos_rate"),
+            F.round(
+                F.sum(sq).cast("double") / F.count(F.lit(1)) / 1e12, 6
+            ).alias("brier"),
+        )
+    )
+
+
 # --- feature scaling (min-max + z-score) -------------------------------------
 
 
