@@ -453,6 +453,34 @@ def q_label_score_calibration(spark, sf_dir):
     )
 
 
+@register(
+    "label_score_isotonic",
+    oracle=None,  # PAV's sequential pooling is not SQL-expressible →
+    # rows-only; monotonicity, weighted-mean preservation, and equality
+    # with a brute-force numpy PAV pinned in pytest
+    description="Isotonic (PAV) calibration FIT of the score column vs "
+    "the binary label — the monotone correction that turns a "
+    "ranking-quality score into an acceptance probability (Zadrozny & "
+    "Elkan). One shuffle reduces the corpus to per-gridded-score integer "
+    "counts; the driver pools adjacent violators over that bounded axis "
+    "(exact cross-multiplied integer comparisons, no float in merge "
+    "decisions) and the fitted step function returns plan-side "
+    "(operators/calibrate.py). Complements label_score_calibration "
+    "(diagnosis) with the repair.",
+    tags=("mlprep", "statistics", "embeddings"),
+)
+def q_label_score_isotonic(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.calibrate import (
+        isotonic_calibration,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    return isotonic_calibration(emb, "score", "y", grid=10000)
+
+
 # --- feature scaling (min-max + z-score) -------------------------------------
 
 

@@ -239,3 +239,104 @@ def q_hybrid_rrf_fusion(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 20)
     )
+
+
+# --- rank-biased overlap (ranker agreement) ----------------------------------
+
+# RBO tail weights, integer nano units: _RBO_W[m-1] = round(1e9 · Σ_{d=m}^{10}
+# 0.9^(d-1)/d) — a doc at depths (ra, rb) in two top-10 lists contributes to
+# every prefix overlap X_d with d ≥ max(ra, rb), so its total weight is this
+# tail sum (Webber et al. 2010, eq. 5 rearranged per-document). Integer
+# literals make the per-query sum order-independent and hash-stable.
+_RBO_W = [
+    2354163994, 1354163994, 904163994, 634163994, 451913994,
+    320693994, 222278994, 146358851, 86571739, 38742049,
+]
+
+
+@register(
+    "embedding_truncation_rbo",
+    oracle=f"""
+WITH a AS (
+  SELECT q_id, neighbor_id, rnk FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id ASC) AS BIGINT) AS rnk
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id
+  ) WHERE rnk <= 10
+),
+b AS (
+  SELECT q_id, neighbor_id, rnk FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(CAST(a.embedding[1:32] AS DOUBLE[]),
+                                               CAST(b.embedding[1:32] AS DOUBLE[])) DESC,
+                        b.vec_id ASC) AS BIGINT) AS rnk
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id
+  ) WHERE rnk <= 10
+),
+w(m, wgt) AS (VALUES {", ".join(f"({i + 1}, CAST({v} AS BIGINT))" for i, v in enumerate(_RBO_W))}),
+ov AS (
+  SELECT a.q_id, count(*) AS n_overlap, CAST(sum(w.wgt) AS BIGINT) AS wsum
+  FROM a JOIN b ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+  JOIN w ON w.m = greatest(a.rnk, b.rnk)
+  GROUP BY a.q_id
+)
+SELECT q.vec_id AS q_id,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(ov.wsum, 0) / 1e10, 6) AS rbo
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
+LEFT JOIN ov ON q.vec_id = ov.q_id
+""",
+    description="Rank-biased overlap (Webber et al. 2010, p=0.9, depth 10) "
+    "between the FULL-dimension cosine ranking and the ranking from the "
+    "first 32 of 64 dimensions — the Matryoshka-truncation eval: how much "
+    "retrieval order survives halving the vector (and the serving cost). "
+    "Per-document tail-weight rearrangement turns the per-depth prefix "
+    "overlaps into ONE equi-join of the two top-10 lists (candidate-"
+    "scale, never corpus-scale) + an integer weight lookup on "
+    "max(rank_a, rank_b); weights are precomputed integer nanos so sums "
+    "are order-independent. Corpus work is two broadcast-query mapInPandas "
+    "top-k passes (corpus never shuffles); queries with zero overlap "
+    "surface as rbo=0 rows, never dropped. Full oracle.",
+    tags=("similarity", "search", "llm", "quality"),
+)
+def q_embedding_truncation_rbo(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.similarity import topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    full = topk_cosine(emb, queries, k=10).select(
+        "q_id", "neighbor_id", F.col("rank").alias("ra")
+    )
+    trunc = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    tb = topk_cosine(
+        trunc, trunc.filter(F.col("vec_id") % 100 == 0), k=10
+    ).select("q_id", "neighbor_id", F.col("rank").alias("rb"))
+    wgt = F.element_at(
+        F.array(*[F.lit(v) for v in _RBO_W]),
+        F.greatest("ra", "rb").cast("int"),
+    )
+    ov = (
+        full.join(tb, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+            F.sum(wgt).cast("long").alias("wsum"),
+        )
+    )
+    return (
+        queries.select(F.col("vec_id").alias("q_id"))
+        .join(ov, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(F.coalesce("wsum", F.lit(0)) / 1e10, 6).alias("rbo"),
+        )
+    )

@@ -292,3 +292,72 @@ def q_lineitem_pit_customer_status(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.sum("rev_micro").alias("rev_micro"),
     )
+
+
+# --- small-files compaction planner ------------------------------------------
+
+
+@register(
+    "events_compaction_plan",
+    oracle="""
+WITH per_day AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(32 + strlen(event_type) + strlen(props)) AS BIGINT)
+           AS est_bytes
+  FROM events GROUP BY 1
+)
+SELECT day, n_rows, est_bytes,
+       CAST(CASE WHEN est_bytes = 0 THEN 1
+                 ELSE (est_bytes + 262143) // 262144 END AS BIGINT)
+         AS target_files,
+       CAST((n_rows + (CASE WHEN est_bytes = 0 THEN 1
+                            ELSE (est_bytes + 262143) // 262144 END) - 1)
+            // (CASE WHEN est_bytes = 0 THEN 1
+                     ELSE (est_bytes + 262143) // 262144 END) AS BIGINT)
+         AS rows_per_file
+FROM per_day
+""",
+    description="Small-files compaction planner — the lakehouse maintenance "
+    "primitive: per partition (event day), estimated uncompressed bytes "
+    "(fixed per-row width + variable byte lengths), the target output "
+    "file count at the size goal (⌈bytes/target⌉, 256 KiB here so the "
+    "fixture exercises the math — 128 MiB in production, where a file "
+    "under ~one HDFS block wastes open/seek overhead and one over it "
+    "defeats parallelism), and the rows-per-file write plan a "
+    "repartitionByRange + maxRecordsPerFile pass executes. Pure "
+    "integer arithmetic on one grouped aggregate — order-independent, "
+    "full oracle. The estimate drives `coalesce`/`repartition(n)` "
+    "decisions without listing files (a driver-side metadata walk that "
+    "does not scale past ~10⁵ objects).",
+    tags=("warehouse", "layout", "events"),
+)
+def q_events_compaction_plan(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    per_day = e.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.lit(32)
+            + F.octet_length("event_type")
+            + F.octet_length("props")
+        )
+        .cast("long")
+        .alias("est_bytes"),
+    )
+    tf = F.when(F.col("est_bytes") == 0, F.lit(1)).otherwise(
+        F.expr("(est_bytes + 262143) DIV 262144")
+    )
+    return per_day.select(
+        "day",
+        "n_rows",
+        "est_bytes",
+        tf.cast("long").alias("target_files"),
+        F.expr(
+            "CAST((n_rows + (CASE WHEN est_bytes = 0 THEN 1 "
+            "ELSE (est_bytes + 262143) DIV 262144 END) - 1) "
+            "DIV (CASE WHEN est_bytes = 0 THEN 1 "
+            "ELSE (est_bytes + 262143) DIV 262144 END) AS BIGINT)"
+        ).alias("rows_per_file"),
+    )

@@ -109,6 +109,55 @@ def test_pca_project_matches_numpy_and_deterministic(spark):
     assert np.allclose(got, expect, atol=5e-5), np.abs(got - expect).max()
 
 
+def test_isotonic_calibration_pav_properties(spark):
+    import numpy as np
+
+    from mapreduce_paradigm_spark.operators.calibrate import (
+        isotonic_calibration,
+    )
+    from pyspark.sql import functions as Fq
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select(
+        Fq.element_at("embedding", 1).cast("double").alias("score"),
+        Fq.when(Fq.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    out = sorted(
+        isotonic_calibration(emb, "score", "y", grid=10000).collect(),
+        key=lambda r: r["sm"],
+    )
+    assert out
+    # fitted curve is non-decreasing in score
+    iso = [r["rate_iso"] for r in out]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+    # weighted mean preserved (PAV projects onto monotone cone, keeping
+    # the grand mean): Σ n·rate_iso ≈ Σ n_pos
+    tot_n = sum(r["n"] for r in out)
+    assert abs(
+        sum(r["n"] * r["rate_iso"] for r in out) - sum(r["n_pos"] for r in out)
+    ) <= 1e-4 * tot_n
+    # equals the minimax characterization — the definition-level reference:
+    # g_i = max_{k≤i} min_{j≥i} mean(y over [k..j]) (Barlow et al. 1972),
+    # computed O(n²) from integer prefix sums, fully independent of the
+    # stack implementation under test
+    n_arr = np.array([r["n"] for r in out], dtype=np.int64)
+    p_arr = np.array([r["n_pos"] for r in out], dtype=np.int64)
+    cn = np.concatenate([[0], np.cumsum(n_arr)])
+    cp = np.concatenate([[0], np.cumsum(p_arr)])
+    m = len(out)
+    expect = np.empty(m)
+    for i in range(m):
+        best = -np.inf
+        for k in range(i + 1):
+            # min over j>=i of mean(y[k..j])
+            means = (cp[i + 1 :] - cp[k]) / (cn[i + 1 :] - cn[k])
+            best = max(best, means.min())
+        expect[i] = best
+    got = np.array(iso)
+    assert np.allclose(got, np.round(expect, 6), atol=2e-6), np.abs(
+        got - expect
+    ).max()
+
+
 def test_bloom_contamination_equals_exact_operator(spark):
     """The bloom is a pre-filter, not an approximation: after the exact
     verify join the result must EQUAL the broadcast-set operator row for
