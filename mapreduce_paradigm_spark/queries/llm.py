@@ -2333,3 +2333,146 @@ def q_dsir_weighted_resample(spark, sf_dir):
         "log_importance",
         F.row_number().over(w).cast("long").alias("sample_rank"),
     )
+
+
+@register(
+    "source_token_entropy",
+    oracle=r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab
+        FROM tc GROUP BY 1),
+terms AS (
+  SELECT tc.source,
+         CAST(round((CAST(c AS DOUBLE) / n_tokens)
+                    * ln(CAST(c AS DOUBLE) / n_tokens) * 1e9) AS BIGINT)
+           AS t_nano
+  FROM tc JOIN tot USING (source)
+)
+SELECT t.source, tot.n_tokens, tot.vocab,
+       round(-CAST(sum(t_nano) AS DOUBLE) / 1e9, 6) AS entropy_nats
+FROM terms t JOIN tot ON t.source = tot.source
+GROUP BY 1, 2, 3
+""",
+    description="Shannon entropy of each source's unigram token "
+    "distribution (nats) + vocab and token counts — the corpus-diversity "
+    "profile a mixture designer reads beside source_unigram_js_divergence "
+    "(a source whose entropy collapses is templated or machine-"
+    "generated). One tokenization pass, one (source, token) count "
+    "shuffle, one source rollup; per-term p·ln p values micro-round to "
+    "integer nanos BEFORE the sum (the engine-wide hash-stability "
+    "convention), so the entropy is an exact integer ratio — "
+    "order-independent, full oracle. At 100 TB the (source, token) grid "
+    "is the same bounded state every textstats operator here shuffles.",
+    tags=("llm", "quality", "text"),
+)
+def q_source_token_entropy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    tc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    terms = tc.join(F.broadcast(tot), "source").select(
+        "source",
+        F.round(p * F.log(p) * 1e9, 0).cast("long").alias("t_nano"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("t_nano").alias("s_nano"))
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(-F.col("s_nano").cast("double") / 1e9, 6).alias(
+                "entropy_nats"
+            ),
+        )
+    )
+
+
+@register(
+    "source_quantile_normalize",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS r,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+),
+gl AS (
+  SELECT n_chars AS g_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS g_rank
+  FROM documents
+),
+mapped AS (
+  SELECT doc_id, source, n_chars,
+         least(greatest(((2 * r - 1) * (SELECT count(*) FROM documents)
+                         + n_src) // (2 * n_src), 1),
+               (SELECT count(*) FROM documents)) AS g_rank
+  FROM src
+)
+SELECT m.doc_id, m.source, m.n_chars,
+       CAST(g.g_chars AS BIGINT) AS norm_chars
+FROM mapped m JOIN gl g USING (g_rank)
+""",
+    description="Quantile normalization of a per-source feature onto the "
+    "GLOBAL distribution (the bioinformatics/feature-prep transform): "
+    "each doc's within-source rank maps to the mid-rank-matched global "
+    "order statistic, so every source's n_chars distribution becomes the "
+    "pooled one while preserving within-source order — removes per-source "
+    "scale artifacts before cross-source comparisons. All ranks and the "
+    "mid-rank mapping ((2r−1)N + n_src) DIV (2·n_src) are exact integers "
+    "— hash-stable, full oracle. Two rank windows (one per-source, one "
+    "global — at 100 TB the global order statistic table compresses to "
+    "quantile sketch edges) + one integer equi-join.",
+    tags=("mlprep", "quality", "llm"),
+)
+def q_source_quantile_normalize(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wsn = Window.partitionBy("source")
+    src = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(wsn).alias("n_src"),
+    )
+    wg = Window.orderBy("n_chars", "doc_id")
+    glob = docs.select(
+        F.col("n_chars").alias("g_chars"),
+        F.row_number().over(wg).alias("g_rank"),
+    )
+    mapped = src.crossJoin(F.broadcast(n_total)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.least(
+            F.greatest(
+                F.expr("((2 * r - 1) * n_total + n_src) DIV (2 * n_src)"),
+                F.lit(1),
+            ),
+            F.col("n_total"),
+        ).alias("g_rank"),
+    )
+    return mapped.join(glob, "g_rank").select(
+        "doc_id", "source", "n_chars",
+        F.col("g_chars").cast("long").alias("norm_chars"),
+    )
