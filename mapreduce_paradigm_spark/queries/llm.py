@@ -354,6 +354,59 @@ def q_dedup_clusters_star(spark, sf_dir):
 
 
 @register(
+    "near_dedup_survivor_rates",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_COMPONENTS}
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       round(CAST(sum(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS survival_rate
+FROM documents d LEFT JOIN comp c USING (doc_id)
+GROUP BY 1
+""",
+    description="The END-TO-END near-dedup flow as ONE query: exact "
+    "Jaccard≥0.5 pairs (inverted-list generator) → connected components "
+    "(transitive closure — pairs alone under-delete chains A~B~C) → "
+    "keep-min-per-cluster survivor policy → per-source survival rollup. "
+    "The survivor test is doc_id == component (component IS the minimum "
+    "reachable id), so no second ranking pass; docs in no pair survive "
+    "via the left-join coalesce. Every stage is exact, so unlike the "
+    "MinHash production tier this composition carries a FULL value-hash "
+    "oracle (recursive-CTE closure) — the correctness spec the "
+    "approximate tiers are pinned against. Composes the already-"
+    "plan-audited pair and component operators; the rollup adds one "
+    "grouped count.",
+    tags=("dedup", "llm", "iterative", "quality"),
+)
+def q_near_dedup_survivor_rates(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, k=3, threshold=0.5)
+    comp = connected_components(pairs, edges_unique=True)
+    surv = F.when(
+        F.coalesce("component", F.col("doc_id")) == F.col("doc_id"), 1
+    ).otherwise(0)
+    return (
+        docs.select("doc_id", "source")
+        .join(comp, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(surv).cast("long").alias("n_survivors"),
+            F.round(
+                F.sum(surv).cast("double") / F.count(F.lit(1)), 6
+            ).alias("survival_rate"),
+        )
+    )
+
+
+@register(
     "benchmark_contamination",
     oracle=f"""
 WITH arr AS (SELECT doc_id, {_DUCK_TOKS} AS a FROM documents),
