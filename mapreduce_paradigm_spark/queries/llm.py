@@ -1827,6 +1827,64 @@ def q_source_kmv_overlap(spark, sf_dir):
 
 
 @register(
+    "source_mirroring_matrix",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+capped AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 64),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM common
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE c / (s1.sz + s2.sz - c) >= 0.5
+)
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents da ON d1 = da.doc_id
+JOIN documents db ON d2 = db.doc_id
+GROUP BY 1, 2
+""",
+    description="WHO mirrors WHOM at the document level: the near-dup "
+    "pair stream lifted to a source×source matrix (canonical "
+    "least/greatest source ordering; the diagonal is within-source "
+    "duplication, off-diagonal is cross-source mirroring). The "
+    "doc-level complement of source_kmv_overlap's token-level overlap "
+    "and the drill-down for source_near_dup_rates' per-source rate — "
+    "together they answer 'source X is 40% dups; against WHAT?'. Pair "
+    "machinery is the existing df-capped inverted-list path; the lift "
+    "adds two broadcast doc→source joins and one sources²-bounded "
+    "rollup; full oracle.",
+    tags=("dedup", "llm", "quality"),
+)
+def q_source_mirroring_matrix(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=64)
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))),
+            "d1",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))),
+            "d2",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+@register(
     "price_tdigest_quantiles",
     oracle=None,  # mergeable sketch, approximate by construction → rows-only;
     # rank-error bound vs the exact percentile tier pinned in pytest

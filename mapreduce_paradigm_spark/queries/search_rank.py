@@ -340,3 +340,126 @@ def q_embedding_truncation_rbo(spark, sf_dir):
             F.round(F.coalesce("wsum", F.lit(0)) / 1e10, 6).alias("rbo"),
         )
     )
+
+
+# --- graded retrieval metrics (nDCG@10 / MRR) --------------------------------
+
+# integer nano DCG weights: _DCG_W[i-1] = round(1e9 / log2(i+1));
+# _IDCG_W[m-1] = Σ_{i=1..m} _DCG_W[i-1] — ideal DCG with m relevant items
+_DCG_W = [
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+]
+_IDCG_W = [
+    1000000000, 1630929754, 2130929754, 2561606312, 2948459119,
+    3304666306, 3637999639, 3953464516, 4254494512, 4543559338,
+]
+
+
+@register(
+    "embedding_retrieval_ndcg",
+    oracle=f"""
+WITH topk AS (
+  SELECT q_id, neighbor_id, rnk FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id ASC) AS BIGINT) AS rnk
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id
+  ) WHERE rnk <= 10
+),
+w(m, wgt) AS (VALUES {", ".join(f"({i + 1}, CAST({v} AS BIGINT))" for i, v in enumerate(_DCG_W))}),
+iw(m, wgt) AS (VALUES {", ".join(f"({i + 1}, CAST({v} AS BIGINT))" for i, v in enumerate(_IDCG_W))}),
+lc AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM embeddings GROUP BY 1),
+scored AS (
+  SELECT t.q_id,
+         CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel,
+         t.rnk
+  FROM topk t
+  JOIN embeddings nl ON t.neighbor_id = nl.vec_id
+  JOIN embeddings ql ON t.q_id = ql.vec_id
+),
+per_q AS (
+  SELECT s.q_id,
+         CAST(sum(rel) AS BIGINT) AS n_rel_top10,
+         CAST(sum(rel * w.wgt) AS BIGINT) AS dcg_nano,
+         CAST(min(CASE WHEN rel = 1 THEN rnk END) AS BIGINT) AS first_rel
+  FROM scored s JOIN w ON w.m = s.rnk
+  GROUP BY 1
+)
+SELECT p.q_id, p.n_rel_top10,
+       round(CASE WHEN lc.cnt - 1 <= 0 THEN 0.0
+                  ELSE CAST(p.dcg_nano AS DOUBLE) / iw.wgt END, 6) AS ndcg,
+       round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr
+FROM per_q p
+JOIN embeddings q ON p.q_id = q.vec_id
+JOIN lc ON q.label = lc.label
+LEFT JOIN iw ON iw.m = least(10, greatest(lc.cnt - 1, 1))
+""",
+    description="Graded retrieval metrics for the exact cosine ranking "
+    "with label-match relevance: nDCG@10 (integer-nano DCG weights, "
+    "ideal DCG from the corpus-wide relevant count so a query with <10 "
+    "relevant items is not penalized for physics) and MRR — the "
+    "standard eval pair for any embedding index this engine serves. "
+    "All weights are precomputed integer nanos and relevance is 0/1, so "
+    "DCG/IDCG are exact integers and the metrics are exact ratios — "
+    "order-independent, full oracle. Corpus work is one broadcast-query "
+    "top-k pass + a broadcast label-count join; everything else is "
+    "candidate-scale.",
+    tags=("similarity", "search", "llm", "quality"),
+)
+def q_embedding_retrieval_ndcg(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.similarity import topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = topk_cosine(emb, queries, k=10).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rnk")
+    )
+    labels = emb.select("vec_id", "label")
+    lc = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    rel = F.when(F.col("nl") == F.col("ql"), 1).otherwise(0)
+    scored = (
+        topk.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl"))),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(labels.select(F.col("vec_id").alias("q_id"), F.col("label").alias("ql"))),
+            "q_id",
+        )
+        .select("q_id", "ql", rel.alias("rel"), "rnk")
+    )
+    wgt = F.element_at(
+        F.array(*[F.lit(v) for v in _DCG_W]), F.col("rnk").cast("int")
+    )
+    per_q = scored.groupBy("q_id", "ql").agg(
+        F.sum("rel").cast("long").alias("n_rel_top10"),
+        F.sum(F.col("rel") * wgt).cast("long").alias("dcg_nano"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).cast("long").alias(
+            "first_rel"
+        ),
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(v) for v in _IDCG_W]),
+        F.least(F.lit(10), F.greatest(F.col("cnt") - 1, F.lit(1))).cast("int"),
+    )
+    return (
+        per_q.join(F.broadcast(lc.withColumnRenamed("label", "ql")), "ql")
+        .select(
+            "q_id",
+            "n_rel_top10",
+            F.round(
+                F.when(F.col("cnt") - 1 <= 0, F.lit(0.0)).otherwise(
+                    F.col("dcg_nano").cast("double") / idcg
+                ),
+                6,
+            ).alias("ndcg"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+        )
+    )
