@@ -968,22 +968,54 @@ def jaccard_pairs_prefix_filter(
     plen = (
         F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
     ).cast("int")
+    # posexplode keeps each prefix token's 1-based RANK POSITION — fuel for
+    # the PPJoin POSITIONAL filter below (the length filter's sharper
+    # sibling): if jac(x,y) ≥ t the required overlap is α = ⌈t(|x|+|y|)/
+    # (1+t)⌉, and a token shared at ranked positions (p1, p2) bounds the
+    # overlap by 1 + min(|x|−p1, |y|−p2) (everything shared after the
+    # FIRST shared token sits strictly later in both ranked lists). A true
+    # pair always passes at its first shared prefix token, so filtering
+    # exploded rows BEFORE the distinct is lossless while discarding the
+    # bulk of the candidate stream (measured 409k → far fewer pair rows at
+    # sf0.1) before it ever shuffles into the distinct + verify joins.
     prefixes = docsets.select(
-        "doc_id", F.explode(F.slice("sids", 1, plen)).alias("sid")
+        "doc_id",
+        "sz",
+        F.posexplode(F.slice("sids", 1, plen)).alias("p0", "sid"),
+    )
+    alpha = F.ceil(
+        F.lit(threshold) * (F.col("e.s1") + F.col("e.s2")) / F.lit(1.0 + threshold)
+    )
+    ubound = 1 + F.least(
+        F.col("e.s1") - F.col("e.p1"), F.col("e.s2") - F.col("e.p2")
     )
     cand = (
         prefixes.groupBy("sid")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("doc_id").alias("doc_id"),
+                        (F.col("p0") + 1).alias("p"),
+                        F.col("sz").alias("sz"),
+                    )
+                )
+            ).alias("ds")
+        )
         .filter(F.size("ds") >= 2)
         .select(
             F.explode(
                 F.expr(
                     "flatten(transform(ds, (x, i) -> transform("
-                    "slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+                    "slice(ds, i + 2, size(ds)), y -> struct("
+                    "x.doc_id AS d1, y.doc_id AS d2, "
+                    "x.p AS p1, y.p AS p2, "
+                    "x.sz AS s1, y.sz AS s2))))"
                 )
-            ).alias("p")
+            ).alias("e")
         )
-        .select("p.d1", "p.d2")
+        .filter(ubound >= alpha)
+        .select("e.d1", "e.d2")
         .distinct()
     )
     a = docsets.select(
