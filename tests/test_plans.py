@@ -367,3 +367,57 @@ def test_registry_age_ledger_complete():
     assert len(ledger) == len(set(ledger)), "duplicate names in REGISTRY_AGE.txt"
     missing = sorted(set(all_specs()) - set(ledger))
     assert not missing, f"append to REGISTRY_AGE.txt: {missing}"
+
+
+def test_duplicate_span_extraction_three_exchanges(spark):
+    # window df (sid), dup-sid semi-join side, per-doc island rollup — the
+    # documented three-shuffle budget; text columns must not survive past
+    # the hash (shuffles carry 8-byte sids + positions only)
+    import re
+
+    plan = formatted_plan(_df(spark, "duplicate_span_extraction"))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) <= 4, plan
+    # the semi-join's build side (small dup-sid set) must broadcast or
+    # at minimum never carry text; no Exchange row mentions the text column
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_kmv_overlap_pair_stage_is_sketch_sized(spark):
+    # the corpus touches only the distinct + per-source top-k; the pair
+    # matrix must be built from the windowed sketch (n_sources × k rows),
+    # never a corpus-scale self-join → no SortMergeJoin over the raw
+    # shingle stream (all sketch joins are broadcast-able)
+    plan = formatted_plan(_df(spark, "source_kmv_overlap"))
+    assert "CartesianProduct" not in plan
+    # sketch truncation happens before pairing: a row_number window with
+    # the k-filter must appear upstream of every join
+    assert "row_number" in plan
+
+
+def test_sq8_corpus_never_shuffles(spark):
+    # same contract as the exact ANN tier: the corpus stream feeds
+    # MapInPandas without an exchange, so EVERY shuffle in the plan must be
+    # keyed by q_id — i.e. it moves candidate/shortlist rows, never corpus
+    import re
+
+    plan = formatted_plan(_df(spark, "embedding_sq8_topk"))
+    assert "MapInPandas" in plan
+    found = [
+        m.group(1)
+        for m in re.finditer(
+            r"^\(\d+\) Exchange\n(?:.*\n){1,4}?.*Arguments: (.*)$",
+            plan,
+            flags=re.M,
+        )
+    ]
+    assert found, plan  # format drift guard: the scan must stay non-vacuous
+    for args in found:
+        assert "q_id" in args, args
+
+
+def test_near_dedup_pipeline_no_cartesian(spark):
+    plan = formatted_plan(_df(spark, "near_dedup_survivor_rates"))
+    assert "CartesianProduct" not in plan
