@@ -2259,3 +2259,159 @@ def q_ab_conversion_sprt(spark, sf_dir):
         )
     )
     return _scoped(out)
+
+
+# --- group-sequential monitoring (O'Brien-Fleming) ---------------------------
+
+# b_k = 2.04·√(K/k) for K=5 looks, two-sided α≈0.05 — the OBF shape: nearly
+# unspendable early boundaries, full-strength final look. Literal doubles,
+# identical in both engines.
+_OBF_BOUNDS = [4.561579, 3.225523, 2.633629, 2.280789, 2.04]
+
+
+@register(
+    "ab_conversion_group_sequential",
+    oracle=f"""
+WITH assigned AS (
+  SELECT user_id, user_id % 2 AS variant,
+         min(ts) FILTER (WHERE event_type = 'signup') AS signup_ts,
+         CASE WHEN min(ts) FILTER (WHERE event_type = 'purchase')
+                   > min(ts) FILTER (WHERE event_type = 'signup')
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+  HAVING min(ts) FILTER (WHERE event_type = 'signup') IS NOT NULL
+),
+ranked AS (
+  SELECT variant, converted,
+         row_number() OVER (ORDER BY signup_ts, user_id) AS rn,
+         count(*) OVER () AS n_total
+  FROM assigned
+),
+looks AS (
+  SELECT CAST(((rn - 1) * 5) // n_total + 1 AS BIGINT) AS look,
+         variant, converted
+  FROM ranked
+),
+per_look AS (
+  SELECT look,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_i,
+         CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS ca_i,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_i,
+         CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS cb_i
+  FROM looks GROUP BY 1
+),
+cum AS (
+  SELECT look,
+         CAST(sum(na_i) OVER w AS BIGINT) AS na,
+         CAST(sum(ca_i) OVER w AS BIGINT) AS ca,
+         CAST(sum(nb_i) OVER w AS BIGINT) AS nb,
+         CAST(sum(cb_i) OVER w AS BIGINT) AS cb
+  FROM per_look
+  WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT look, na, ca, nb, cb,
+         round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+               / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                      * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                      * (1.0 / na + 1.0 / nb)), 6) AS z,
+         CASE look {" ".join(f"WHEN {k + 1} THEN {b}" for k, b in enumerate(_OBF_BOUNDS))} END AS boundary
+  FROM cum
+)
+SELECT look, na, ca, nb, cb, z, boundary,
+       CAST(CASE WHEN abs(z) >= boundary THEN 1 ELSE 0 END AS BIGINT)
+         AS crossed
+FROM scored
+""",
+    description="O'Brien-Fleming group-sequential monitoring of the A/B "
+    "conversion stream (K=5 equal-information looks, two-sided α≈0.05): "
+    "per look, the cumulative two-proportion z against the OBF boundary "
+    "2.04·√(K/k) — nearly unspendable early, full-strength at the final "
+    "look; the scheduled-peeking complement to ab_conversion_sprt's "
+    "continuous walk. Look assignment is an exact integer rank bucket, "
+    "all counts are exact integer cumulative sums over a 5-row window, "
+    "and z/boundary are identical double expressions in both engines — "
+    "full oracle. Corpus work is one per-user aggregate + one "
+    "rank window (time-bounded user stream); the look grid is 5 rows.",
+    tags=("statistics", "drift", "events"),
+)
+def q_ab_conversion_group_sequential(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    assigned = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "signup_ts"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("purchase_ts"),
+        )
+        .filter(F.col("signup_ts").isNotNull())
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).alias("variant"),
+            "signup_ts",
+            F.when(
+                F.col("purchase_ts") > F.col("signup_ts"), 1
+            ).otherwise(0).alias("converted"),
+        )
+    )
+    wr = Window.orderBy("signup_ts", "user_id")
+    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    looks = assigned.select(
+        "variant",
+        "converted",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_total"),
+    ).select(
+        (F.expr("((rn - 1) * 5) DIV n_total") + 1).cast("long").alias("look"),
+        "variant",
+        "converted",
+    )
+    per_look = looks.groupBy("look").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("na_i"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("ca_i"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("nb_i"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("cb_i"),
+    )
+    wc = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_look.select(
+        "look",
+        F.sum("na_i").over(wc).cast("long").alias("na"),
+        F.sum("ca_i").over(wc).cast("long").alias("ca"),
+        F.sum("nb_i").over(wc).cast("long").alias("nb"),
+        F.sum("cb_i").over(wc).cast("long").alias("cb"),
+    )
+    p_pool = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    z = F.round(
+        (
+            F.col("ca").cast("double") / F.col("na")
+            - F.col("cb").cast("double") / F.col("nb")
+        )
+        / F.sqrt(
+            p_pool * (1 - p_pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+        ),
+        6,
+    )
+    boundary = F.element_at(
+        F.array(*[F.lit(b) for b in _OBF_BOUNDS]), F.col("look").cast("int")
+    )
+    return cum.select(
+        "look",
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        z.alias("z"),
+        boundary.alias("boundary"),
+        F.when(F.abs(z) >= boundary, 1).otherwise(0).cast("long").alias("crossed"),
+    )

@@ -925,3 +925,49 @@ def q_contrastive_inbatch_negatives(spark, sf_dir):
         )
         .select("anchor_id", F.col("x.negative_id").alias("negative_id"), F.col("x.slot").alias("slot"))
     )
+
+
+@register(
+    "kfold_split_summary",
+    oracle="""
+WITH folds AS (
+  SELECT ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5
+           AS fold,
+         source, n_chars
+  FROM documents
+)
+SELECT fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM folds GROUP BY 1
+""",
+    description="Deterministic 5-fold cross-validation assignment + "
+    "per-fold balance summary: fold = md5-hash of a salted doc key mod "
+    "5 — no RNG state, so folds are identical across engines, reruns, "
+    "and cluster sizes (the property sampleBy cannot give), and any "
+    "worker can recompute membership locally (no fold table to "
+    "broadcast). The summary (docs, distinct sources, char mass per "
+    "fold) is the balance check run before trusting the split. One "
+    "grouped aggregate; exact-integer outputs; full oracle.",
+    tags=("mlprep", "sampling", "llm"),
+)
+def q_kfold_split_summary(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.expr(
+        "CAST(conv(substr(md5(concat('fold:', CAST(doc_id AS STRING))), 1, 15),"
+        " 16, 10) AS BIGINT) % 5"
+    )
+    return (
+        docs.select(fold.alias("fold"), "source", "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+        )
+    )
