@@ -2587,3 +2587,127 @@ def q_source_quantile_normalize(spark, sf_dir):
         "doc_id", "source", "n_chars",
         F.col("g_chars").cast("long").alias("norm_chars"),
     )
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    """Unrolled multi-round BPE: per round, top (count desc, pair asc)
+    adjacent-symbol pair over the weighted vocabulary, then a TWO-PASS
+    boundary-anchored replace — pass 1's left-to-right scan consumes the
+    trailing separator of each match, so it can miss an occurrence whose
+    leading space was consumed; such misses are never adjacent (a miss
+    implies its predecessor merged), hence pass 2 catches exactly the
+    rest and two passes equal greedy all-non-overlapping BPE rewriting."""
+    cte = [
+        r"""WITH dw AS (
+  SELECT lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS word
+  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS t FROM documents)
+  WHERE lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) <> ''
+)""",
+        "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wn FROM dw GROUP BY 1)",
+        r"v0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sp, wn FROM wc)",
+    ]
+    for r in range(1, rounds + 1):
+        cte.append(
+            f"p{r} AS (SELECT s[i] || ' ' || s[i+1] AS pair,"
+            f" CAST(sum(wn) AS BIGINT) AS n"
+            f" FROM (SELECT regexp_split_to_array(trim(sp), ' ') AS s, wn FROM v{r - 1}),"
+            f" LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) t"
+            f" WHERE len(s) >= 2 GROUP BY 1)"
+        )
+        cte.append(
+            f"b{r} AS (SELECT pair, n, replace(pair, ' ', '') AS merged"
+            f" FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1)"
+        )
+        cte.append(
+            f"v{r} AS (SELECT replace(replace(sp,"
+            f" ' ' || b{r}.pair || ' ', ' ' || b{r}.merged || ' '),"
+            f" ' ' || b{r}.pair || ' ', ' ' || b{r}.merged || ' ') AS sp, wn"
+            f" FROM v{r - 1}, b{r})"
+        )
+        cte.append(
+            f"s{r} AS (SELECT CAST(sum(wn * len(regexp_split_to_array(trim(sp), ' ')))"
+            f" AS BIGINT) AS syms FROM v{r})"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, merged, n,"
+        f" (SELECT syms FROM s{r}) AS corpus_symbols_after FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return ",\n".join(cte) + "\n" + rows
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle(3),
+    description="MULTI-ROUND BPE vocabulary induction (3 unrolled merge "
+    "rounds): each round counts adjacent-symbol pairs over the weighted "
+    "vocabulary (never re-touching text — the corpus-scale work is the "
+    "one word-count aggregate bpe_merge_candidates already pays), picks "
+    "the top pair under a tie-free total order, and rewrites every "
+    "vocabulary word with a TWO-PASS boundary-anchored replace (pass-1 "
+    "misses are provably never adjacent, so two passes equal greedy "
+    "non-overlapping BPE merging — the proof sketch is in the oracle "
+    "helper). Emits (round, pair, merged, weighted count, corpus "
+    "symbols after) — the symbols-after column certifies the rewrite "
+    "applied identically in both engines (delta == merge count). "
+    "Iterating further is the same vocab-scale round; full oracle.",
+    tags=("llm", "text", "iterative"),
+)
+def q_bpe_learn_merges(spark, sf_dir):
+    from mapreduce_paradigm_spark.functions import doc_words
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = _tracked_persist(
+        doc_words(docs).groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+    )
+    v = wc.select(
+        F.concat(F.lit(" "), F.expr(r"regexp_replace(word, '(.)', '$1 ')")).alias(
+            "sp"
+        ),
+        "wn",
+    )
+    out = None
+    for r in range(1, 4):
+        pairs = v.select(
+            F.expr("split(trim(sp), ' ')").alias("s"), "wn"
+        ).filter(F.size("s") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(s) - 2),"
+                    " i -> concat(s[i], ' ', s[i+1]))"
+                )
+            ).alias("pair"),
+            "wn",
+        )
+        cnt = pairs.groupBy("pair").agg(F.sum("wn").cast("long").alias("n"))
+        best = (
+            cnt.orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .select("pair", "n", F.expr("replace(pair, ' ', '')").alias("merged"))
+        )
+        v = v.crossJoin(F.broadcast(best)).select(
+            F.expr(
+                "replace(replace(sp,"
+                " concat(' ', pair, ' '), concat(' ', merged, ' ')),"
+                " concat(' ', pair, ' '), concat(' ', merged, ' '))"
+            ).alias("sp"),
+            "wn",
+        )
+        syms = v.agg(
+            F.sum(
+                F.col("wn")
+                * F.size(F.expr("split(trim(sp), ' ')"))
+            )
+            .cast("long")
+            .alias("corpus_symbols_after")
+        )
+        row = best.crossJoin(F.broadcast(syms)).select(
+            F.lit(r).cast("long").alias("round"),
+            "pair",
+            "merged",
+            "n",
+            "corpus_symbols_after",
+        )
+        out = row if out is None else out.unionByName(row)
+    return _scoped(out)
