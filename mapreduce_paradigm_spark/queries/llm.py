@@ -2711,3 +2711,149 @@ def q_bpe_learn_merges(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return _scoped(out)
+
+
+def _bpe_encode_oracle(rounds: int = 3) -> str:
+    """Tokenizer APPLICATION oracle: the same unrolled merge rounds as
+    ``_bpe_oracle`` but keyed by word, so the final per-word symbol count
+    can be joined back to the per-(source, word) term frequencies and
+    aggregated — per source — into token totals and chars-per-token."""
+    cte = [
+        r"""WITH dw AS (
+  SELECT source, lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS word
+  FROM (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS t
+        FROM documents)
+  WHERE lower(regexp_replace(t, '[^A-Za-z]', '', 'g')) <> ''
+)""",
+        "swc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS swn"
+        " FROM dw GROUP BY 1, 2)",
+        "wc AS (SELECT word, CAST(sum(swn) AS BIGINT) AS wn"
+        " FROM swc GROUP BY 1)",
+        r"v0 AS (SELECT word, ' ' || regexp_replace(word, '(.)', '\1 ', 'g')"
+        r" AS sp, wn FROM wc)",
+    ]
+    for r in range(1, rounds + 1):
+        cte.append(
+            f"p{r} AS (SELECT s[i] || ' ' || s[i+1] AS pair,"
+            f" CAST(sum(wn) AS BIGINT) AS n"
+            f" FROM (SELECT regexp_split_to_array(trim(sp), ' ') AS s, wn"
+            f" FROM v{r - 1}),"
+            f" LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) t"
+            f" WHERE len(s) >= 2 GROUP BY 1)"
+        )
+        cte.append(
+            f"b{r} AS (SELECT pair, replace(pair, ' ', '') AS merged"
+            f" FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1)"
+        )
+        cte.append(
+            f"v{r} AS (SELECT word, replace(replace(sp,"
+            f" ' ' || b{r}.pair || ' ', ' ' || b{r}.merged || ' '),"
+            f" ' ' || b{r}.pair || ' ', ' ' || b{r}.merged || ' ') AS sp, wn"
+            f" FROM v{r - 1}, b{r})"
+        )
+    cte.append(
+        f"tok AS (SELECT word,"
+        f" CAST(len(regexp_split_to_array(trim(sp), ' ')) AS BIGINT) AS t"
+        f" FROM v{rounds})"
+    )
+    return ",\n".join(cte) + """
+SELECT swc.source,
+       CAST(sum(swn) AS BIGINT) AS n_words,
+       CAST(sum(swn * tok.t) AS BIGINT) AS n_tokens,
+       CAST(sum(swn * strlen(swc.word)) AS BIGINT) AS n_chars,
+       CAST((sum(swn * strlen(swc.word)) * 1000000)
+            // sum(swn * tok.t) AS BIGINT) AS chars_per_token_micro
+FROM swc JOIN tok USING (word)
+GROUP BY 1
+"""
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(3),
+    description="Tokenizer APPLICATION — the other half of the BPE loop "
+    "bpe_learn_merges starts: learn the same 3 merges on the global "
+    "weighted vocabulary, apply them to every vocabulary word (vocab-"
+    "scale rewrite, never re-touching text), then join the per-word "
+    "token counts back to the per-(source, word) term frequencies and "
+    "aggregate per source: word/token/char totals and the integer-micros "
+    "chars-per-token compression ratio — the number a tokenizer budget "
+    "plan is built on. Corpus-scale work is exactly ONE (source, word) "
+    "count aggregate; the merge rounds and the final join are vocab-"
+    "scale (the token table joins on word, shuffle-partitioned — no "
+    "broadcast assumption, vocabularies at 100 TB exceed driver memory). "
+    "Full oracle.",
+    tags=("llm", "text"),
+)
+def q_bpe_encode_corpus(spark, sf_dir):
+    from mapreduce_paradigm_spark.functions import normalized_word, tokens
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .select("source", normalized_word(F.col("token")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    swc = _tracked_persist(
+        words.groupBy("source", "word").agg(
+            F.count(F.lit(1)).cast("long").alias("swn")
+        )
+    )
+    wc = swc.groupBy("word").agg(F.sum("swn").cast("long").alias("wn"))
+    v = wc.select(
+        "word",
+        F.concat(
+            F.lit(" "), F.expr(r"regexp_replace(word, '(.)', '$1 ')")
+        ).alias("sp"),
+        "wn",
+    )
+    for _ in range(3):
+        pairs = v.select(
+            F.expr("split(trim(sp), ' ')").alias("s"), "wn"
+        ).filter(F.size("s") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(s) - 2),"
+                    " i -> concat(s[i], ' ', s[i+1]))"
+                )
+            ).alias("pair"),
+            "wn",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wn").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .select("pair", F.expr("replace(pair, ' ', '')").alias("merged"))
+        )
+        v = v.crossJoin(F.broadcast(best)).select(
+            "word",
+            F.expr(
+                "replace(replace(sp,"
+                " concat(' ', pair, ' '), concat(' ', merged, ' ')),"
+                " concat(' ', pair, ' '), concat(' ', merged, ' '))"
+            ).alias("sp"),
+            "wn",
+        )
+    tok = v.select(
+        "word", F.size(F.expr("split(trim(sp), ' ')")).cast("long").alias("t")
+    )
+    out = (
+        swc.join(tok, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("swn").cast("long").alias("n_words"),
+            F.sum(F.col("swn") * F.col("t")).cast("long").alias("n_tokens"),
+            F.sum(F.col("swn") * F.length("word"))
+            .cast("long")
+            .alias("n_chars"),
+            F.expr(
+                "CAST((sum(swn * length(word)) * 1000000)"
+                " DIV sum(swn * t) AS BIGINT)"
+            ).alias("chars_per_token_micro"),
+        )
+    )
+    return _scoped(out)
