@@ -361,3 +361,252 @@ def q_events_compaction_plan(spark, sf_dir):
             "ELSE (est_bytes + 262143) DIV 262144 END) AS BIGINT)"
         ).alias("rows_per_file"),
     )
+
+
+# --- zone-map data-skipping effectiveness -------------------------------------
+
+_ZM_BITS = 12  # 4096 covers the fixture's ~2400-day span without wraparound
+_ZM_ZONES = 64
+_ZM_CK_LO, _ZM_CK_HI = 100, 199
+_ZM_D_LO, _ZM_D_HI = 730, 911  # days since 1995-01-01: 1997-01-01..1997-07-01
+
+_ZM_ZK = zorder_key_expr("ck", "dy", _ZM_BITS)
+
+# One layout per row: the physical sort order under test. Shared verbatim by
+# Spark and DuckDB (ntile + min/max + the same scan predicate), so the two
+# engines grade identical zone maps.
+_ZM_LAYOUTS = (
+    ("date_sorted", "day_nr, o_orderkey"),
+    ("custkey_sorted", "o_custkey, o_orderkey"),
+    ("zorder", "zkey, o_orderkey"),
+)
+
+
+def _zone_map_oracle() -> str:
+    unions = []
+    for name, order in _ZM_LAYOUTS:
+        unions.append(
+            f"""
+SELECT '{name}' AS layout,
+       CAST(count(*) AS BIGINT) AS n_zones,
+       CAST(count(*) FILTER (WHERE scanned) AS BIGINT) AS zones_scanned,
+       CAST(coalesce(sum(n_rows) FILTER (WHERE scanned), 0) AS BIGINT)
+         AS rows_scanned,
+       CAST(coalesce(sum(n_hits) FILTER (WHERE scanned), 0) AS BIGINT)
+         AS rows_matched
+FROM (
+  SELECT zone, count(*) AS n_rows,
+         count(*) FILTER (WHERE hit) AS n_hits,
+         max(o_custkey) >= {_ZM_CK_LO} AND min(o_custkey) <= {_ZM_CK_HI}
+         AND max(day_nr) >= {_ZM_D_LO} AND min(day_nr) <= {_ZM_D_HI}
+           AS scanned
+  FROM (SELECT *, ntile({_ZM_ZONES}) OVER (ORDER BY {order}) AS zone
+        FROM dims)
+  GROUP BY zone
+)"""
+        )
+    body = "\nUNION ALL\n".join(unions)
+    return f"""
+WITH dims AS (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS day_nr,
+         o_custkey % {1 << _ZM_BITS} AS ck,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           % {1 << _ZM_BITS} AS dy,
+         o_custkey BETWEEN {_ZM_CK_LO} AND {_ZM_CK_HI}
+         AND datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+             BETWEEN {_ZM_D_LO} AND {_ZM_D_HI} AS hit
+  FROM orders
+),
+dims2 AS (SELECT *, CAST({_ZM_ZK} AS BIGINT) AS zkey FROM dims)
+{body.replace("FROM dims)", "FROM dims2)")}
+ORDER BY layout
+"""
+
+
+@register(
+    "orders_zone_map_skipping",
+    oracle=_zone_map_oracle(),
+    description="Zone-map (row-group min/max) data-skipping grader — the "
+    "measurement half of the Z-order layout pair (orders_zorder_key / "
+    "write_zorder_parquet): lay the fact table out three ways (date-"
+    "sorted, custkey-sorted, Z-order Morton-interleaved), slice each "
+    "layout into 64 equal zones (ntile = parquet row groups), build "
+    "each zone's min/max stats on BOTH raw predicate columns, and "
+    "grade one two-dimensional scan predicate (custkey range x date "
+    "range) against the maps: zones scanned, rows read, rows actually "
+    "matched. Single-column sorts prune only their own dimension; the "
+    "Morton layout prunes on both — this query turns that claim into "
+    "audited numbers, exactly how a lakehouse OPTIMIZE decision should "
+    "be justified. The zone build is one window + one grouped agg per "
+    "layout over a 4-column projection (scan reads nothing else); at "
+    "100 TB the same grader runs on parquet footer stats via a "
+    "metadata-only scan instead of ntile. Full oracle (the interleave "
+    "arithmetic and predicate are shared verbatim with DuckDB).",
+    tags=("warehouse", "layout", "orders"),
+)
+def q_orders_zone_map_skipping(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    day_nr = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    )
+    dims = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        day_nr.alias("day_nr"),
+        (F.col("o_custkey") % (1 << _ZM_BITS)).alias("ck"),
+        (day_nr % (1 << _ZM_BITS)).alias("dy"),
+        (
+            F.col("o_custkey").between(_ZM_CK_LO, _ZM_CK_HI)
+            & day_nr.between(_ZM_D_LO, _ZM_D_HI)
+        ).alias("hit"),
+    ).withColumn("zkey", F.expr(f"CAST({_ZM_ZK} AS BIGINT)"))
+    out = None
+    for name, order in _ZM_LAYOUTS:
+        zones = (
+            dims.withColumn(
+                "zone",
+                F.ntile(_ZM_ZONES).over(
+                    Window.orderBy(*[c.strip() for c in order.split(",")])
+                ),
+            )
+            .groupBy("zone")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_if("hit").alias("n_hits"),
+                (
+                    (F.max("o_custkey") >= _ZM_CK_LO)
+                    & (F.min("o_custkey") <= _ZM_CK_HI)
+                    & (F.max("day_nr") >= _ZM_D_LO)
+                    & (F.min("day_nr") <= _ZM_D_HI)
+                ).alias("scanned"),
+            )
+        )
+        row = zones.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_zones"),
+            F.count_if("scanned").cast("long").alias("zones_scanned"),
+            F.coalesce(
+                F.sum(F.when(F.col("scanned"), F.col("n_rows"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("rows_scanned"),
+            F.coalesce(
+                F.sum(F.when(F.col("scanned"), F.col("n_hits"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("rows_matched"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --- golden-record survivorship ------------------------------------------------
+
+
+@register(
+    "customer_golden_record",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey,
+         o_orderstatus, o_orderpriority, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+           AS rn_recent,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC)
+           AS rn_value,
+         count(*) OVER (PARTITION BY o_custkey, o_orderpriority) AS pcnt
+  FROM orders
+),
+freq AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY pcnt DESC, o_orderpriority ASC,
+                                        o_orderdate DESC)
+              AS rn_freq
+  FROM ranked
+)
+SELECT o_custkey AS custkey,
+       CAST(count(*) AS BIGINT) AS n_records,
+       max(CASE WHEN rn_recent = 1 THEN o_orderstatus END) AS status_recent,
+       max(CASE WHEN rn_value = 1 THEN o_orderpriority END)
+         AS priority_best_value,
+       max(CASE WHEN rn_freq = 1 THEN o_orderpriority END)
+         AS priority_most_frequent,
+       min(o_orderdate) AS first_seen,
+       max(o_orderdate) AS last_seen,
+       CAST(sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT))
+            AS BIGINT) AS lifetime_micro
+FROM freq
+GROUP BY 1
+""",
+    description="Entity-resolution golden-record build with per-attribute "
+    "survivorship rules — the merge step every MDM / customer-360 "
+    "pipeline runs after matching: for each entity (customer), fuse its "
+    "records (orders) into ONE row where each attribute survives by its "
+    "own rule: status by RECENCY (latest record wins), priority by BEST "
+    "VALUE (the record with the highest monetary total donates it) and "
+    "separately by FREQUENCY (modal value, ties broken lexically then "
+    "by recency), plus first/last-seen bounds and an integer-micros "
+    "lifetime total. All three argmax rules are row_number survivor "
+    "flags folded by conditional aggregation, so the whole fuse is ONE "
+    "hash shuffle on the entity key: the recency/value windows sort "
+    "within the same custkey partitioning, the frequency count's "
+    "(custkey, priority) clustering is satisfied by hash(custkey) — no "
+    "second exchange — and the final groupBy reuses it again. At 100 TB "
+    "the entity key is the match-cluster id from dedup_clusters and the "
+    "same plan applies unchanged. Full oracle.",
+    tags=("warehouse", "window", "orders"),
+)
+def q_customer_golden_record(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w_recent = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    w_value = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+    )
+    ranked = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_totalprice",
+        F.row_number().over(w_recent).alias("rn_recent"),
+        F.row_number().over(w_value).alias("rn_value"),
+    ).withColumn(
+        "pcnt",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("o_custkey", "o_orderpriority")
+        ),
+    )
+    freq = ranked.withColumn(
+        "rn_freq",
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("pcnt").desc(),
+                F.col("o_orderpriority").asc(),
+                F.col("o_orderdate").desc(),
+            )
+        ),
+    )
+    return freq.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.max(
+            F.when(F.col("rn_recent") == 1, F.col("o_orderstatus"))
+        ).alias("status_recent"),
+        F.max(
+            F.when(F.col("rn_value") == 1, F.col("o_orderpriority"))
+        ).alias("priority_best_value"),
+        F.max(
+            F.when(F.col("rn_freq") == 1, F.col("o_orderpriority"))
+        ).alias("priority_most_frequent"),
+        F.min("o_orderdate").alias("first_seen"),
+        F.max("o_orderdate").alias("last_seen"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 1000000, 0).cast("long")
+        )
+        .cast("long")
+        .alias("lifetime_micro"),
+    )

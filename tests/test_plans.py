@@ -421,3 +421,25 @@ def test_sq8_corpus_never_shuffles(spark):
 def test_near_dedup_pipeline_no_cartesian(spark):
     plan = formatted_plan(_df(spark, "near_dedup_survivor_rates"))
     assert "CartesianProduct" not in plan
+
+
+def test_golden_record_single_entity_exchange(spark):
+    # all three survivorship windows, the (custkey, priority) frequency
+    # count, and the final fuse groupBy must share ONE hash shuffle on the
+    # entity key: hash(o_custkey) satisfies every later clustering
+    import re
+
+    plan = formatted_plan(_df(spark, "customer_golden_record"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(o_custkey" in plan, plan
+
+
+def test_zone_map_grader_exchanges_are_metadata_scale(spark):
+    # the ntile zone slice is the fixture stand-in for parquet footer
+    # stats: one SinglePartition exchange per graded layout and no
+    # corpus-scale hash shuffle anywhere
+    import re
+
+    plan = formatted_plan(_df(spark, "orders_zone_map_skipping"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3, plan
+    assert "hashpartitioning" not in plan, plan
