@@ -610,3 +610,79 @@ def q_customer_golden_record(spark, sf_dir):
         .cast("long")
         .alias("lifetime_micro"),
     )
+
+
+# --- incremental rollup maintenance -------------------------------------------
+
+_IRM_SPLIT = "DATE '1999-01-01'"
+
+
+@register(
+    "orders_incremental_rollup_merge",
+    oracle="""
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_micro,
+       CAST(min(CAST(round(o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS min_price_micro,
+       CAST(max(CAST(round(o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS max_price_micro,
+       CAST(sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT))
+            // count(*) AS BIGINT) AS avg_price_micro
+FROM orders
+GROUP BY 1
+""",
+    description="Incremental materialized-view maintenance — merge of "
+    "partial aggregation STATE: the monthly revenue rollup is kept as "
+    "mergeable partials (count, sum, min, max — never avg), the "
+    "late-arriving delta batch (orders on/after the split date) is "
+    "aggregated alone, and the refreshed view is a full-outer "
+    "key-merge of the two partial tables combining each component by "
+    "its own monoid (+, +, least, greatest) with avg DERIVED from "
+    "merged sum/count at read time. The ORACLE aggregates the whole "
+    "table from scratch, so any error in the merge algebra (the "
+    "classic avg-of-avgs bug, a dropped delta-only or base-only key) "
+    "hash-mismatches. At 100 TB this is the nightly-refresh pattern: "
+    "the base rescan disappears (only its stored partials are read) "
+    "and cost is delta-sized; the same algebra is what partial "
+    "ObjectHashAggregate does inside one query, lifted across query "
+    "BOUNDARIES. Both sides group on the same key, and the merge join "
+    "keys equal the grouping keys — one shuffle each side, "
+    "output-sized. Full oracle.",
+    tags=("warehouse", "orders", "incremental"),
+)
+def q_orders_incremental_rollup_merge(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    micro = F.round(F.col("o_totalprice") * 1000000, 0).cast("long")
+    month = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+
+    def partials(df):
+        return df.groupBy(month.alias("month")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(micro).cast("long").alias("s"),
+            F.min(micro).cast("long").alias("mn"),
+            F.max(micro).cast("long").alias("mx"),
+        )
+
+    split = F.expr(_IRM_SPLIT)
+    base = partials(orders.filter(F.col("o_orderdate").cast("date") < split))
+    delta = partials(orders.filter(F.col("o_orderdate").cast("date") >= split))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, "month", "full_outer").select(
+        "month",
+        (F.coalesce(F.col("b.cnt"), F.lit(0)) + F.coalesce(F.col("d.cnt"), F.lit(0))).alias("n_orders"),
+        (F.coalesce(F.col("b.s"), F.lit(0)) + F.coalesce(F.col("d.s"), F.lit(0))).alias("revenue_micro"),
+        F.least(
+            F.coalesce(F.col("b.mn"), F.col("d.mn")),
+            F.coalesce(F.col("d.mn"), F.col("b.mn")),
+        ).alias("min_price_micro"),
+        F.greatest(
+            F.coalesce(F.col("b.mx"), F.col("d.mx")),
+            F.coalesce(F.col("d.mx"), F.col("b.mx")),
+        ).alias("max_price_micro"),
+    )
+    return merged.withColumn(
+        "avg_price_micro",
+        F.expr("CAST(revenue_micro DIV n_orders AS BIGINT)"),
+    )
