@@ -983,11 +983,27 @@ def jaccard_pairs_prefix_filter(
         "sz",
         F.posexplode(F.slice("sids", 1, plen)).alias("p0", "sid"),
     )
-    alpha = F.ceil(
-        F.lit(threshold) * (F.col("e.s1") + F.col("e.s2")) / F.lit(1.0 + threshold)
-    )
+    # Positional-filter bound in EXACT INTEGER arithmetic: express the
+    # threshold as a rational num/den ≤ t (largest such with den ≤ 10⁴ —
+    # exact for every t a caller actually passes, e.g. 0.5 → 1/2,
+    # 0.8 → 4/5). The float form ceil(t·(s1+s2)/(1+t)) can land a few ULP
+    # above an exact integer for thresholds not representable in binary
+    # and round UP, pruning true pairs sitting exactly at the threshold —
+    # a latent losslessness violation (round-5 advisor finding). The
+    # candidate test o ≥ t(s1+s2)/(1+t) ⇔ ubound·(num+den) ≥ num·(s1+s2)
+    # never overflows: num, den ≤ 10⁴ and set sizes are per-doc shingle
+    # counts, so the products sit far inside BIGINT.
+    from fractions import Fraction
+
+    tfrac = Fraction(threshold).limit_denominator(10**4)
+    if tfrac > Fraction(threshold):
+        tfrac -= Fraction(1, tfrac.denominator)
+    t_num, t_den = tfrac.numerator, tfrac.denominator
     ubound = 1 + F.least(
         F.col("e.s1") - F.col("e.p1"), F.col("e.s2") - F.col("e.p2")
+    )
+    alpha_ok = ubound * F.lit(t_num + t_den) >= F.lit(t_num) * (
+        F.col("e.s1") + F.col("e.s2")
     )
     cand = (
         prefixes.groupBy("sid")
@@ -1014,7 +1030,7 @@ def jaccard_pairs_prefix_filter(
                 )
             ).alias("e")
         )
-        .filter(ubound >= alpha)
+        .filter(alpha_ok)
         .select("e.d1", "e.d2")
         .distinct()
     )
@@ -1034,9 +1050,11 @@ def jaccard_pairs_prefix_filter(
     # overlap <= min and union >= max), so size-mismatched candidates are
     # discarded BEFORE the O(|set|) array_intersect evaluates — a cheap
     # integer predicate pruning the expensive verification, lossless.
+    # same exact-rational discipline as the positional filter above:
+    # s1 ≥ t·s2 tested as s1·den ≥ num·s2 (no float product at the boundary)
     length_ok = (
-        F.col("s1") >= F.lit(threshold) * F.col("s2")
-    ) & (F.col("s2") >= F.lit(threshold) * F.col("s1"))
+        F.col("s1") * F.lit(t_den) >= F.lit(t_num) * F.col("s2")
+    ) & (F.col("s2") * F.lit(t_den) >= F.lit(t_num) * F.col("s1"))
     return _scoped(
         cand.join(a, "d1")
         .join(b, "d2")

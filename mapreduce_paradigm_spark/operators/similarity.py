@@ -468,7 +468,12 @@ def pca_project(
     ).collect()
     if not rows:  # empty corpus: no moments, no components — empty result
         return spark.createDataFrame([], "id BIGINT, pc ARRAY<DOUBLE>")
-    rows.sort(key=lambda r: (r["n"], tuple(r["s"])))
+    # TOTAL order over partials: (n, Σx) alone is not one — two partials
+    # with equal count and coordinate sums can still differ in Σxxᵀ, which
+    # would leave their float-addition order to collect order (round-5
+    # advisor finding). Including the flattened Σxxᵀ makes the reduce
+    # order a total order, so the accumulation is bitwise rerun-stable.
+    rows.sort(key=lambda r: (r["n"], tuple(r["s"]), tuple(r["ss"])))
     n = sum(r["n"] for r in rows)
     dim = len(rows[0]["s"])
     s = np.zeros(dim)
@@ -546,16 +551,24 @@ def sq8_topk_cosine(
         .select("emb_d")
         .collect()
     )
-    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
-    mn = sample.min(axis=0)
-    span = sample.max(axis=0) - mn
-    span[span == 0.0] = 1.0  # constant dims encode as code 0, decode to mn
-
     qrows = (
         _unit_normalized(queries, emb_col)
         .select(F.col(id_col), F.col("emb_d"))
         .collect()
     )
+    # empty corpus (no training sample) or empty query set: no neighbors by
+    # definition — return an empty typed frame, matching pca_project's
+    # handling, instead of letting np.min/np.vstack raise on zero rows
+    # (round-5 advisor finding)
+    if not sample_rows or not qrows:
+        return spark.createDataFrame(
+            [], "q_id BIGINT, neighbor_id BIGINT, rank BIGINT, cosine DOUBLE"
+        )
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    mn = sample.min(axis=0)
+    span = sample.max(axis=0) - mn
+    span[span == 0.0] = 1.0  # constant dims encode as code 0, decode to mn
+
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (nq, dim)
     shortlist = k * refine

@@ -2694,6 +2694,14 @@ def q_bpe_learn_merges(spark, sf_dir):
             ).alias("sp"),
             "wn",
         )
+        # flatten the per-round plan: v_r embeds v_{r-1} TWICE (once via
+        # best's argmax subtree, once directly in the rewrite), so without
+        # this the logical plan doubles per round — the same plan-explosion
+        # pattern doc_graph_hits checkpoints away (round-5 advisor
+        # finding). localCheckpoint (not persist) makes each round's
+        # vocabulary a leaf; the materialization is vocab-scale, not
+        # corpus-scale, so raising `rounds` stays linear.
+        v = v.localCheckpoint(eager=False)
         syms = v.agg(
             F.sum(
                 F.col("wn")

@@ -28,6 +28,13 @@ DEFAULT_CONF: dict[str, str] = {
     # bytes/core dominates and this knob is inert.
     "spark.sql.files.openCostInBytes": "131072",
     "spark.sql.parquet.filterPushdown": "true",
+    # parquet TIMESTAMP(isAdjustedToUTC=false) MUST resolve as TIMESTAMP_NTZ:
+    # with this off, events.ts loads as session-zone LTZ and every
+    # day/bucket derivation silently shifts near UTC midnight under
+    # non-UTC sessions (the round-4 exotic-TZ gate failure on
+    # events_compaction_plan — reproduced deterministically by flipping
+    # this conf; see sources/tables.py::_load_events, which also asserts).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     # dims (region/nation/customer/supplier/part) are broadcast-able well past
     # the 10m default at bench scale; joins also carry explicit broadcast()
     # hints so this is belt-and-braces.

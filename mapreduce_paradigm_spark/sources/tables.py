@@ -38,21 +38,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    outright (PARQUET_TYPE_ILLEGAL). Read it as raw int64 nanos
-    (``nanosAsLong``) and rebuild a TIMESTAMP_NTZ with pure epoch arithmetic —
-    no session-timezone dependence, so results are stable under any driver
-    session config. Nanos→micros truncation is lossless here (source data is
-    µs-precision)."""
+    """events.ts carries naive wall-clock micros (parquet TIMESTAMP with
+    isAdjustedToUTC=false; historical fixtures used TIMESTAMP(NANOS), which
+    Spark's reader rejects outright — PARQUET_TYPE_ILLEGAL — hence the
+    ``nanosAsLong`` branch). It MUST surface as TIMESTAMP_NTZ: every
+    time-derivation in the registry (day casts, epoch bucketing) is
+    session-timezone-independent only on NTZ input.
+
+    Round-5 root cause of the round-4 exotic-TZ gate flake
+    (``events_compaction_plan``, GATES_r04 tz_sweep rc 1): if
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` is false (non-default,
+    but one runtime ``conf.set`` away on the shared test session), ts
+    resolves as session-zone LTZ and ``cast(ts AS DATE)`` shifts rows near
+    UTC midnight under Australia/Lord_Howe — reproduced deterministically:
+    31 days vs the oracle's 30. Defense in depth: the session default pins
+    the conf true (session.py), this loader re-pins it immediately before
+    the read, and the type is ASSERTED after the read so any future
+    resolution drift is a loud TypeError instead of silent parity skew."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     raw = spark.read.parquet(table_path(sf_dir, "events"))
     if isinstance(raw.schema["ts"].dataType, LongType):
         raw = raw.withColumn(
             "ts",
             F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
+    ts_type = raw.schema["ts"].dataType
+    if not isinstance(ts_type, TimestampNTZType):
+        raise TypeError(
+            f"events.ts resolved as {ts_type} instead of TIMESTAMP_NTZ; "
+            "session-zone-dependent day/bucket derivations would silently "
+            "diverge from the DuckDB oracles (see GATES_r04 tz_sweep flake)"
         )
     return raw
 

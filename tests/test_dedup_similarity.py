@@ -401,3 +401,34 @@ def test_concurrent_dedup_builders_do_not_corrupt_each_other(spark):
     plan_b = jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=64)
     assert run(plan_a) == ref_a
     assert run(plan_b) == ref_b
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_prefix_filter_lossless_at_non_binary_thresholds(spark, threshold):
+    """Round-5 advisor finding: the PPJoin positional-filter bound
+    ceil(t*(s1+s2)/(1+t)) computed in floats can round a few ULP above an
+    exact integer for thresholds not representable in binary (0.8) and
+    prune true pairs sitting exactly at the threshold. The bound is now
+    exact-integer rational arithmetic; pin losslessness by diffing against
+    the uncapped brute self-join at several thresholds, including ones
+    where the old float path was at risk."""
+    from mapreduce_paradigm_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter,
+    )
+
+    docs = (
+        load_table(spark, SF_CORRECT, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    brute = {
+        (r["d1"], r["d2"], round(r["jaccard"], 9))
+        for r in jaccard_pairs(docs, k=3, threshold=threshold).collect()
+    }
+    pp = {
+        (r["d1"], r["d2"], round(r["jaccard"], 9))
+        for r in jaccard_pairs_prefix_filter(
+            docs, k=3, threshold=threshold
+        ).collect()
+    }
+    assert pp == brute

@@ -397,3 +397,22 @@ def test_cli_explain_prints_physical_plan(spark, capsys):
     assert main(["explain", "inverted_index", "--sf-dir", "/root/testdata/sf0.001"]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Scan parquet" in out
+
+
+def test_sq8_topk_empty_corpus_and_empty_queries(spark):
+    """Round-5 advisor finding: an empty corpus (zero-row training sample)
+    or empty query set must return an empty typed frame — matching
+    pca_project's empty-corpus contract — not crash in np.min/np.vstack."""
+    from mapreduce_paradigm_spark.operators.similarity import sq8_topk_cosine
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    none = emb.filter(F.lit(False))
+    out_cols = ["q_id", "neighbor_id", "rank", "cosine"]
+
+    empty_corpus = sq8_topk_cosine(none, emb.limit(3), k=5)
+    assert empty_corpus.columns == out_cols
+    assert empty_corpus.count() == 0
+
+    empty_queries = sq8_topk_cosine(emb.limit(50), none, k=5)
+    assert empty_queries.columns == out_cols
+    assert empty_queries.count() == 0

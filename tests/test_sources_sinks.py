@@ -363,3 +363,30 @@ def test_csv_quarantine_captures_malformed_rows(spark, tmp_path):
     # quarantine routing: the auditable stream is exactly the bad rows
     assert df.filter("_corrupt_record IS NOT NULL").count() == 1
     df.unpersist()
+
+
+def test_events_ts_pinned_ntz_under_adversarial_conf(spark):
+    """Round-4 exotic-TZ gate flake, root-caused in round 5: with
+    spark.sql.parquet.inferTimestampNTZ.enabled=false, events.ts resolves as
+    session-zone LTZ and day derivations shift near UTC midnight under
+    non-UTC sessions (events_compaction_plan: 31 days vs the oracle's 30,
+    reproduced deterministically). The loader must re-pin the conf and
+    surface NTZ even when the shared session has been flipped."""
+    from pyspark.sql.types import TimestampNTZType
+
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    old = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try:
+        e = load_table(spark, SF_SMOKE, "events")
+        assert isinstance(e.schema["ts"].dataType, TimestampNTZType)
+        # the loader itself restored the pin for everything downstream
+        assert (
+            spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+            == "true"
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", old)
