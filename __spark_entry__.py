@@ -104,6 +104,14 @@ def _ordered_specs():
     names.sort(
         key=lambda n: (
             n not in _GATE_BACKLOG,
+            # rows-only specs (oracle is None) sort LAST: a driver row for
+            # them can only record `err: no_oracle`, so every gate slot they
+            # occupy is budget taken from a hash-checkable query (round-4
+            # verdict ask #3 — 14 slots were burned that way). Their hard
+            # checks live in pytest (recall/accuracy/determinism pins) and
+            # in the companion *_check invariant queries, which DO carry
+            # full oracles and flow through the normal queue.
+            specs[n].oracle is None,
             *prio.get(n, (0, 0)),
             age.get(n, len(age)),
             reg_index[n],

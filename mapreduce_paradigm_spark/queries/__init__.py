@@ -2,6 +2,7 @@
 
 from mapreduce_paradigm_spark.queries import (  # noqa: F401
     analytics_ext,
+    checks,
     drift,
     flagship,
     graphtext,
