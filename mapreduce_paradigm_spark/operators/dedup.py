@@ -811,10 +811,17 @@ def semantic_cluster_near_dups(
     cosine + threshold — so precision equals the exact tier and only
     recall (pairs co-located in NO shared cluster) is approximate; both
     are pinned in pytest. 100 TB shape: the cluster equi-join shuffles
-    by cluster_id; cap per-cluster width by raising ``nlist`` (cluster
-    count scales with corpus, Σ|c|² stays bounded) and sub-shard any
-    residual hot cluster with the LSH tier (``embedding_near_dup_lsh``)
-    inside it. Rows-only driver check (k-means is not SQL-expressible).
+    by cluster_id; cap per-cluster width by raising ``nlist`` — cluster
+    count scales with corpus, Σ|c|² stays bounded, and the round-5
+    adversarial gate MEASURED it (30% of vectors in one direction cone:
+    3.3× over exact at nlist=8 with 0.997 recall, a further 2.7× at
+    nlist=32 at 0.75 recall — .gates/skew.json ``embedding_hot_cluster``).
+    Do NOT sub-shard a hot cluster with the hyperplane-LSH tier: on
+    direction-clustered data every hot vector shares a sign pattern, the
+    buckets collapse, and the same gate measured ``embedding_near_dup_lsh``
+    DEGRADING to 0.6× of the exact all-pairs tier — k-means centroids
+    split a dense cone (more centroids land inside it); fixed hyperplanes
+    cannot. Rows-only driver check (k-means is not SQL-expressible).
     """
     import numpy as np
 
