@@ -463,3 +463,303 @@ def q_ann_recall_check(spark, sf_dir):
         )
     )
     return out.unionByName(lsh_row)
+
+
+@register(
+    "isotonic_fit_check",
+    oracle="""
+SELECT CAST(count(DISTINCT CAST(round(CAST(embedding[1] AS DOUBLE) * 10000, 0)
+                               AS BIGINT)) AS BIGINT) AS n_grid,
+       CAST(count(*) AS BIGINT) AS total_n,
+       CAST(count(*) FILTER (WHERE label >= 5) AS BIGINT) AS total_pos,
+       TRUE AS monotone_ok,
+       TRUE AS mean_preserved_ok,
+       TRUE AS bounds_ok
+FROM embeddings
+""",
+    description="Isotonic (PAV) fit contract as a full oracle: the gridded "
+    "score-axis size and the integer (n, n_pos) totals are hash-checked "
+    "against SQL, and the PAV output's defining properties are booleans — "
+    "`monotone_ok` (fitted rate nondecreasing along the score axis, the "
+    "isotonic constraint), `mean_preserved_ok` (Σ n·rate_iso recovers "
+    "Σ n_pos to 6dp-rounding tolerance — PAV is a weighted-mean-preserving "
+    "projection), `bounds_ok` (rates in [0,1]). Companion to rows-only "
+    "label_score_isotonic.",
+    tags=("mlprep", "statistics", "check"),
+)
+def q_isotonic_fit_check(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from mapreduce_paradigm_spark.operators.calibrate import (
+        isotonic_calibration,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    fit = isotonic_calibration(emb, "score", "y", grid=10000)
+    w = Window.orderBy("sm")
+    flagged = fit.select(
+        "n",
+        "n_pos",
+        "rate_iso",
+        (F.col("rate_iso") < F.lag("rate_iso").over(w)).alias("viol"),
+        ((F.col("rate_iso") < 0) | (F.col("rate_iso") > 1)).alias("oob"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_grid"),
+        F.sum("n").cast("long").alias("total_n"),
+        F.sum("n_pos").cast("long").alias("total_pos"),
+        (F.count_if(F.col("viol")) == 0).alias("monotone_ok"),
+        (
+            F.abs(F.sum(F.col("n") * F.col("rate_iso")) - F.sum("n_pos"))
+            < F.lit(1e-3)
+        ).alias("mean_preserved_ok"),
+        (F.count_if(F.col("oob")) == 0).alias("bounds_ok"),
+    )
+
+
+@register(
+    "pca_projection_check",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS var_ordered_ok,
+       TRUE AS means_zero_ok
+FROM embeddings
+""",
+    description="PCA projection contract as a full oracle: the projected "
+    "row count is hash-checked, and the eigendecomposition's defining "
+    "properties are booleans — `var_ordered_ok` (sample variance of each "
+    "projected coordinate is nonincreasing: components come out in "
+    "descending-eigenvalue order) and `means_zero_ok` (each coordinate is "
+    "mean-centered to within the 6dp output rounding). Companion to "
+    "rows-only embedding_pca_project (whose loadings are pinned against "
+    "an exact numpy PCA in pytest).",
+    tags=("mlprep", "embeddings", "check"),
+)
+def q_pca_projection_check(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.similarity import pca_project
+
+    proj = pca_project(
+        load_table(spark, sf_dir, "embeddings"), n_components=4
+    )
+    agg = proj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[F.variance(F.col("pc")[i]).alias(f"v{i}") for i in range(4)],
+        *[F.avg(F.col("pc")[i]).alias(f"m{i}") for i in range(4)],
+    )
+    var_ok = (
+        (F.col("v0") >= F.col("v1"))
+        & (F.col("v1") >= F.col("v2"))
+        & (F.col("v2") >= F.col("v3"))
+    )
+    mean_ok = None
+    for i in range(4):
+        c = F.abs(F.col(f"m{i}")) < 1e-4
+        mean_ok = c if mean_ok is None else (mean_ok & c)
+    return agg.select(
+        "n_rows",
+        var_ok.alias("var_ordered_ok"),
+        mean_ok.alias("means_zero_ok"),
+    )
+
+
+@register(
+    "tdigest_grouped_error_check",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+       TRUE AS tdigest_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description="GROUPED t-digest contract as a full oracle: per return "
+    "flag, the exact p99 and group count are hash-checked, and "
+    "`tdigest_ok` pins each per-group digest's p99 readout inside the "
+    "exact [p97, p99.9] band — the grouped (tdigest_by_key) counterpart "
+    "of tdigest_rank_error_check, proving the per-key Arrow sketch pass "
+    "keeps the tail bound within every group, not just globally. "
+    "Companion to rows-only price_tdigest_p99_by_flag.",
+    tags=("statistics", "sketch", "check"),
+)
+def q_tdigest_grouped_error_check(spark, sf_dir):
+    from mapreduce_paradigm_spark.queries.llm import (
+        q_price_tdigest_p99_by_flag,
+    )
+
+    est = q_price_tdigest_p99_by_flag(spark, sf_dir).select(
+        "l_returnflag", F.col("p99_est")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile("l_extendedprice", [0.97, 0.99, 0.999]).alias("ex"),
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("ex")[1], 4).alias("exact_p99"),
+        F.col("p99_est")
+        .between(F.col("ex")[0], F.col("ex")[2])
+        .alias("tdigest_ok"),
+    )
+
+
+@register(
+    "topk_sketch_exact_check",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt, TRUE AS sketch_ok
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY cnt DESC, o_orderpriority
+LIMIT 3
+""",
+    description="approx_top_k contract as a full oracle: the exact top-3 "
+    "priorities by count (a total order — count desc, value asc — so the "
+    "LIMIT is deterministic) hash-checked against SQL, with `sketch_ok` "
+    "pinning that the sketch's (item, count) set equals the exact one — "
+    "on a 5-distinct-value column the sketch admits no error, so set "
+    "equality is the correct pin, checked via two anti-joins. Companion "
+    "to rows-only orders_priority_topk_sketch (whose TIE ORDER is "
+    "implementation-defined; sets compare order-free).",
+    tags=("agg", "sketch", "check"),
+)
+def q_topk_sketch_exact_check(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    exact = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("o_orderpriority").asc())
+        .limit(3)
+    )
+    sk = (
+        orders.agg(F.expr("approx_top_k(o_orderpriority, 3)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("o_orderpriority"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+    )
+    missing = _scalar(
+        exact.join(sk, ["o_orderpriority", "cnt"], "left_anti"),
+        F.count(F.lit(1)),
+        "miss",
+    )
+    extra = _scalar(
+        sk.join(exact, ["o_orderpriority", "cnt"], "left_anti"),
+        F.count(F.lit(1)),
+        "ext",
+    )
+    ok = F.broadcast(
+        missing.crossJoin(F.broadcast(extra)).select(
+            ((F.col("miss") == 0) & (F.col("ext") == 0)).alias("sketch_ok")
+        )
+    )
+    return exact.crossJoin(ok)
+
+
+@register(
+    "simhash_exact_dup_check",
+    oracle=r"""
+WITH h AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS th
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs,
+       TRUE AS simhash_zero_hamming_ok
+FROM h a JOIN h b ON a.th = b.th AND a.doc_id < b.doc_id
+""",
+    description="SimHash completeness floor as a full oracle: the count of "
+    "EXACT duplicate pairs (identical whitespace-normalized text — "
+    "SQL-checkable) is hash-checked, and `simhash_zero_hamming_ok` pins "
+    "that every such pair appears in simhash_near_pairs with hamming 0 — "
+    "identical token multisets produce identical fingerprints, so the "
+    "pigeonhole chunk join MUST emit them; a miss would mean the banding "
+    "dropped a guaranteed candidate. Companion to rows-only "
+    "simhash_near_pairs (whose general bit-threshold has no SQL twin).",
+    tags=("dedup", "approx", "check"),
+)
+def q_simhash_exact_dup_check(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import (
+        normalized_text,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("th")
+    )
+    dup_pairs = (
+        h.alias("a")
+        .join(h.alias("b"), F.col("a.th") == F.col("b.th"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+    )
+    zero = (
+        simhash_near_pairs(docs, max_hamming=3)
+        .filter(F.col("hamming") == 0)
+        .select("d1", "d2")
+    )
+    n_dup = _scalar(dup_pairs, F.count(F.lit(1)), "n_exact_dup_pairs")
+    missed = _scalar(
+        dup_pairs.join(zero, ["d1", "d2"], "left_anti"),
+        F.count(F.lit(1)),
+        "m",
+    )
+    return n_dup.crossJoin(F.broadcast(missed)).select(
+        "n_exact_dup_pairs",
+        (F.col("m") == 0).alias("simhash_zero_hamming_ok"),
+    )
+
+
+@register(
+    "embedding_lsh_near_dup_check",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS lsh_subset_ok,
+       TRUE AS recall_ge_095_ok
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.42
+""",
+    description="Banded sign-LSH near-dup contract as a full oracle: the "
+    "exact cosine≥0.42 pair count is hash-checked, `lsh_subset_ok` pins "
+    "precision (the rerank IS the exact tier's cosine + threshold, so "
+    "LSH pairs ⊆ exact pairs), and `recall_ge_095_ok` is the pytest "
+    "recall floor in integer arithmetic (20·found ≥ 19·true). Companion "
+    "to rows-only embedding_near_dup_lsh.",
+    tags=("dedup", "similarity", "approx", "check"),
+)
+def q_embedding_lsh_near_dup_check(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = embedding_near_dup_pairs(emb, threshold=0.42).select("d1", "d2")
+    lsh = embedding_near_dup_lsh(emb, threshold=0.42).select("d1", "d2")
+    n_exact = _scalar(exact, F.count(F.lit(1)), "n_exact_pairs")
+    missed = _scalar(
+        exact.join(lsh, ["d1", "d2"], "left_anti"), F.count(F.lit(1)), "m"
+    )
+    extra = _scalar(
+        lsh.join(exact, ["d1", "d2"], "left_anti"), F.count(F.lit(1)), "x"
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(missed))
+        .crossJoin(F.broadcast(extra))
+        .select(
+            "n_exact_pairs",
+            (F.col("x") == 0).alias("lsh_subset_ok"),
+            (
+                F.lit(20) * (F.col("n_exact_pairs") - F.col("m"))
+                >= F.lit(19) * F.col("n_exact_pairs")
+            ).alias("recall_ge_095_ok"),
+        )
+    )
