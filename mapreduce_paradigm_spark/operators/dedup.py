@@ -740,6 +740,16 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "t
     Pigeonhole: split 63 bits into 4 chunks; any pair within distance 3 must
     agree exactly on ≥1 chunk → equi-join per chunk (linear candidates),
     then verify with bit_count(xor). No quadratic pass.
+
+    Measured regime boundary (bench_sf1.py, .gates/sf1.json): candidates
+    stay ~linear while fingerprints are independent, but on corpora with
+    heavy CROSS-DOC content sharing (boilerplate, half-duplicated pages)
+    fingerprints correlate, chunk dfs grow with the duplication rate, and
+    the bucket pair explode goes superlinear — observed exponent 1.60 on
+    a 50% half-spliced synthetic at 10×. Mitigation at scale is the same
+    as the shingle tier's df-cap: cap chunk-bucket width (drop or
+    sub-split buckets whose df exceeds a bound — pairs inside a megabucket
+    are better served by the exact-dup hash or the Jaccard tier anyway).
     """
     # fingerprints feed 4 bucket branches: persist the (tiny) result rather
     # than recomputing the 63-aggregate pipeline per chunk
