@@ -1,0 +1,401 @@
+"""Round-5 batch: corpus-curation operators a training-data pipeline runs
+between raw ingest and tokenization — segment-level boilerplate removal
+(the CCNet/C4 paragraph-hash step, distinct from the document-level dedup
+tiers in ``operators/dedup.py``), temperature-scaled mixture shares (the
+mT5/XLM-R alpha-sampling table), CMS inner-product join-size estimation
+(Cormode & Muthukrishnan's count-min sketch, here doing the classic
+join-cardinality estimate with its provable upper-bound contract), and
+deterministic curriculum staging.
+
+All four carry FULL DuckDB value-hash oracles: hashing is md5-derived and
+arithmetic is exact-integer or explicitly rounded, computed identically in
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_paradigm_spark.registry import register
+from mapreduce_paradigm_spark.sources.tables import load_table
+
+# --- segment-level boilerplate removal ---------------------------------------
+
+_SEG_W = 3  # tokens per segment ("pseudo-line" — the fixture has no newlines)
+_DF_MIN = 3  # a segment repeated across >= this many docs is boilerplate
+
+
+@register(
+    "doc_segment_boilerplate",
+    oracle=rf"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(a[(i*{_SEG_W}+1):(i*{_SEG_W}+{_SEG_W})], ' ') AS seg
+  FROM arr, unnest(range(CAST(ceil(len(a) / {_SEG_W}.0) AS INT))) AS t(i)
+),
+df AS (
+  SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS seg_df
+  FROM segs GROUP BY 1
+),
+j AS (SELECT s.doc_id, s.pos, s.seg, d.seg_df FROM segs s JOIN df d USING (seg))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(*) FILTER (WHERE seg_df >= {_DF_MIN}) AS BIGINT) AS n_boiler,
+       round(count(*) FILTER (WHERE seg_df >= {_DF_MIN}) * 1.0 / count(*), 4)
+         AS boiler_frac,
+       coalesce(string_agg(seg, ' ' ORDER BY pos)
+                  FILTER (WHERE seg_df < {_DF_MIN}), '') AS clean_text
+FROM j GROUP BY doc_id
+""",
+    description="Corpus-wide segment-level boilerplate removal (the "
+    "paragraph-hash step of CCNet/C4-class web pipelines, and the line- "
+    "level complement of the document-level dedup tiers): each document "
+    f"is cut into consecutive {_SEG_W}-token segments, a segment present "
+    f"in >= {_DF_MIN} distinct documents is boilerplate, and the output "
+    "per doc is segment counts, the boilerplate fraction, and the "
+    "reassembled clean text with flagged segments dropped (order "
+    "preserved). Two corpus-scale exchanges, both key-partitioned on the "
+    "segment hash — the inverted-index shape: the df aggregate "
+    "map-combines per partition, and the flag join co-locates with it. "
+    "At 100 TB the refinement is to materialize only the (small, "
+    "df-filtered) boilerplate segment set and broadcast it as a semi- "
+    "join mark when the flagged fraction is low; the full-df join here "
+    "is the general form that also serves df-weighted variants. "
+    "Reassembly is one per-doc sort of segment structs (array_sort of "
+    "collect_list), never a global sort.",
+    tags=("llm", "quality", "dedup"),
+)
+def q_doc_segment_boilerplate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(toks)/{_SEG_W}.0) AS INT) - 1),"
+                f" i -> array_join(slice(toks, i*{_SEG_W}+1, {_SEG_W}), ' '))"
+            )
+        ).alias("pos", "seg"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "seg")
+    df = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").cast("long").alias("seg_df")
+    )
+    j = segs.join(df, "seg")
+    boiler = F.col("seg_df") >= _DF_MIN
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(boiler.cast("long")).alias("n_boiler"),
+        F.round(
+            F.sum(boiler.cast("double")) / F.count(F.lit(1)), 4
+        ).alias("boiler_frac"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(~boiler, F.struct("pos", "seg")))
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+# --- temperature-scaled mixture shares ---------------------------------------
+
+_ALPHA = 0.3  # mT5/XLM-R style temperature exponent
+
+
+@register(
+    "source_temperature_mixture",
+    oracle=rf"""
+WITH tok AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_source),
+shares AS (
+  SELECT p.source, p.n_docs, p.n_tokens,
+         CAST(p.n_tokens AS DOUBLE) / t.total_tokens AS p_raw,
+         pow(CAST(p.n_tokens AS DOUBLE) / t.total_tokens, {_ALPHA}) AS p_alpha
+  FROM per_source p CROSS JOIN tot t
+),
+denom AS (SELECT sum(p_alpha) AS z FROM shares)
+SELECT s.source, s.n_docs, s.n_tokens,
+       round(s.p_raw, 6) AS raw_share,
+       round(s.p_alpha / d.z, 6) AS temp_share,
+       round(s.p_alpha / d.z / s.p_raw, 4) AS sample_factor
+FROM shares s CROSS JOIN denom d
+""",
+    description="Temperature-scaled mixture shares (the alpha-sampling "
+    "rule of mT5/XLM-R multilingual training, alpha = "
+    f"{_ALPHA}): per-source token counts, the raw token share p_i, the "
+    "temperature share q_i = p_i^a / sum_j p_j^a, and the up/down- "
+    "sampling factor q_i/p_i that the deterministic hash-threshold "
+    "sampler (mixture_sample_by_source) applies. Complements "
+    "source_mixture_reweighting, whose target is UNIFORM — temperature "
+    "interpolates between natural (a=1) and uniform (a=0). Corpus-scale "
+    "work is one per-row token count feeding one per-source aggregate; "
+    "the share normalization runs on n_sources rows against broadcast "
+    "one-row totals, so the whole tail is dimension-scale at any corpus "
+    "size. Shares are single pow/divisions of exact integer counts, "
+    "rounded 6dp/4dp — hash-stable across engines.",
+    tags=("llm", "sampling"),
+)
+def q_source_temperature_mixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    per_source = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("total_tokens"))
+    shares = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias("p_raw"),
+        F.pow(
+            F.col("n_tokens").cast("double") / F.col("total_tokens"), F.lit(_ALPHA)
+        ).alias("p_alpha"),
+    )
+    denom = shares.agg(F.sum("p_alpha").alias("z"))
+    return shares.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("p_raw"), 6).alias("raw_share"),
+        F.round(F.col("p_alpha") / F.col("z"), 6).alias("temp_share"),
+        F.round(F.col("p_alpha") / F.col("z") / F.col("p_raw"), 4).alias(
+            "sample_factor"
+        ),
+    )
+
+
+# --- CMS inner-product join-size estimate ------------------------------------
+
+_CMS_D = 4
+_CMS_W = 512
+
+
+@register(
+    "join_size_cms_estimate",
+    oracle=rf"""
+WITH dd AS (SELECT CAST(unnest(range({_CMS_D})) AS BIGINT) AS d),
+oa AS (
+  SELECT dd.d,
+         ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' ||
+                             CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_CMS_W} AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders CROSS JOIN dd GROUP BY 1, 2
+),
+ca AS (
+  SELECT dd.d,
+         ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' ||
+                             CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_CMS_W} AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM customer CROSS JOIN dd WHERE c_mktsegment = 'BUILDING' GROUP BY 1, 2
+),
+est AS (
+  SELECT oa.d, CAST(sum(oa.cnt * ca.cnt) AS BIGINT) AS e
+  FROM oa JOIN ca ON oa.d = ca.d AND oa.b = ca.b GROUP BY 1
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_size
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+)
+SELECT CAST(min(e.e) AS BIGINT) AS cms_estimate,
+       ex.exact_size,
+       round((min(e.e) - ex.exact_size) * 1.0 / ex.exact_size, 4)
+         AS rel_overestimate,
+       min(e.e) >= ex.exact_size AS upper_bound_holds
+FROM est e CROSS JOIN ex GROUP BY ex.exact_size
+""",
+    description="Join-size estimation from count-min sketches (Cormode & "
+    "Muthukrishnan '05 inner-product estimate): a depth-"
+    f"{_CMS_D} x width-{_CMS_W} CMS of orders.o_custkey and one of the "
+    "BUILDING-segment customer keys; est = min_d sum_b a[d][b]*b[d][b], "
+    "which provably NEVER under-estimates |orders JOIN customer| — the "
+    "row also carries the exact join size, the relative overestimate, "
+    "and the upper_bound_holds contract boolean, all hash-matched "
+    "because the md5-derived bucket hashing and integer arithmetic are "
+    "identical in both engines. This is how a planner sizes a join "
+    "WITHOUT running it: each side is one scan + one (d, bucket) "
+    "aggregate that map-combines to d*w partial rows per partition, the "
+    "sketch join is sketch-sized (broadcast), and the two sides never "
+    "shuffle against each other. At 100 TB the exact companion (here "
+    "the audited contract) is the one you skip — the sketches are "
+    "mergeable across shards and days. Width controls the collision "
+    "inflation: w >> n_distinct/eps keeps rel_overestimate ~ eps.",
+    tags=("sketch", "relational"),
+)
+def q_join_size_cms_estimate(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    depths = F.array(*[F.lit(i) for i in range(_CMS_D)])
+
+    def sketch(df, key):
+        return (
+            df.select(F.col(key).cast("string").alias("k"))
+            .select(F.explode(depths).alias("d"), "k")
+            .select(F.col("d").cast("long").alias("d"), "k")
+            .select(
+                "d",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("d").cast("string"), F.lit(":"), F.col("k")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _CMS_W
+                ).alias("b"),
+            )
+            .groupBy("d", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    oa = sketch(orders, "o_custkey")
+    ca = sketch(cust, "c_custkey")
+    est = (
+        oa.join(F.broadcast(ca.withColumnRenamed("cnt", "ccnt")), ["d", "b"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("ccnt")).cast("long").alias("e"))
+    )
+    exact = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_size"))
+    )
+    return (
+        est.agg(F.min("e").cast("long").alias("cms_estimate"))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "cms_estimate",
+            "exact_size",
+            F.round(
+                (F.col("cms_estimate") - F.col("exact_size"))
+                / F.col("exact_size"),
+                4,
+            ).alias("rel_overestimate"),
+            (F.col("cms_estimate") >= F.col("exact_size")).alias(
+                "upper_bound_holds"
+            ),
+        )
+    )
+
+
+# --- deterministic curriculum staging ----------------------------------------
+
+_STAGES = 4
+
+
+@register(
+    "doc_curriculum_stages",
+    oracle=rf"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tok,
+         round(len(list_distinct(a)) * 1.0 / len(a), 6) AS ttr
+  FROM arr
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY ttr DESC, doc_id ASC) AS BIGINT)
+              AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM scored
+)
+SELECT (rn - 1) * {_STAGES} // n + 1 AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(min(ttr), 6) AS min_ttr,
+       round(max(ttr), 6) AS max_ttr
+FROM ranked GROUP BY 1
+""",
+    description="Deterministic curriculum staging: documents ranked by "
+    "type-token ratio (a lexical-diversity difficulty proxy; ties broken "
+    f"by doc_id) and cut into {_STAGES} equal-rank stages, with per-stage "
+    "doc/token budgets — the schedule table a curriculum-ordered "
+    "training run consumes stage by stage. Rank bucketing uses the "
+    "repo's lorenz pattern ((rn-1)*k//n), identical in both engines "
+    "including the tie-break, so the stage assignment — not just the "
+    "aggregates — is reproducible. The fixture-exact form ranks with a "
+    "global row_number (range-partitioned sort); the 100 TB form "
+    "replaces the exact rank with approx-quantile score cutpoints "
+    "(one pass + broadcast thresholds) and keeps this exact-rank "
+    "contract as the sampled validation companion — same trade the "
+    "sketch tiers document.",
+    tags=("llm", "quality", "sampling"),
+)
+def q_doc_curriculum_stages(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("a"),
+    ).select(
+        "doc_id",
+        F.size("a").cast("long").alias("n_tok"),
+        F.round(
+            F.size(F.array_distinct("a")).cast("double") / F.size("a"), 6
+        ).alias("ttr"),
+    )
+    wr = Window.orderBy(F.col("ttr").desc(), F.col("doc_id").asc())
+    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = scored.select(
+        "n_tok",
+        "ttr",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy(
+            (((F.col("rn") - 1) * _STAGES / F.col("n")).cast("long") + 1).alias(
+                "stage"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.min("ttr"), 6).alias("min_ttr"),
+            F.round(F.max("ttr"), 6).alias("max_ttr"),
+        )
+    )
