@@ -686,3 +686,191 @@ def q_orders_incremental_rollup_merge(spark, sf_dir):
         "avg_price_micro",
         F.expr("CAST(revenue_micro DIV n_orders AS BIGINT)"),
     )
+
+
+# --- join-MV delta maintenance (both-side deltas) ----------------------------
+
+
+@register(
+    "order_customer_join_mv_delta",
+    oracle="""
+SELECT c.c_mktsegment, date_trunc('month', o.o_orderdate) AS order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_micro
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""",
+    description="Incremental maintenance of a JOIN-aggregate materialized "
+    "view under deltas on BOTH sides — the trilinear IVM rule "
+    "(O+dO)x(C+dC) = OxC + dOxC + OxdC + dOxdC, which the fact-only "
+    "rollup-merge query cannot express: the stored MV is the aggregated "
+    "old-orders x old-customers term, the three delta join terms are "
+    "aggregated together in one pass, and the refresh is a full-outer "
+    "key merge adding count/sum monoids. The oracle recomputes the view "
+    "from scratch, so any error in the delta algebra (a missed term, a "
+    "double-counted dOxdC, a dropped one-sided key) hash-mismatches. "
+    "Scale shape: each delta term is delta-sized on at least one side — "
+    "dO terms broadcast the day's customers, OxdC re-joins the fact "
+    "only against the (tiny) changed-customer set — so the nightly "
+    "refresh cost tracks the delta, never the 100 TB base; the merge "
+    "itself is MV-sized. Revenue is integer micros end-to-end (exact, "
+    "association-free).",
+    tags=("warehouse", "join", "aggregation", "datetime"),
+)
+def q_order_customer_join_mv_delta(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    is_new_cust = F.col("c_custkey") % 10 == 0
+    c_old, c_new = cust.where(~is_new_cust), cust.where(is_new_cust)
+    is_new_ord = F.col("o_orderdate").cast("date") >= F.lit("1998-01-01")
+    o_old, o_new = orders.where(~is_new_ord), orders.where(is_new_ord)
+
+    def joined(o, c):
+        return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            "c_mktsegment",
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            F.round(F.col("o_totalprice") * 1e6, 0).cast("long").alias("micro"),
+        )
+
+    def agg(df):
+        return df.groupBy("c_mktsegment", "order_month").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("micro").alias("rev"),
+        )
+
+    # stored MV: the old x old term, kept aggregated
+    mv = agg(joined(o_old, F.broadcast(c_old)))
+    # one pass over the three delta terms (each delta-sized on >= one side)
+    delta = agg(
+        joined(o_new, F.broadcast(c_old))
+        .unionByName(joined(o_old, F.broadcast(c_new)))
+        .unionByName(joined(o_new, F.broadcast(c_new)))
+    )
+    b, d = mv.alias("b"), delta.alias("d")
+    return b.join(d, ["c_mktsegment", "order_month"], "full_outer").select(
+        "c_mktsegment",
+        "order_month",
+        (
+            F.coalesce(F.col("b.cnt"), F.lit(0)) + F.coalesce(F.col("d.cnt"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("b.rev"), F.lit(0)) + F.coalesce(F.col("d.rev"), F.lit(0))
+        ).alias("revenue_micro"),
+    )
+
+
+# --- merkle-style bucket-hash snapshot reconciliation ------------------------
+
+_RECON_BUCKETS = 128
+
+
+@register(
+    "orders_bucket_hash_reconcile",
+    oracle=f"""
+WITH a AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+         o_orderstatus AS st
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT)
+           + CASE WHEN o_orderkey % 197 = 0 THEN 1 ELSE 0 END AS cents,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+         o_orderstatus AS st
+  FROM orders WHERE o_orderkey % 211 <> 0
+),
+fa AS (
+  SELECT ('0x' || substr(md5('b:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_RECON_BUCKETS} AS bucket,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                             CAST(cents AS VARCHAR) || '|' || day || '|' || st),
+                         1, 15))::BIGINT AS fp
+  FROM a
+),
+fb AS (
+  SELECT ('0x' || substr(md5('b:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_RECON_BUCKETS} AS bucket,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                             CAST(cents AS VARCHAR) || '|' || day || '|' || st),
+                         1, 15))::BIGINT AS fp
+  FROM b
+),
+ga AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a, bit_xor(fp) AS x_a
+       FROM fa GROUP BY 1),
+gb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b, bit_xor(fp) AS x_b
+       FROM fb GROUP BY 1)
+SELECT ga.bucket, ga.n_a, gb.n_b,
+       ga.n_a = gb.n_b AS rows_match,
+       ga.n_a = gb.n_b AND ga.x_a = gb.x_b AS content_match
+FROM ga JOIN gb USING (bucket)
+""",
+    description="Merkle-style snapshot reconciliation: two table snapshots "
+    f"(B derives from A with deterministic drift — dropped rows, "
+    f"perturbed prices) are compared through {_RECON_BUCKETS} "
+    "hash-partitioned bucket digests (row count + bit_xor of a 60-bit "
+    "md5 row fingerprint) instead of a row-level join — the anti-entropy "
+    "pattern replica repair uses: exchange sketch-sized digest tables, "
+    "then re-sync ONLY the buckets whose digests diverge. Per side the "
+    "corpus-scale work is one scan + one map-combined bucket aggregate; "
+    "the digest comparison joins 128-row frames. XOR makes the digest "
+    "order- and partitioning-independent (and identical row PAIRS "
+    "cancel — production pairs it with the count and an addition-mod-2^k "
+    "fold, as here the count column catches the cancellation case). "
+    "Fingerprints stringify via integer cents and NTZ date casts, so "
+    "both engines hash literally the same bytes; full oracle.",
+    tags=("warehouse", "sketch", "datetime"),
+)
+def q_orders_bucket_hash_reconcile(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").cast("string").alias("day"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    snap_b = base.where(F.col("o_orderkey") % 211 != 0).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("o_orderkey") % 197 == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+    def digest(df, n_col, x_col):
+        k = F.col("o_orderkey").cast("string")
+        fp_src = F.concat_ws(
+            "|", k, F.col("cents").cast("string"), F.col("day"), F.col("st")
+        )
+        return (
+            df.select(
+                (
+                    F.conv(F.substring(F.md5(F.concat(F.lit("b:"), k)), 1, 8), 16, 10)
+                    .cast("long")
+                    % _RECON_BUCKETS
+                ).alias("bucket"),
+                F.conv(F.substring(F.md5(fp_src), 1, 15), 16, 10)
+                .cast("long")
+                .alias("fp"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(n_col),
+                F.expr("bit_xor(fp)").alias(x_col),
+            )
+        )
+
+    ga = digest(base, "n_a", "x_a")
+    gb = digest(snap_b, "n_b", "x_b")
+    return ga.join(gb, "bucket").select(
+        "bucket",
+        "n_a",
+        "n_b",
+        (F.col("n_a") == F.col("n_b")).alias("rows_match"),
+        (
+            (F.col("n_a") == F.col("n_b")) & (F.col("x_a") == F.col("x_b"))
+        ).alias("content_match"),
+    )
