@@ -800,3 +800,89 @@ def q_markov_next_event_hitrate(spark, sf_dir):
             F.round(hits.cast("double") / F.sum("n"), 6).alias("hit_rate"),
         )
     )
+
+
+# --- strongly connected components (directed) --------------------------------
+
+
+@register(
+    "doc_graph_scc",
+    oracle="""
+WITH RECURSIVE
+docs AS (SELECT doc_id FROM documents),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+base AS (
+  SELECT doc_id, 4 * (doc_id // 4) AS blk_start,
+         LEAST(4, (SELECT n FROM nn) - 4 * (doc_id // 4)) AS blk_sz,
+         doc_id // 4 AS blk
+  FROM docs
+),
+e AS (
+  SELECT doc_id AS a,
+         blk_start + ((doc_id - blk_start + 1) % blk_sz) AS b
+  FROM base
+  WHERE blk_start + ((doc_id - blk_start + 1) % blk_sz) <> doc_id
+  UNION ALL
+  SELECT doc_id, blk_start + 4
+  FROM base
+  WHERE doc_id = blk_start AND blk % 3 <> 2
+    AND blk_start + 4 < (SELECT n FROM nn)
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+)
+SELECT r1.a AS doc_id, CAST(min(r1.b) AS BIGINT) AS scc_id
+FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+GROUP BY 1
+""",
+    description="Strongly connected components of a DIRECTED citation "
+    "graph — the mutual-reachability refinement none of the undirected "
+    "tiers (CC, k-core, triangles) can express: scc_id(v) = min u with "
+    "v ->* u AND u ->* v. The deterministic graph is block-structured "
+    "(4-node directed rings = the SCCs, chained 3 blocks deep into "
+    "DAG groups), so both the SCC sizes and the condensation depth are "
+    "fixture-independent. Spark side is forward-backward coloring "
+    "(operators/components.py strongly_connected_components, the "
+    "GraphX/Orzan scheme): forward min-label coloring to fixpoint, "
+    "within-color backward collection from each pivot (provably exactly "
+    "SCC(pivot)), peel, repeat — every step a key-partitioned "
+    "join+min-aggregate on the shrinking remainder, no transitive "
+    "closure, driver sees only convergence scalars; ConvergenceError "
+    "instead of a silently wrong labeling. The DuckDB oracle IS the "
+    "mutual-closure definition (bounded recursive CTE, ~12 reachable "
+    "nodes per vertex by construction), making the iterative algorithm "
+    "fully hash-checkable, the CC/k-core convention.",
+    tags=("graph", "iterative", "documents"),
+)
+def q_doc_graph_scc(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ncnt = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = docs.crossJoin(F.broadcast(ncnt)).select(
+        "doc_id",
+        (F.lit(4) * F.expr("doc_id DIV 4")).alias("blk_start"),
+        F.least(F.lit(4), F.col("n") - F.lit(4) * F.expr("doc_id DIV 4")).alias(
+            "blk_sz"
+        ),
+        F.expr("doc_id DIV 4").alias("blk"),
+        "n",
+    )
+    ring = base.select(
+        F.col("doc_id").alias("a"),
+        (
+            F.col("blk_start")
+            + F.pmod(F.col("doc_id") - F.col("blk_start") + 1, F.col("blk_sz"))
+        ).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    chain = base.filter(
+        (F.col("doc_id") == F.col("blk_start"))
+        & (F.pmod(F.col("blk"), F.lit(3)) != 2)
+        & (F.col("blk_start") + 4 < F.col("n"))
+    ).select(F.col("doc_id").alias("a"), (F.col("blk_start") + 4).alias("b"))
+    edges = ring.unionByName(chain)
+    return strongly_connected_components(docs, edges, src="a", dst="b")

@@ -432,3 +432,77 @@ def test_prefix_filter_lossless_at_non_binary_thresholds(spark, threshold):
         ).collect()
     }
     assert pp == brute
+
+
+def test_strongly_connected_components_tarjan_oracle(spark):
+    from mapreduce_paradigm_spark.operators.components import (
+        ConvergenceError,
+        strongly_connected_components,
+    )
+
+    # hand-built digraph: two 3-cycles bridged one-way (separate SCCs), a
+    # 2-cycle hanging off, a pure-DAG tail (singletons), an isolated vertex
+    edges = [
+        (0, 1), (1, 2), (2, 0),          # SCC {0,1,2}
+        (2, 10), (10, 11), (11, 12), (12, 10),  # one-way into SCC {10,11,12}
+        (12, 20), (20, 21), (21, 20),    # one-way into SCC {20,21}
+        (21, 30), (30, 31),              # DAG tail: singletons 30, 31
+        (5, 0),                          # ancestor singleton above the min id
+    ]
+    verts = sorted({v for e in edges for v in e} | {99})
+    vdf = spark.createDataFrame([(v,) for v in verts], "node long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["doc_id"]: r["scc_id"]
+        for r in strongly_connected_components(vdf, edf).collect()
+    }
+
+    # pure-python Tarjan oracle
+    adj: dict[int, list[int]] = {v: [] for v in verts}
+    for a, b in edges:
+        adj[a].append(b)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    stack: list[int] = []
+    sccs: list[list[int]] = []
+    counter = [0]
+
+    def strong(v):
+        index[v] = low[v] = counter[0]
+        counter[0] += 1
+        stack.append(v)
+        on.add(v)
+        for w in adj[v]:
+            if w not in index:
+                strong(w)
+                low[v] = min(low[v], low[w])
+            elif w in on:
+                low[v] = min(low[v], index[w])
+        if low[v] == index[v]:
+            comp = []
+            while True:
+                w = stack.pop()
+                on.discard(w)
+                comp.append(w)
+                if w == v:
+                    break
+            sccs.append(comp)
+
+    for v in verts:
+        if v not in index:
+            strong(v)
+    want = {v: min(comp) for comp in sccs for v in comp}
+    assert got == want
+    # every label is the minimum member, hence <= the vertex
+    assert all(c <= v for v, c in got.items())
+
+    # a long cycle exceeds max_prop -> loud ConvergenceError, never a
+    # silently split component
+    n = 12
+    cyc = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)], "a long, b long")
+    cvd = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    import pytest as _pytest
+
+    with _pytest.raises(ConvergenceError):
+        strongly_connected_components(cvd, cyc, max_prop=5)
