@@ -399,3 +399,145 @@ def q_doc_curriculum_stages(spark, sf_dir):
             F.round(F.max("ttr"), 6).alias("max_ttr"),
         )
     )
+
+
+# --- IPF raking to target margins --------------------------------------------
+
+_RAKE_ROUNDS = 3
+
+
+def _rake_oracle() -> str:
+    parts = [
+        f"""
+cells AS (
+  SELECT source,
+         CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 250 THEN 1
+              WHEN n_chars < 350 THEN 2 ELSE 3 END AS len_bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_src,
+         CAST(count(DISTINCT len_bucket) AS BIGINT) AS n_lb
+  FROM cells
+),
+w0 AS (SELECT source, len_bucket, n, CAST(1000000 AS BIGINT) AS w FROM cells)"""
+    ]
+    for r in range(1, _RAKE_ROUNDS + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""
+rs{r} AS (
+  SELECT source, CAST(sum(n * w) AS BIGINT) AS cur FROM {prev} GROUP BY 1
+),
+wa{r} AS (
+  SELECT p.source, p.len_bucket, p.n,
+         (p.w * (((t.total * 1000000 // t.n_src) * 1000000) // rs.cur))
+           // 1000000 AS w
+  FROM {prev} p JOIN rs{r} rs ON rs.source = p.source CROSS JOIN tot t
+),
+cs{r} AS (
+  SELECT len_bucket, CAST(sum(n * w) AS BIGINT) AS cur FROM wa{r} GROUP BY 1
+),
+w{r} AS (
+  SELECT p.source, p.len_bucket, p.n,
+         (p.w * (((t.total * 1000000 // t.n_lb) * 1000000) // cs.cur))
+           // 1000000 AS w
+  FROM wa{r} p JOIN cs{r} cs ON cs.len_bucket = p.len_bucket CROSS JOIN tot t
+)"""
+        )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT source, len_bucket, n AS n_docs, CAST(w AS BIGINT) AS weight_micro,
+       CAST(n * w AS BIGINT) AS weighted_micro
+FROM w{_RAKE_ROUNDS}
+"""
+
+
+@register(
+    "corpus_raking_weights",
+    oracle=_rake_oracle(),
+    description="Survey-style raking (iterative proportional fitting) of "
+    "the corpus to UNIFORM target margins on two dimensions at once — "
+    "source and length bucket (the joint cannot be hit by per-dimension "
+    f"reweighting alone; {_RAKE_ROUNDS} alternating IPF rounds converge "
+    "toward both margins). This is the two-margin generalization of the "
+    "single-axis mixture reweighting: the sampler consumes the final "
+    "per-cell weight exactly like temperature/uniform weights. Weights "
+    "live per CELL, not per document — the corpus is aggregated once "
+    "into the sources x buckets cell table and every IPF round is "
+    "cell-table-sized (two key aggregates + rescales), so iteration "
+    "cost is independent of corpus size. All round arithmetic is "
+    "integer micro fixed-point with truncating division — bit-identical "
+    "across engines (the Bradley-Terry/SPRT convention); full oracle "
+    "with the same unrolled rounds as DuckDB CTEs.",
+    tags=("llm", "sampling", "iterative"),
+)
+def q_corpus_raking_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            "source",
+            F.when(F.col("n_chars") < 150, 0)
+            .when(F.col("n_chars") < 250, 1)
+            .when(F.col("n_chars") < 350, 2)
+            .otherwise(3)
+            .alias("len_bucket"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.countDistinct("source").cast("long").alias("n_src"),
+        F.countDistinct("len_bucket").cast("long").alias("n_lb"),
+    )
+    w = (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "len_bucket",
+            "n",
+            F.lit(1_000_000).cast("long").alias("w"),
+            "total",
+            "n_src",
+            "n_lb",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_RAKE_ROUNDS):
+        rs = w.groupBy("source").agg(F.sum(F.col("n") * F.col("w")).cast("long").alias("cur"))
+        w = w.join(rs, "source").select(
+            "source",
+            "len_bucket",
+            "n",
+            F.expr(
+                "(w * (((total * 1000000 DIV n_src) * 1000000) DIV cur)) DIV 1000000"
+            ).alias("w"),
+            "total",
+            "n_src",
+            "n_lb",
+        )
+        cs = w.groupBy("len_bucket").agg(
+            F.sum(F.col("n") * F.col("w")).cast("long").alias("cur")
+        )
+        w = w.join(cs, "len_bucket").select(
+            "source",
+            "len_bucket",
+            "n",
+            F.expr(
+                "(w * (((total * 1000000 DIV n_lb) * 1000000) DIV cur)) DIV 1000000"
+            ).alias("w"),
+            "total",
+            "n_src",
+            "n_lb",
+        )
+    return w.select(
+        "source",
+        "len_bucket",
+        F.col("n").alias("n_docs"),
+        F.col("w").cast("long").alias("weight_micro"),
+        (F.col("n") * F.col("w")).cast("long").alias("weighted_micro"),
+    )
