@@ -68,6 +68,7 @@ FROM j GROUP BY doc_id
     "is the general form that also serves df-weighted variants. "
     "Reassembly is one per-doc sort of segment structs (array_sort of "
     "collect_list), never a global sort.",
+    bench=True,
     tags=("llm", "quality", "dedup"),
 )
 def q_doc_segment_boilerplate(spark, sf_dir):

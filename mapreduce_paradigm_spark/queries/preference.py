@@ -290,6 +290,7 @@ FROM s{_BT_ROUNDS} s JOIN wins w ON w.item = s.item
     "use). Votes are exact hash-thresholded BT samples with planted "
     "strengths 1..8, and the fitted ranking recovers the planted order; "
     "full oracle.",
+    bench=True,
     tags=("preference", "llm", "iterative"),
 )
 def q_preference_bradley_terry(spark, sf_dir):
