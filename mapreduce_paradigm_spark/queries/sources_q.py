@@ -155,3 +155,46 @@ def q_source_json_multiline_roundtrip(spark, sf_dir):
     return read_json_multiline(
         spark, path, "r_regionkey BIGINT, r_name STRING"
     )
+
+
+@register(
+    "source_partitioned_roundtrip",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1
+""",
+    description="Hive-partitioned parquet sink+source roundtrip WITH "
+    "partition pruning: customer written partitionBy(c_mktsegment) — the "
+    "directory-per-value layout every 100 TB lake uses — read back with "
+    "an equality filter on the partition column and aggregated per "
+    "nation. The filter resolves at PLANNING time against directory "
+    "names (PartitionFilters in the scan, pinned by "
+    "tests/test_plans.py::test_partitioned_roundtrip_prunes_partitions), "
+    "so only 1 of 5 segment directories is ever listed or read — the "
+    "mechanism that turns a predicate into a 5x I/O cut here and an "
+    "arbitrarily large one on date-partitioned production tables. The "
+    "oracle aggregates the ORIGINAL table under the same predicate, so "
+    "a row lost or duplicated by the partitioned write/read path breaks "
+    "the value hash.",
+    tags=("source", "sink", "roundtrip", "layout"),
+)
+def q_source_partitioned_roundtrip(spark, sf_dir):
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="part_rt_"), "customer_part")
+    cust = load_table(spark, sf_dir, "customer")
+    cust.select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).write.mode("overwrite").partitionBy("c_mktsegment").parquet(out_dir)
+    back = spark.read.parquet(out_dir).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return back.groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+            "acctbal_cents"
+        ),
+    )

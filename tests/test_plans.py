@@ -443,3 +443,14 @@ def test_zone_map_grader_exchanges_are_metadata_scale(spark):
     plan = formatted_plan(_df(spark, "orders_zone_map_skipping"))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3, plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark):
+    plan = formatted_plan(_df(spark, "source_partitioned_roundtrip"))
+    # the segment predicate must resolve against directory names at
+    # planning time, not as a data filter after reading every partition
+    assert "PartitionFilters" in plan
+    seg_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "BUILDING" in seg_line
