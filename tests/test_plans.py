@@ -454,3 +454,29 @@ def test_partitioned_roundtrip_prunes_partitions(spark):
         line for line in plan.splitlines() if "PartitionFilters" in line
     )
     assert "BUILDING" in seg_line
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark):
+    """A partitioned fact joined to a filtered dim must prune partitions
+    at RUNTIME from the dim's build side (dynamicpruningexpression +
+    broadcast subquery) — the mechanism that turns a star-join date
+    filter into an I/O cut on a date-partitioned 100 TB fact."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    d = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "orders_part")
+    load_table(spark, SF_CORRECT, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("F", 10), ("O", 20), ("P", 30)], "st string, w int"
+    ).where(F.col("w") == 10)
+    j = fact.join(dim, fact["o_orderstatus"] == dim["st"]).groupBy("st").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan
