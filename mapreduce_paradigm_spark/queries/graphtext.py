@@ -886,3 +886,125 @@ def q_doc_graph_scc(spark, sf_dir):
     ).select(F.col("doc_id").alias("a"), (F.col("blk_start") + 4).alias("b"))
     edges = ring.unionByName(chain)
     return strongly_connected_components(docs, edges, src="a", dst="b")
+
+
+# --- Weisfeiler-Lehman color refinement --------------------------------------
+
+
+@register(
+    "doc_graph_wl_colors",
+    oracle="""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+e0 AS (
+  SELECT doc_id AS a, (doc_id * 31 + k.k) % n_docs AS b
+  FROM documents, n, (VALUES (1), (2), (3)) k(k)
+),
+eu AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM e0 WHERE a <> b
+),
+sym AS (
+  SELECT a, b FROM eu UNION ALL SELECT b, a FROM eu
+),
+c0 AS (
+  SELECT d.doc_id AS v,
+         CAST(coalesce(s.deg, 0) AS VARCHAR) AS c
+  FROM documents d
+  LEFT JOIN (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg
+             FROM sym GROUP BY 1) s ON s.v = d.doc_id
+),
+c1 AS (
+  SELECT c0.v,
+         substr(md5(c0.c || '|' ||
+                    coalesce(string_agg(cn.c, ',' ORDER BY cn.c), '')),
+                1, 12) AS c
+  FROM c0
+  LEFT JOIN sym ON sym.a = c0.v
+  LEFT JOIN c0 cn ON cn.v = sym.b
+  GROUP BY c0.v, c0.c
+),
+c2 AS (
+  SELECT c1.v,
+         substr(md5(c1.c || '|' ||
+                    coalesce(string_agg(cn.c, ',' ORDER BY cn.c), '')),
+                1, 12) AS c
+  FROM c1
+  LEFT JOIN sym ON sym.a = c1.v
+  LEFT JOIN c1 cn ON cn.v = sym.b
+  GROUP BY c1.v, c1.c
+)
+SELECT c AS wl_color, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(v) AS BIGINT) AS min_doc
+FROM c2 GROUP BY 1
+""",
+    description="1-Weisfeiler-Lehman color refinement (2 rounds) over the "
+    "symmetrized 3-out citation graph: color_0 = degree, color_{r+1} = "
+    "md5(own color || sorted multiset of neighbor colors) — the "
+    "graph-STRUCTURE fingerprint behind WL graph kernels and GNN "
+    "expressiveness, and the structural-dedup primitive for graph-shaped "
+    "records (two nodes sharing a final color have isomorphic 2-hop "
+    "unfoldings). Output is the color histogram with a min-doc witness "
+    "per class. Each round is one neighbor join + one per-node "
+    "sorted-concat aggregate — key-partitioned, rounds unrolled (2), "
+    "cost per round is |E|, never |V|²; the sorted multiset string is "
+    "built identically in both engines (array_sort+array_join vs "
+    "ORDER BY string_agg), so colors hash-match exactly; full oracle.",
+    tags=("graph", "iterative", "documents"),
+)
+def q_doc_graph_wl_colors(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    e0 = (
+        docs.crossJoin(F.broadcast(ncnt))
+        .select(
+            F.col("doc_id").alias("a"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("doc_id") * 31 + F.lit(k), F.col("n_docs"))
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    eu = e0.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    sym = eu.unionByName(
+        eu.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    colors = (
+        docs.join(deg, docs["doc_id"] == deg["v"], "left")
+        .select(
+            F.col("doc_id").alias("v"),
+            F.coalesce(F.col("deg"), F.lit(0)).cast("string").alias("c"),
+        )
+    )
+    for _ in range(2):
+        nb = sym.join(
+            colors.select(F.col("v").alias("b"), F.col("c").alias("nc")), "b"
+        ).select(F.col("a").alias("v"), "nc")
+        colors = (
+            colors.join(nb, "v", "left")
+            .groupBy("v", "c")
+            .agg(
+                F.array_join(
+                    F.array_sort(F.collect_list("nc")), ","
+                ).alias("nbs")
+            )
+            .select(
+                "v",
+                F.substring(
+                    F.md5(F.concat(F.col("c"), F.lit("|"), F.col("nbs"))), 1, 12
+                ).alias("c"),
+            )
+        )
+    return colors.groupBy(F.col("c").alias("wl_color")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("v").cast("long").alias("min_doc"),
+    )

@@ -600,3 +600,57 @@ def q_streaming_value_tdigest(spark, sf_dir):
 
     out = run_to_memory(streaming_value_tdigest(spark, sf_dir), output_mode="update")
     return out.select("k", "n_centroids", "total_weight")
+
+
+@register(
+    "streaming_click_purchase_full_outer",
+    oracle="""
+WITH wm AS (
+  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS w
+)
+SELECT a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT a.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id
+FROM events a, wm
+WHERE a.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+  AND a.ts + INTERVAL 1 HOUR < wm.w
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS click_id, b.event_id AS purchase_id
+FROM events b, wm
+WHERE b.event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events a
+    WHERE a.user_id = b.user_id AND a.event_type = 'click'
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+  AND b.ts < wm.w
+""",
+    description="Stream-stream FULL OUTER join with per-side watermark "
+    "eviction — the completion of the inner/left-outer pair: matches "
+    "emit on arrival; null-extension is decided per side by its own "
+    "event-time bound (a click once the watermark passes c_ts + 1h, a "
+    "purchase once it passes p_ts — the purchase's last matchable click "
+    "is at p_ts, so its window closes earlier). The oracle applies "
+    "exactly those two asymmetric cuts in batch SQL, so both eviction "
+    "boundaries — not just the join — are hash-pinned. Rows whose "
+    "windows are open at end-of-stream stay in state unemitted on both "
+    "sides.",
+    tags=("streaming", "join", "events"),
+)
+def q_streaming_click_purchase_full_outer(spark, sf_dir):
+    from mapreduce_paradigm_spark.streaming import (
+        streaming_click_purchase_full_outer,
+    )
+
+    return run_to_memory(
+        streaming_click_purchase_full_outer(spark, sf_dir), output_mode="append"
+    )

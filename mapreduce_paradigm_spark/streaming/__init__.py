@@ -612,3 +612,46 @@ def streaming_value_tdigest(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_click_purchase_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join: clicks matched to same-user purchases
+    within the following hour, null-extended on BOTH sides.
+
+    Eviction is per side and asymmetric because the event-time bound is:
+    a click's match window is [c_ts, c_ts + 1h], so it is decidable (and
+    null-emittable) once the global watermark passes c_ts + 1h; a
+    purchase can only match clicks with c_ts in [p_ts - 1h, p_ts], so it
+    is decidable once the watermark passes p_ts itself. With availableNow
+    the final no-data micro-batch advances the watermark to max(event
+    time) on each side (global = min of the two) and flushes every
+    decidable row; rows whose windows are still open at end-of-stream
+    stay in state unemitted — the batch-parity oracle applies the same
+    two cuts.
+    """
+    ev = _stream_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "0 seconds")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select("click_id", "purchase_id")
