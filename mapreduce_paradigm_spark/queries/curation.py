@@ -542,3 +542,189 @@ def q_corpus_raking_weights(spark, sf_dir):
         F.col("w").cast("long").alias("weight_micro"),
         (F.col("n") * F.col("w")).cast("long").alias("weighted_micro"),
     )
+
+
+# --- cross-source unigram cross-entropy matrix -------------------------------
+
+
+@register(
+    "source_crossentropy_matrix",
+    oracle=r"""
+WITH w AS (
+  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS wd
+  FROM documents
+),
+cnt AS (
+  SELECT source, wd, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1, 2
+),
+vocab AS (SELECT CAST(count(DISTINCT wd) AS BIGINT) AS v FROM cnt),
+train_tot AS (
+  SELECT source AS train_source, CAST(sum(n) AS BIGINT) AS n_train
+  FROM cnt GROUP BY 1
+),
+srcs AS (SELECT DISTINCT source FROM cnt),
+grid AS (
+  SELECT e.source AS eval_source, e.wd, e.n AS n_eval,
+         t.source AS train_source, coalesce(tc.n, 0) AS n_train_w
+  FROM cnt e
+  CROSS JOIN srcs t
+  LEFT JOIN cnt tc ON tc.source = t.source AND tc.wd = e.wd
+),
+terms AS (
+  SELECT g.train_source, g.eval_source, g.n_eval,
+         CAST(round(ln(CAST(tt.n_train + vb.v AS DOUBLE) / (g.n_train_w + 1))
+                    * 1000000, 0) AS BIGINT) AS nll_micro
+  FROM grid g
+  JOIN train_tot tt ON tt.train_source = g.train_source
+  CROSS JOIN vocab vb
+)
+SELECT train_source, eval_source,
+       CAST(sum(n_eval) AS BIGINT) AS n_tokens,
+       CAST(sum(n_eval * nll_micro) AS DOUBLE) / sum(n_eval) / 1000000.0
+         AS avg_nll
+FROM terms GROUP BY 1, 2
+""",
+    description="Cross-source unigram cross-entropy matrix: a "
+    "Laplace-smoothed unigram LM per TRAIN source (shared global-vocab "
+    "denominator so every eval token has mass), evaluated on every EVAL "
+    "source — H(B|A) per ordered pair. The matrix is the data-mixture "
+    "designer's transferability map: which domains a source's "
+    "distribution explains cheaply (low off-diagonal NLL) and which are "
+    "distribution islands; diagonal ≈ each source's own entropy. The "
+    "sources²-expansion happens at VOCAB scale, never corpus scale: one "
+    "(source, word) count aggregate, then eval-counts x sources with a "
+    "word-keyed left join against train counts. Per-term NLL is one "
+    "deterministic ln on an exact-integer ratio, micro-rounded and "
+    "integer-weighted-summed (the unigram-NLL convention), one exact "
+    "division at the edge; full oracle.",
+    tags=("llm", "quality", "sampling"),
+)
+def q_source_crossentropy_matrix(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("wd"),
+    )
+    cnt = w.groupBy("source", "wd").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cnt = cnt.localCheckpoint(eager=True)
+    vocab = cnt.agg(F.countDistinct("wd").cast("long").alias("v"))
+    train_tot = cnt.groupBy(F.col("source").alias("train_source")).agg(
+        F.sum("n").cast("long").alias("n_train")
+    )
+    srcs = cnt.select("source").distinct().select(
+        F.col("source").alias("train_source")
+    )
+    grid = (
+        cnt.select(
+            F.col("source").alias("eval_source"), "wd", F.col("n").alias("n_eval")
+        )
+        .crossJoin(F.broadcast(srcs))
+        .join(
+            cnt.select(
+                F.col("source").alias("train_source"),
+                "wd",
+                F.col("n").alias("n_train_w"),
+            ),
+            ["train_source", "wd"],
+            "left",
+        )
+        .select(
+            "train_source",
+            "eval_source",
+            "n_eval",
+            F.coalesce(F.col("n_train_w"), F.lit(0)).alias("n_train_w"),
+        )
+    )
+    terms = grid.join(F.broadcast(train_tot), "train_source").crossJoin(
+        F.broadcast(vocab)
+    ).select(
+        "train_source",
+        "eval_source",
+        "n_eval",
+        F.round(
+            F.log(
+                (F.col("n_train") + F.col("v")).cast("double")
+                / (F.col("n_train_w") + 1)
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    return terms.groupBy("train_source", "eval_source").agg(
+        F.sum("n_eval").cast("long").alias("n_tokens"),
+        (
+            F.sum(F.col("n_eval") * F.col("nll_micro")).cast("double")
+            / F.sum("n_eval")
+            / F.lit(1e6)
+        ).alias("avg_nll"),
+    )
+
+
+# --- vocabulary coverage curve -----------------------------------------------
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS wd
+  FROM documents
+),
+cnt AS (SELECT wd, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+ranked AS (
+  SELECT n, CAST(row_number() OVER (ORDER BY n DESC, wd ASC) AS BIGINT) AS r
+  FROM cnt
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS vsize FROM ranked),
+ks AS (SELECT CAST(unnest([10, 30, 100, 300]) AS BIGINT) AS k)
+SELECT ks.k,
+       CAST(least(ks.k, t.vsize) AS BIGINT) AS vocab_used,
+       round(CAST(sum(rk.n) AS DOUBLE) / t.total, 6) AS coverage
+FROM ks
+JOIN ranked rk ON rk.r <= ks.k
+CROSS JOIN tot t
+GROUP BY ks.k, t.vsize, t.total
+""",
+    description="Vocabulary coverage curve: share of the corpus token "
+    "mass covered by the top-k most frequent words, k in {10, 30, 100, "
+    "300} — the tokenizer-budget curve (how big a word-level vocab must "
+    "be before OOV mass is negligible; the flat tail is what BPE "
+    "absorbs). One word-count aggregate; the ranking is VOCAB-scale "
+    "(|V| << corpus tokens), the curve is |ks| rows, ranks are "
+    "deterministic (count desc, word asc). Exact integer token masses, "
+    "one division at the edge, 6dp; full oracle.",
+    tags=("llm", "text", "aggregation"),
+)
+def q_vocab_coverage_curve(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("wd")
+    )
+    cnt = w.groupBy("wd").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("wd").asc())
+    ranked = cnt.select(
+        "n", F.row_number().over(wr).cast("long").alias("r")
+    )
+    tot = ranked.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vsize"),
+    )
+    ks = docs.sparkSession.createDataFrame(
+        [(10,), (30,), (100,), (300,)], "k long"
+    )
+    return (
+        ks.join(ranked, ranked["r"] <= ks["k"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "vsize", "total")
+        .agg(F.sum("n").alias("cov_n"))
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("vsize")).cast("long").alias("vocab_used"),
+            F.round(F.col("cov_n").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
