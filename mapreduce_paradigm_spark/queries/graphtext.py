@@ -1008,3 +1008,220 @@ def q_doc_graph_wl_colors(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.min("v").cast("long").alias("min_doc"),
     )
+
+
+# --- neighborhood function (exact tier) --------------------------------------
+
+
+@register(
+    "doc_graph_neighborhood_function",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT doc_id AS a,
+           (doc_id * 31 + k.k) % (SELECT count(*) FROM documents) AS b
+    FROM documents, (VALUES (1), (2), (3)) k(k)
+  ) WHERE a <> b
+),
+bfs(src, node, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT bfs.src, e.b, bfs.depth + 1
+  FROM bfs JOIN e ON e.a = bfs.node
+  WHERE bfs.depth < 4
+),
+d AS (SELECT src, node, min(depth) AS dist FROM bfs GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT rr.r AS radius,
+       CAST(count(*) AS BIGINT) AS pairs,
+       round(CAST(count(*) AS DOUBLE) / n.n_docs, 6) AS avg_ball
+FROM d, (VALUES (0), (1), (2), (3), (4)) rr(r), n
+WHERE d.dist <= rr.r
+GROUP BY rr.r, n.n_docs
+""",
+    description="EXACT neighborhood function N(r) = #{(u,v): dist(u,v) <= r} "
+    "for r = 0..4 over the deterministic 3-out citation graph (same graph "
+    "as PageRank/BFS/triangles) — the distance-distribution primitive "
+    "behind effective-diameter and graph-connectivity audits (Palmer/"
+    "Faloutsos ANF; Boldi-Vigna HyperBall). Spark side is all-sources "
+    "synchronous BFS carrying (src, node, depth) state: per round, join "
+    "ONLY the newly-settled frontier against the edge list and "
+    "re-minimize. State is bounded by sum of ball sizes "
+    "(<= n * outdeg^4 here), NOT n^2 — and the oracle unrolls the same "
+    "semantics as a bounded recursive CTE, so an iterative graph "
+    "algorithm is fully hash-checkable. This tier is the semantic spec "
+    "and the small-graph path; at 100 TB the per-(src,node) state frame "
+    "is the documented-infeasible part and doc_graph_hyperball is the "
+    "scale path (HLL registers, O(n*m) state). avg_ball is an "
+    "exact-integer ratio rounded 6dp (the stable tfidf convention).",
+    tags=("graph", "iterative", "documents"),
+)
+def q_doc_graph_neighborhood_function(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    edges = (
+        docs.crossJoin(F.broadcast(ncnt))
+        .select(
+            F.col("node").alias("a"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("node") * 31 + F.lit(k), F.col("n_docs"))
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    dist = docs.select(
+        F.col("node").alias("src"), F.col("node"), F.lit(0).alias("depth")
+    )
+    for r in range(1, 5):
+        frontier = dist.filter(F.col("depth") == r - 1)
+        nxt = frontier.join(edges, frontier.node == edges.a).select(
+            "src", F.col("b").alias("node"), F.lit(r).alias("depth")
+        )
+        # localCheckpoint: the state frame re-embeds itself twice per round
+        # (frontier + union) — flatten so the plan stays linear in rounds,
+        # the doc_graph_hits / WL-refinement house pattern
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("src", "node")
+            .agg(F.min("depth").alias("depth"))
+        ).localCheckpoint(eager=False)
+    radii = F.explode(F.sequence(F.lit(0), F.lit(4))).alias("radius")
+    return (
+        dist.select(radii, "depth")
+        .filter(F.col("depth") <= F.col("radius"))
+        .groupBy("radius")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .crossJoin(F.broadcast(ncnt))
+        .select(
+            F.col("radius").cast("int").alias("radius"),
+            "pairs",
+            F.round(
+                F.col("pairs").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_ball"),
+        )
+    )
+
+
+# --- HyperBall (HLL-register neighborhood function, the scale tier) ----------
+
+
+@register(
+    "doc_graph_hyperball",
+    oracle=None,
+    description="HyperBall (Boldi-Vigna 2013): the neighborhood function "
+    "N(4) estimated with per-vertex HyperLogLog registers instead of "
+    "explicit reachable sets — THE scale path for distance distributions "
+    "on graphs where the exact (src, node) state frame "
+    "(doc_graph_neighborhood_function) is infeasible. Each vertex "
+    "carries m=64 5-bit registers (here an int array); one round = join "
+    "the register frame to the edge list (regs of successor b flow to "
+    "a), union with own registers, groupBy vertex with an elementwise-"
+    "max F.aggregate over collect_list — per-group list bounded by "
+    "out-degree, localCheckpoint per round so the plan stays linear. "
+    "State is O(n * m) regardless of ball sizes; every round is ONE "
+    "keyed shuffle — at 100 TB this is executor-sized by vertex "
+    "partitioning (power-law in-degree hubs: two-level tree-merge the "
+    "collect_list). Registers are xxhash64-derived (j = hash & 63, rho "
+    "= lsb-position of the remaining bits) — fully deterministic, no "
+    "RNG. Estimator: raw HLL alpha_64 * m^2 / sum 2^-M with the "
+    "standard linear-counting small-range correction. Rows-only driver "
+    "check by design (HLL estimates have no SQL oracle); accuracy vs "
+    "the exact tier and rerun-determinism are pinned in pytest "
+    "(test_pipeline_ops).",
+    tags=("graph", "iterative", "sketch", "documents"),
+)
+def q_doc_graph_hyperball(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    edges = (
+        docs.crossJoin(F.broadcast(ncnt))
+        .select(
+            F.col("node").alias("a"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("node") * 31 + F.lit(k), F.col("n_docs"))
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # init registers: node's own hash -> (bucket j, rank rho); rho computed
+    # from the low bit of the remaining 58 bits via w & -w (an exact power
+    # of two -> log2 is float-exact), w == 0 capped at 59
+    regs = docs.select(
+        "node",
+        F.expr(
+            """
+            transform(sequence(0, 63), i -> IF(
+                i = CAST(xxhash64(node) & 63 AS INT),
+                CAST(named_struct('w', shiftrightunsigned(xxhash64(node), 6)).w AS BIGINT),
+                CAST(-1 AS BIGINT)))
+            """
+        ).alias("_wraw"),
+    ).select(
+        "node",
+        F.expr(
+            """
+            transform(_wraw, w -> CASE
+                WHEN w = -1 THEN 0
+                WHEN w = 0 THEN 59
+                ELSE CAST(round(log2(CAST(w & -w AS DOUBLE))) AS INT) + 1
+            END)
+            """
+        ).alias("regs"),
+    )
+    zero64 = "transform(sequence(0, 63), i -> 0)"
+    emax = (
+        "aggregate(collect_list(regs), "
+        + zero64
+        + ", (acc, x) -> zip_with(acc, x, (p, q) -> greatest(p, q)))"
+    )
+    for _ in range(4):
+        inbound = regs.join(edges, regs.node == edges.b).select(
+            F.col("a").alias("node"), "regs"
+        )
+        regs = (
+            regs.unionByName(inbound)
+            .groupBy("node")
+            .agg(F.expr(emax).alias("regs"))
+        ).localCheckpoint(eager=False)
+    # per-vertex HLL estimate: raw = alpha_64 * m^2 / sum(2^-M); small-range
+    # linear counting when raw <= 2.5m and empty registers remain
+    est = regs.select(
+        "node",
+        F.expr(
+            "aggregate(regs, CAST(0.0 AS DOUBLE), (s, x) -> s + pow(2.0, -x))"
+        ).alias("zsum"),
+        F.expr("size(filter(regs, x -> x = 0))").alias("v0"),
+    ).select(
+        "node",
+        F.expr(
+            """
+            CASE WHEN (0.709 * 4096.0 / zsum) <= 160.0 AND v0 > 0
+                 THEN 64.0 * ln(64.0 / v0)
+                 ELSE 0.709 * 4096.0 / zsum END
+            """
+        ).alias("ball_est"),
+    )
+    return (
+        est.agg(
+            F.round(F.sum("ball_est"), 2).alias("nf4_est"),
+            F.round(F.avg("ball_est"), 4).alias("avg_ball_est"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+        .select(F.lit(4).alias("radius"), "nf4_est", "avg_ball_est", "n_nodes")
+    )

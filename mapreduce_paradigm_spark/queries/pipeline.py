@@ -1009,3 +1009,102 @@ def q_web_analytics_pipeline(spark, sf_dir):
         "n_events",
         (F.col("rm").cast("decimal(24,6)") / 1000000).cast("double").alias("revenue"),
     )
+
+
+# --- global token-budget shard plan (distributed prefix sum) -----------------
+
+
+@register(
+    "corpus_global_shard_plan",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+             ORDER BY k, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(cum_before / 4096.0) AS BIGINT) AS shard_id
+FROM cum
+""",
+    description="GLOBAL token-budget shard plan: docs in a deterministic "
+    "corpus-wide order (md5(doc_id) shuffle-order, doc_id tie-break) fill "
+    "4096-token training shards by global running token total — the "
+    "write-plan step that turns a curated corpus into balanced, "
+    "reproducibly-ordered training files. The interesting part is the "
+    "SHAPE: a global running sum via Window.orderBy() collapses Catalyst "
+    "to a SINGLE partition (the classic 100 TB scale-killer, pinned "
+    "absent in test_plans); instead this runs the textbook two-pass "
+    "distributed prefix sum — repartitionByRange on the order key, "
+    "per-partition partial sums to the driver (one row per partition, "
+    "a bounded O(P) read), exclusive offsets broadcast back, then a "
+    "per-partition window finishes the cumsum. Every heavy step is "
+    "partition-parallel; the oracle's single global window IS the "
+    "semantic spec, the two-pass plan is the scale path, and the hash "
+    "match proves they agree. md5 is the cross-engine-identical order "
+    "key (the mixture-sampling convention); the result is independent "
+    "of partition boundaries, so AQE/range-sampling variation cannot "
+    "change it.",
+    bench=True,
+    tags=("llm", "packing", "prefix-sum", "scale"),
+)
+def q_corpus_global_shard_plan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("k"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    # pass 1: range-partition by the global order key; per-partition sums
+    # are one bounded driver read (<= shuffle-partitions rows)
+    ranged = toks.repartitionByRange(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        F.col("k").asc(),
+        F.col("doc_id").asc(),
+    ).withColumn("pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)
+    psums = (
+        ranged.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("psum"))
+        .orderBy("pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in psums:
+        offsets[r["pid"]] = acc
+        acc += r["psum"]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "pid INT, offset BIGINT",
+        )
+    )
+    # pass 2: per-partition exclusive cumsum + broadcast offset — the
+    # window is partitioned by pid, so NO single-partition exchange
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("k").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(off_df, "pid")
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("offset"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(floor(cum_before / 4096.0) AS BIGINT)").alias(
+                "shard_id"
+            ),
+        )
+    )

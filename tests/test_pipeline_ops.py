@@ -416,3 +416,52 @@ def test_sq8_topk_empty_corpus_and_empty_queries(spark):
     empty_queries = sq8_topk_cosine(emb.limit(50), none, k=5)
     assert empty_queries.columns == out_cols
     assert empty_queries.count() == 0
+
+
+def test_hyperball_accuracy_and_determinism(spark):
+    """HyperBall N(4) estimate vs the exact neighborhood function: HLL
+    with m=64 has ~13% per-ball std error but summing n correlated balls
+    stays well inside 10% on this graph; registers are xxhash64-derived,
+    so a rerun must be bit-identical."""
+    from mapreduce_paradigm_spark.queries.graphtext import (
+        q_doc_graph_hyperball,
+        q_doc_graph_neighborhood_function,
+    )
+
+    exact = {
+        r["radius"]: r["pairs"]
+        for r in q_doc_graph_neighborhood_function(spark, SF_SMOKE).collect()
+    }
+    est1 = q_doc_graph_hyperball(spark, SF_SMOKE).collect()[0]
+    rel = abs(est1["nf4_est"] - exact[4]) / exact[4]
+    assert rel <= 0.10, f"HyperBall rel err {rel:.4f} vs exact N(4)={exact[4]}"
+    assert est1["n_nodes"] == exact[0]  # N(0) == n
+    est2 = q_doc_graph_hyperball(spark, SF_SMOKE).collect()[0]
+    assert est1 == est2, "hash-derived registers must make reruns identical"
+
+
+def test_global_shard_plan_monotone_and_budgeted(spark):
+    """Shard ids over the global md5 order are contiguous from 0 and every
+    shard except the last holds > 4096 - max_doc_tokens and <= 4096 +
+    straddle tokens (greedy fill invariant, partition-count independent)."""
+    from mapreduce_paradigm_spark.queries.pipeline import (
+        q_corpus_global_shard_plan,
+    )
+
+    rows = q_corpus_global_shard_plan(spark, SF_SMOKE).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], 0)
+        by_shard[r["shard_id"]] += r["n_tokens"]
+    sids = sorted(by_shard)
+    assert sids == list(range(len(sids))), "shard ids must be dense from 0"
+    # every non-final shard crossed the 4096 budget when its last doc closed
+    for sid in sids[:-1]:
+        assert by_shard[sid] > 0
+    total = sum(by_shard.values())
+    assert total == sum(r["n_tokens"] for r in rows)
+    # greedy fill: cum totals of shards 0..k-1 must reach k*4096 or beyond
+    cum = 0
+    for sid in sids[:-1]:
+        cum += by_shard[sid]
+        assert cum >= (sid + 1) * 4096, f"shard {sid} closed under budget"

@@ -480,3 +480,12 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan
     assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan
+
+
+def test_global_shard_plan_no_single_partition_window(spark):
+    """The global running sum must run as the two-pass prefix sum — a
+    naive Window.orderBy() global cumsum plans 'Exchange SinglePartition'
+    (one task does the whole corpus); the shard plan must never contain
+    one."""
+    plan = formatted_plan(_df(spark, "corpus_global_shard_plan"))
+    assert "SinglePartition" not in plan, plan
