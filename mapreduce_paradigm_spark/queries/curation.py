@@ -728,3 +728,174 @@ def q_vocab_coverage_curve(spark, sf_dir):
             ),
         )
     )
+
+
+# --- lexical dispersion (Gries' DP) ------------------------------------------
+
+
+@register(
+    "word_dispersion_dp",
+    oracle="""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+ts AS (SELECT source, CAST(count(*) AS BIGINT) AS t_s FROM toks GROUP BY 1),
+tt AS (SELECT CAST(sum(t_s) AS BIGINT) AS t FROM ts),
+fws AS (
+  SELECT w, source, CAST(count(*) AS BIGINT) AS f_ws
+  FROM toks GROUP BY 1, 2
+),
+fw AS (
+  SELECT w, CAST(sum(f_ws) AS BIGINT) AS f_w FROM fws GROUP BY 1
+  HAVING sum(f_ws) >= 100
+),
+grid AS (
+  SELECT fw.w, fw.f_w, ts.source, ts.t_s, COALESCE(x.f_ws, 0) AS f_ws
+  FROM fw CROSS JOIN ts
+  LEFT JOIN fws x ON x.w = fw.w AND x.source = ts.source
+)
+SELECT w, f_w,
+       round(sum(abs(f_ws * t - t_s * f_w)) * 1.0 / (2.0 * f_w * t), 6)
+         AS dp
+FROM grid, tt
+GROUP BY w, f_w, t
+""",
+    description="Gries' DP lexical dispersion per frequent word (total "
+    "freq >= 100): 0.5 * sum_s |share of the word's tokens in source s - "
+    "source s's share of the corpus| — 0 means the word is spread exactly "
+    "like the corpus, -> 1 means it lives in one source. The corpus-"
+    "linguistics signal that separates genuinely common vocabulary from "
+    "source-local jargon/boilerplate (frequency alone can't: a template "
+    "string repeated in one crawl looks 'frequent'). One token pass "
+    "feeds both marginals; the |vocab_freq>=100| x |sources| grid is "
+    "vocabulary-scale, never corpus-scale, and the sources side rides "
+    "broadcast. Numerator is an EXACT integer cross-product sum "
+    "(|f_ws*T - T_s*f_w|), one float division rounded 6dp at the edge — "
+    "the house W1/dispersion convention.",
+    tags=("text", "llm", "curation"),
+)
+def q_word_dispersion_dp(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    ts = toks.groupBy("source").agg(F.count(F.lit(1)).alias("t_s"))
+    tt = ts.agg(F.sum("t_s").alias("t"))
+    fws = toks.groupBy("w", "source").agg(F.count(F.lit(1)).alias("f_ws"))
+    fw = (
+        fws.groupBy("w")
+        .agg(F.sum("f_ws").alias("f_w"))
+        .filter(F.col("f_w") >= 100)
+    )
+    grid = (
+        fw.crossJoin(F.broadcast(ts))
+        .join(fws, ["w", "source"], "left")
+        .select(
+            "w", "f_w", "t_s", F.coalesce(F.col("f_ws"), F.lit(0)).alias("f_ws")
+        )
+    )
+    return (
+        grid.crossJoin(F.broadcast(tt))
+        .groupBy("w", "f_w", "t")
+        .agg(
+            F.sum(
+                F.abs(F.col("f_ws") * F.col("t") - F.col("t_s") * F.col("f_w"))
+            ).alias("num")
+        )
+        .select(
+            "w",
+            "f_w",
+            F.round(
+                F.col("num").cast("double") / (2.0 * F.col("f_w") * F.col("t")),
+                6,
+            ).alias("dp"),
+        )
+    )
+
+
+# --- vocabulary growth curve (Heaps' law) ------------------------------------
+
+
+@register(
+    "vocab_growth_curve",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
+              AS BIGINT) AS bucket,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+bt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_toks FROM toks GROUP BY 1),
+wb AS (SELECT w, CAST(min(bucket) AS BIGINT) AS minb FROM toks GROUP BY 1),
+vb AS (SELECT minb, CAST(count(*) AS BIGINT) AS n_new FROM wb GROUP BY 1),
+ks AS (SELECT CAST(k AS BIGINT) AS k FROM unnest(range(1, 11)) t(k)),
+cum AS (
+  SELECT ks.k,
+         (SELECT sum(n_toks) FROM bt WHERE bucket < ks.k) AS n_tokens_cum,
+         (SELECT sum(n_new) FROM vb WHERE minb < ks.k) AS vocab_cum
+  FROM ks
+)
+SELECT k, CAST(n_tokens_cum AS BIGINT) AS n_tokens_cum,
+       CAST(vocab_cum AS BIGINT) AS vocab_cum,
+       round(ln(CAST(vocab_cum AS DOUBLE)) / ln(CAST(n_tokens_cum AS DOUBLE)),
+             6) AS heaps_exponent
+FROM cum
+WHERE n_tokens_cum > 0 AND vocab_cum > 0
+""",
+    description="Vocabulary growth curve (Heaps'/Herdan's law): cumulative "
+    "distinct-vocabulary size V(N) at 10 deterministic corpus prefixes, "
+    "with the pointwise exponent ln V / ln N — the tokenizer-sizing and "
+    "corpus-diversity diagnostic (a flattening curve means new data adds "
+    "tokens but no new vocabulary; a steep one means the corpus is still "
+    "lexically open). Prefixes are HASH SLICES (md5(doc_id) % 10 "
+    "buckets, prefix k = buckets < k), not rank prefixes: identical "
+    "semantics at any cluster size with NO global sort/ntile (a "
+    "rank-based decile would plan the single-partition window this repo "
+    "bans), and V(prefix k) falls out of each word's MIN first-bucket — "
+    "one word-level aggregate, bucket-scale (10-row) cumulation after. "
+    "Exact integers until the one ln-ratio float, rounded 6dp.",
+    tags=("text", "llm", "curation", "scale"),
+)
+def q_vocab_growth_curve(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    toks = docs.select(
+        bucket.alias("bucket"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    bt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_toks"))
+    wb = toks.groupBy("w").agg(F.min("bucket").alias("minb"))
+    vb = wb.groupBy("minb").agg(F.count(F.lit(1)).alias("n_new"))
+    ks = F.broadcast(
+        docs.sparkSession.range(1, 11).select(F.col("id").alias("k"))
+    )
+    ntc = (
+        ks.crossJoin(bt)
+        .filter(F.col("bucket") < F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n_toks").alias("n_tokens_cum"))
+    )
+    vc = (
+        ks.crossJoin(vb)
+        .filter(F.col("minb") < F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n_new").alias("vocab_cum"))
+    )
+    return ntc.join(vc, "k").select(
+        "k",
+        "n_tokens_cum",
+        "vocab_cum",
+        F.round(
+            F.log(F.col("vocab_cum").cast("double"))
+            / F.log(F.col("n_tokens_cum").cast("double")),
+            6,
+        ).alias("heaps_exponent"),
+    )

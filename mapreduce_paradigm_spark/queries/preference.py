@@ -347,3 +347,83 @@ def q_preference_bradley_terry(spark, sf_dir):
         F.col("s").alias("score_micro"),
         F.row_number().over(wr).cast("long").alias("rank"),
     )
+
+
+# --- Fleiss' multi-rater kappa -----------------------------------------------
+
+
+@register(
+    "preference_fleiss_kappa",
+    oracle=f"""
+WITH {_VOTES_SQL},
+per_item AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (WHERE winner = lo) AS BIGINT) AS n_lo
+  FROM votes GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(n_lo) AS BIGINT) AS s_lo,
+         CAST(sum(n_lo * n_lo + (3 - n_lo) * (3 - n_lo) - 3) AS BIGINT) AS a
+  FROM per_item
+)
+SELECT n_items,
+       round(a * 1.0 / (6 * n_items), 6) AS p_observed,
+       round((s_lo * s_lo + (3 * n_items - s_lo) * (3 * n_items - s_lo)) * 1.0
+             / (9.0 * n_items * n_items), 6) AS p_expected,
+       round((3 * n_items * a
+              - 2 * (s_lo * s_lo + (3 * n_items - s_lo) * (3 * n_items - s_lo)))
+             * 1.0
+             / (18.0 * n_items * n_items
+                - 2 * (s_lo * s_lo
+                       + (3 * n_items - s_lo) * (3 * n_items - s_lo))),
+             6) AS fleiss_kappa
+FROM s
+""",
+    description="Fleiss' kappa over ALL THREE annotators at once (binary "
+    "lo-wins/hi-wins categories) — the multi-rater batch-level agreement "
+    "gate that complements the pairwise Cohen's table "
+    "(annotator_agreement_kappa): one number for 'is this labeling "
+    "process better than chance', robust to which pair you look at. "
+    "P-bar = mean item agreement sum n_ij(n_ij-1)/(n(n-1)); chance from "
+    "pooled category marginals. One item-level aggregate then one "
+    "corpus-scalar reduce, both map-combined; kappa is derived as a "
+    "single EXACT integer ratio ((3NA - 2B) / (18N^2 - 2B), no "
+    "intermediate float division at all) with the final rounded "
+    "division at the edge — the house stats convention. Full oracle.",
+    tags=("preference", "llm", "statistics"),
+)
+def q_preference_fleiss_kappa(spark, sf_dir):
+    votes = _votes(spark, sf_dir)
+    per_item = votes.groupBy("doc_id").agg(
+        F.sum((F.col("winner") == F.col("lo")).cast("long")).alias("n_lo")
+    )
+    s = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("n_lo").alias("s_lo"),
+        F.sum(
+            F.col("n_lo") * F.col("n_lo")
+            + (3 - F.col("n_lo")) * (3 - F.col("n_lo"))
+            - 3
+        ).alias("a"),
+    )
+    b = (
+        F.col("s_lo") * F.col("s_lo")
+        + (3 * F.col("n_items") - F.col("s_lo"))
+        * (3 * F.col("n_items") - F.col("s_lo"))
+    )
+    return s.select(
+        "n_items",
+        F.round(F.col("a") * 1.0 / (6 * F.col("n_items")), 6).alias(
+            "p_observed"
+        ),
+        F.round(
+            b * 1.0 / (9.0 * F.col("n_items") * F.col("n_items")), 6
+        ).alias("p_expected"),
+        F.round(
+            (3 * F.col("n_items") * F.col("a") - 2 * b)
+            * 1.0
+            / (18.0 * F.col("n_items") * F.col("n_items") - 2 * b),
+            6,
+        ).alias("fleiss_kappa"),
+    )
