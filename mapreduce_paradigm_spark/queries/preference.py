@@ -281,15 +281,21 @@ FROM s{_BT_ROUNDS} s JOIN wins w ON w.item = s.item
     f"(Hunter '04 MM updates, {_BT_ROUNDS} unrolled rounds): "
     "s_i' = W_i / sum_pairs n_ij/(s_i+s_j) — the reward-model-free "
     "ranking a preference pipeline reports per batch. The corpus-scale "
-    "work is ONE (pair) vote aggregate; every MM round then runs on the "
-    "items²-sized pair table with broadcast-joined item scores, so "
-    "iteration cost is independent of corpus size. All round arithmetic "
-    "is integer micro fixed-point with truncating division, so five "
-    "rounds stay bit-identical across engines (no accumulated float "
-    "drift — the integer-fixed-point convention the SPRT/OBF walks "
-    "use). Votes are exact hash-thresholded BT samples with planted "
-    "strengths 1..8, and the fitted ranking recovers the planted order; "
-    "full oracle.",
+    "work is ONE (pair) vote aggregate; the MM rounds then run on the "
+    "collected items²-bounded pair table DRIVER-SIDE (28 rows here — "
+    "the bounded-driver-read convention the k-means centroid and LSH "
+    "bucket steps use), because at any corpus size the fit's state is "
+    "items-scale, and running item-scale rounds as Spark jobs pays "
+    "whole-job scheduling latency per round for 28-row work (measured: "
+    "36 s at sf0.1 as distributed rounds — plan re-embedding plus 4 "
+    "jobs/round of fixed overhead — vs corpus-aggregate cost alone "
+    "driver-side). All round arithmetic is integer micro fixed-point "
+    "with truncating division on nonnegative operands, so five rounds "
+    "stay bit-identical across engines and across Python/SQL (no "
+    "accumulated float drift — the integer-fixed-point convention the "
+    "SPRT/OBF walks use). Votes are exact hash-thresholded BT samples "
+    "with planted strengths 1..8, and the fitted ranking recovers the "
+    "planted order; full oracle.",
     bench=True,
     tags=("preference", "llm", "iterative"),
 )
@@ -299,53 +305,33 @@ def q_preference_bradley_terry(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum((F.col("winner") == F.col("lo")).cast("long")).alias("lo_w"),
     )
-    items = spark.range(_N_ITEMS).select(F.col("id").alias("item"))
-    contrib = pair_votes.select(
-        F.col("lo").alias("item"), F.col("lo_w").alias("w")
-    ).unionByName(
-        pair_votes.select(
-            F.col("hi").alias("item"), (F.col("n") - F.col("lo_w")).alias("w")
-        )
-    )
-    wins = (
-        items.join(contrib, "item", "left")
-        .groupBy("item")
-        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("w"))
-    )
-    pv = pair_votes.localCheckpoint(eager=True)
-    s = items.select("item", F.lit(_MICRO).cast("long").alias("s"))
+    # the ONLY corpus-scale job; everything below is items²-bounded
+    pv = [
+        (r["lo"], r["hi"], r["n"], r["lo_w"]) for r in pair_votes.collect()
+    ]
+    wins = {i: 0 for i in range(_N_ITEMS)}
+    for lo, hi, n, lo_w in pv:
+        wins[lo] += lo_w
+        wins[hi] += n - lo_w
+    s = {i: _MICRO for i in range(_N_ITEMS)}
     for _ in range(_BT_ROUNDS):
-        sa = s.select(F.col("item").alias("lo"), F.col("s").alias("s_lo"))
-        sb = s.select(F.col("item").alias("hi"), F.col("s").alias("s_hi"))
-        joined = pv.join(F.broadcast(sa), "lo").join(F.broadcast(sb), "hi")
-        c = F.expr(f"(n * {_MICRO} * {_MICRO}) DIV (s_lo + s_hi)")
-        denom = (
-            joined.select(F.col("lo").alias("item"), c.alias("c"))
-            .unionByName(joined.select(F.col("hi").alias("item"), c.alias("c")))
-            .groupBy("item")
-            .agg(F.sum("c").cast("long").alias("denom"))
-        )
-        s = (
-            wins.join(denom, "item")
-            .select(
-                "item",
-                F.when(
-                    F.col("denom") > 0,
-                    F.expr(f"(w * {_MICRO} * {_MICRO}) DIV denom"),
-                )
-                .otherwise(F.lit(_MICRO))
-                .cast("long")
-                .alias("s"),
-            )
-        )
-    from pyspark.sql.window import Window
-
-    wr = Window.orderBy(F.col("s").desc(), F.col("item").asc())
-    return s.join(wins, "item").select(
-        "item",
-        F.col("w").alias("wins"),
-        F.col("s").alias("score_micro"),
-        F.row_number().over(wr).cast("long").alias("rank"),
+        denom = {i: 0 for i in range(_N_ITEMS)}
+        for lo, hi, n, _lw in pv:
+            c = (n * _MICRO * _MICRO) // (s[lo] + s[hi])
+            denom[lo] += c
+            denom[hi] += c
+        s = {
+            i: (wins[i] * _MICRO * _MICRO) // denom[i]
+            if denom[i] > 0
+            else _MICRO
+            for i in range(_N_ITEMS)
+        }
+    ranked = sorted(range(_N_ITEMS), key=lambda i: (-s[i], i))
+    rows = [
+        (i, wins[i], s[i], ranked.index(i) + 1) for i in range(_N_ITEMS)
+    ]
+    return spark.createDataFrame(
+        rows, "item BIGINT, wins BIGINT, score_micro BIGINT, rank BIGINT"
     )
 
 

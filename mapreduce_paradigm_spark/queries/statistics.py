@@ -1921,3 +1921,160 @@ def q_value_oneway_anova_f(spark, sf_dir):
         F.round(f_stat, 4).alias("f_stat"),
         F.round(eta_sq, 6).alias("eta_squared"),
     )
+
+
+# --- Benjamini-Hochberg FDR across a test family -----------------------------
+
+# identical Abramowitz-Stegun 7.1.26 erf polynomial on both engines: only
+# cross-engine exp() ulp differences can diverge, the ln/exp precedent the
+# whole stats family already relies on (rounded at the edge)
+_BH_P_SQL = (
+    "1.0 - (((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt"
+    " - 0.284496736) * tt + 0.254829592) * tt) * exp(-zz * zz)"
+)
+
+
+@register(
+    "nation_balance_bh_fdr",
+    oracle=f"""
+WITH cents AS (
+  SELECT c_nationkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+  FROM customer
+),
+g AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(v) AS BIGINT) AS s_i,
+         CAST(sum(v * v) AS BIGINT) AS q_i
+  FROM cents JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_i) AS BIGINT) AS n_t, CAST(sum(s_i) AS BIGINT) AS s_t,
+         CAST(sum(q_i) AS BIGINT) AS q_t
+  FROM g
+),
+z AS (
+  SELECT n_name, n_i,
+         (s_i * 1.0 / n_i - (s_t - s_i) * 1.0 / (n_t - n_i))
+         / sqrt(
+             ((q_i - s_i * 1.0 * s_i / n_i) / (n_i - 1)) / n_i
+             + (((q_t - q_i) - (s_t - s_i) * 1.0 * (s_t - s_i) / (n_t - n_i))
+                / (n_t - n_i - 1)) / (n_t - n_i)
+         ) AS zval
+  FROM g, tot
+),
+p AS (
+  SELECT n_name, n_i, zval,
+         abs(zval) / sqrt(2.0) AS zz,
+         1.0 / (1.0 + 0.3275911 * abs(zval) / sqrt(2.0)) AS tt
+  FROM z
+),
+pv AS (
+  SELECT n_name, n_i, zval, {_BH_P_SQL} AS pval FROM p
+),
+ranked AS (
+  SELECT n_name, n_i, zval, pval,
+         CAST(row_number() OVER (ORDER BY pval, n_name) AS BIGINT) AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pv
+)
+SELECT n_name, n_i, rnk,
+       round(zval, 4) AS z,
+       round(pval, 6) AS p,
+       round(least(1.0, min(pval * m / rnk) OVER (
+           ORDER BY rnk ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+       )), 6) AS p_adj,
+       least(1.0, min(pval * m / rnk) OVER (
+           ORDER BY rnk ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+       )) <= 0.10 AS reject_10
+FROM ranked
+""",
+    description="Multiple-testing correction: Welch z of each nation's "
+    "customer balance vs all other nations (25 simultaneous tests from "
+    "one pass of exact integer-cents moments), two-sided p via the "
+    "Abramowitz-Stegun erf polynomial (the SAME expression on both "
+    "engines — only exp() ulps can differ, the family's ln precedent), "
+    "then Benjamini-Hochberg step-up: rank p ascending, p_adj = "
+    "monotone suffix-min of p*m/rank capped at 1, reject at FDR 10%. "
+    "The correction every screening dashboard needs before flagging "
+    "'significant' segments (25 uncorrected tests at alpha .05 "
+    "expect ~1 false flag). Corpus work is ONE moments aggregate; "
+    "ranking/windows run at test-family scale (25 rows), where a "
+    "global window is group-scale, not corpus-scale. Full oracle.",
+    tags=("statistics", "experimentation", "fdr"),
+)
+def q_nation_balance_bh_fdr(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = customer.select(
+        "c_nationkey", F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("v")
+    )
+    g = (
+        cents.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            cents.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum("v").alias("s_i"),
+            F.sum(F.col("v") * F.col("v")).alias("q_i"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_i").alias("n_t"), F.sum("s_i").alias("s_t"), F.sum("q_i").alias("q_t")
+    )
+    z = g.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n_i",
+        (
+            (F.col("s_i") * 1.0 / F.col("n_i")
+             - (F.col("s_t") - F.col("s_i")) * 1.0 / (F.col("n_t") - F.col("n_i")))
+            / F.sqrt(
+                ((F.col("q_i") - F.col("s_i") * 1.0 * F.col("s_i") / F.col("n_i"))
+                 / (F.col("n_i") - 1)) / F.col("n_i")
+                + (((F.col("q_t") - F.col("q_i"))
+                    - (F.col("s_t") - F.col("s_i")) * 1.0
+                    * (F.col("s_t") - F.col("s_i"))
+                    / (F.col("n_t") - F.col("n_i")))
+                   / (F.col("n_t") - F.col("n_i") - 1))
+                / (F.col("n_t") - F.col("n_i"))
+            )
+        ).alias("zval"),
+    )
+    p = z.select(
+        "n_name",
+        "n_i",
+        "zval",
+        (F.abs(F.col("zval")) / F.sqrt(F.lit(2.0))).alias("zz"),
+        (1.0 / (1.0 + 0.3275911 * F.abs(F.col("zval")) / F.sqrt(F.lit(2.0)))).alias(
+            "tt"
+        ),
+    ).select("n_name", "n_i", "zval", F.expr(_BH_P_SQL).alias("pval"))
+    wrank = Window.orderBy("pval", "n_name")
+    ranked = p.select(
+        "n_name",
+        "n_i",
+        "zval",
+        "pval",
+        F.row_number().over(wrank).cast("long").alias("rnk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("m"),
+    )
+    wsuffix = Window.orderBy("rnk").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    padj = F.least(
+        F.lit(1.0), F.min(F.col("pval") * F.col("m") / F.col("rnk")).over(wsuffix)
+    )
+    return ranked.select(
+        "n_name",
+        "n_i",
+        "rnk",
+        F.round("zval", 4).alias("z"),
+        F.round("pval", 6).alias("p"),
+        F.round(padj, 6).alias("p_adj"),
+        (padj <= 0.10).alias("reject_10"),
+    )
