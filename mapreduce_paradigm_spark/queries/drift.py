@@ -2415,3 +2415,107 @@ def q_ab_conversion_group_sequential(spark, sf_dir):
         boundary.alias("boundary"),
         F.when(F.abs(z) >= boundary, 1).otherwise(0).cast("long").alias("crossed"),
     )
+
+
+# --- embedding-space distribution drift --------------------------------------
+
+
+@register(
+    "embedding_distribution_drift",
+    oracle="""
+WITH ex AS (
+  SELECT CAST(vec_id % 2 AS BIGINT) AS grp,
+         CAST(s.ord AS BIGINT) AS dim,
+         CAST(round(CAST(s.val AS DOUBLE) * 1000000) AS BIGINT) AS m
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(embedding,
+                                 (x, i) -> {'ord': i, 'val': x})) AS s
+    FROM embeddings
+  )
+),
+wide AS (
+  SELECT dim,
+         CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_ref,
+         CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_new,
+         CAST(sum(m) FILTER (WHERE grp = 0) AS BIGINT) AS s_r,
+         CAST(sum(m * m) FILTER (WHERE grp = 0) AS BIGINT) AS q_r,
+         CAST(sum(m) FILTER (WHERE grp = 1) AS BIGINT) AS s_c,
+         CAST(sum(m * m) FILTER (WHERE grp = 1) AS BIGINT) AS q_c
+  FROM ex GROUP BY 1
+)
+SELECT dim, n_ref, n_new,
+       round(s_r * 1.0 / n_ref / 1000000.0, 6) AS mean_ref,
+       round(s_c * 1.0 / n_new / 1000000.0, 6) AS mean_new,
+       round((s_c * 1.0 / n_new - s_r * 1.0 / n_ref) / 1000000.0, 6)
+         AS mean_shift,
+       round(ln(((q_c - s_c * 1.0 * s_c / n_new) / n_new)
+                / ((q_r - s_r * 1.0 * s_r / n_ref) / n_ref)), 4)
+         AS var_log_ratio
+FROM wide
+""",
+    description="Embedding-space drift monitor: per-dimension mean shift "
+    "and variance log-ratio between the reference half of the corpus "
+    "(even vec_id — yesterday's crawl) and the candidate half (odd — "
+    "today's). THE continuous-ingest guard the lexical drift family "
+    "(PSI/W1/JS) can't provide: a new crawl whose token stats look "
+    "fine can still move in embedding space (encoder version bump, "
+    "upstream content shift), silently invalidating ANN centroids, "
+    "SemDeDup thresholds, and classifier calibrations downstream. One "
+    "posexplode pass -> ONE conditional integer-micro moment agg "
+    "keyed by dim (single shuffle, map-combined) "
+    "(the embedding micro convention), all ratios formed once from "
+    "identical BIGINTs and rounded at the edge; output is "
+    "dimension-scale (64 rows), corpus never re-shuffles. Full oracle.",
+    tags=("drift", "embeddings", "llm"),
+)
+def q_embedding_distribution_drift(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(2)).cast("long").alias("grp"),
+        F.posexplode(F.col("embedding")).alias("dim0", "v"),
+    ).select(
+        "grp",
+        (F.col("dim0") + 1).cast("long").alias("dim"),  # 1-based like SQL
+        F.round(F.col("v").cast("double") * 1000000)
+        .cast("long")
+        .alias("m"),
+    )
+    # ONE conditional aggregation keyed by dim (a two-branch agg+self-join
+    # would scan and explode the corpus twice); single shuffle, map-combined
+    ref = F.col("grp") == 0
+    new = F.col("grp") == 1
+    wide = ex.groupBy("dim").agg(
+        F.sum(ref.cast("long")).alias("n_ref"),
+        F.sum(new.cast("long")).alias("n_new"),
+        F.sum(F.when(ref, F.col("m"))).alias("s_r"),
+        F.sum(F.when(ref, F.col("m") * F.col("m"))).alias("q_r"),
+        F.sum(F.when(new, F.col("m"))).alias("s_c"),
+        F.sum(F.when(new, F.col("m") * F.col("m"))).alias("q_c"),
+    )
+    return wide.select(
+        "dim",
+        "n_ref",
+        "n_new",
+        F.round(F.col("s_r") * 1.0 / F.col("n_ref") / 1000000.0, 6).alias(
+            "mean_ref"
+        ),
+        F.round(F.col("s_c") * 1.0 / F.col("n_new") / 1000000.0, 6).alias(
+            "mean_new"
+        ),
+        F.round(
+            (F.col("s_c") * 1.0 / F.col("n_new")
+             - F.col("s_r") * 1.0 / F.col("n_ref"))
+            / 1000000.0,
+            6,
+        ).alias("mean_shift"),
+        F.round(
+            F.log(
+                ((F.col("q_c") - F.col("s_c") * 1.0 * F.col("s_c") / F.col("n_new"))
+                 / F.col("n_new"))
+                / ((F.col("q_r") - F.col("s_r") * 1.0 * F.col("s_r") / F.col("n_ref"))
+                   / F.col("n_ref"))
+            ),
+            4,
+        ).alias("var_log_ratio"),
+    )

@@ -1225,3 +1225,101 @@ def q_doc_graph_hyperball(spark, sf_dir):
         )
         .select(F.lit(4).alias("radius"), "nf4_est", "avg_ball_est", "n_nodes")
     )
+
+
+# --- effective diameter (from the neighborhood function) ----------------------
+
+
+@register(
+    "doc_graph_effective_diameter",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT doc_id AS a,
+           (doc_id * 31 + k.k) % (SELECT count(*) FROM documents) AS b
+    FROM documents, (VALUES (1), (2), (3)) k(k)
+  ) WHERE a <> b
+),
+bfs(src, node, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT bfs.src, e.b, bfs.depth + 1
+  FROM bfs JOIN e ON e.a = bfs.node
+  WHERE bfs.depth < 4
+),
+d AS (SELECT src, node, min(depth) AS dist FROM bfs GROUP BY 1, 2),
+nf AS (
+  SELECT rr.r AS radius, CAST(count(*) AS BIGINT) AS pairs
+  FROM d, (VALUES (0), (1), (2), (3), (4)) rr(r)
+  WHERE d.dist <= rr.r
+  GROUP BY rr.r
+),
+tgt AS (
+  SELECT 0.9 * max(pairs) AS t, CAST(max(pairs) AS BIGINT) AS n4 FROM nf
+),
+lagged AS (
+  SELECT radius, pairs,
+         lag(pairs) OVER (ORDER BY radius) AS prev
+  FROM nf
+)
+SELECT n4,
+       round(t, 2) AS target_pairs,
+       CAST(min(radius) AS BIGINT) AS reach_radius,
+       round(CASE WHEN min(radius) = 0 THEN 0.0
+                  ELSE min(radius) - 1
+                       + (t - min(prev)) / (min(pairs) - min(prev)) END,
+             4) AS eff_diameter_90
+FROM (
+  SELECT l.radius, l.pairs, l.prev, tgt.t, tgt.n4
+  FROM lagged l, tgt
+  WHERE l.pairs >= tgt.t
+    AND l.radius = (SELECT min(radius) FROM lagged x, tgt
+                    WHERE x.pairs >= tgt.t)
+) GROUP BY n4, t
+""",
+    description="90% effective diameter (Palmer/Faloutsos ANF; the "
+    "one-scalar connectivity summary every graph audit quotes): the "
+    "interpolated radius at which the neighborhood function reaches "
+    "90% of N(4) — d = (r-1) + (0.9 N4 - N(r-1)) / (N(r) - N(r-1)) at "
+    "the first qualifying r. Built directly on the exact NF tier "
+    "(all-sources bounded BFS; at 100 TB swap in HyperBall's register "
+    "estimates — the interpolation is radius-scale either way). "
+    "Interpolation runs on the 5-row radius table; full oracle via "
+    "the same recursive-CTE unroll plus an identical lag window.",
+    tags=("graph", "iterative", "documents"),
+)
+def q_doc_graph_effective_diameter(spark, sf_dir):
+    nf = q_doc_graph_neighborhood_function(spark, sf_dir).select(
+        "radius", "pairs"
+    )
+    wlag = Window.orderBy("radius")
+    lagged = nf.select(
+        "radius", "pairs", F.lag("pairs").over(wlag).alias("prev")
+    )
+    tgt = nf.agg(
+        (0.9 * F.max("pairs")).alias("t"), F.max("pairs").alias("n4")
+    )
+    qual = (
+        lagged.crossJoin(F.broadcast(tgt))
+        .filter(F.col("pairs") >= F.col("t"))
+        .groupBy("n4", "t")
+        .agg(
+            F.min("radius").alias("reach_radius"),
+            F.min_by("pairs", "radius").alias("p_at"),
+            F.min_by("prev", "radius").alias("prev_at"),
+        )
+    )
+    return qual.select(
+        "n4",
+        F.round(F.col("t"), 2).alias("target_pairs"),
+        F.col("reach_radius").cast("long").alias("reach_radius"),
+        F.round(
+            F.when(F.col("reach_radius") == 0, F.lit(0.0)).otherwise(
+                F.col("reach_radius")
+                - 1
+                + (F.col("t") - F.col("prev_at"))
+                / (F.col("p_at") - F.col("prev_at"))
+            ),
+            4,
+        ).alias("eff_diameter_90"),
+    )
