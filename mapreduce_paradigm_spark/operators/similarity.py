@@ -748,3 +748,81 @@ def lsh_topk_cosine(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    '98): greedily pick k of the exact top-``pool`` candidates, each step
+    maximizing lam*relevance - (1-lam)*max-similarity-to-already-selected.
+
+    Returns (q_id, neighbor_id, mmr_rank, relevance, mmr_score). The
+    100 TB shape: candidate generation is the exact ``topk_cosine`` tier
+    (corpus never shuffles); the greedy selection then runs per query
+    over a POOL-BOUNDED group (pool x pool similarity matrix, 20x20
+    here) inside one ``applyInPandas`` keyed by query — corpus-scale
+    work ends at candidate generation, the rerank is
+    candidates²-per-query. Determinism: the group frame is sorted
+    (cosine desc, neighbor_id asc) before any float op, numpy float64
+    throughout, ties broken by neighbor id — reruns are bit-identical.
+    mmr_score of the first pick is lam*relevance (empty selected set).
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cands = topk_cosine(corpus, queries, k=pool, id_col=id_col, emb_col=emb_col)
+    vecs = _unit_normalized(corpus, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("emb_d")
+    )
+    pool_df = vecs.join(F.broadcast(cands), "neighbor_id").select(
+        "q_id", "neighbor_id", "cosine", "emb_d"
+    )
+
+    def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.array(pdf["emb_d"].tolist(), dtype=np.float64)
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        sims = V @ V.T
+        n = len(pdf)
+        selected: list[int] = []
+        out = []
+        avail = list(range(n))
+        for rank in range(1, min(k, n) + 1):
+            best_i, best_key = None, None
+            for i in avail:
+                pen = max((sims[i, j] for j in selected), default=0.0)
+                score = lam * rel[i] - (1.0 - lam) * pen
+                key = (score, -ids[i])
+                if best_key is None or key > best_key:
+                    best_i, best_key = i, key
+            selected.append(best_i)
+            avail.remove(best_i)
+            out.append(
+                (
+                    int(pdf["q_id"].iloc[0]),
+                    int(ids[best_i]),
+                    rank,
+                    float(rel[best_i]),
+                    round(float(best_key[0]), 6),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=["q_id", "neighbor_id", "mmr_rank", "relevance", "mmr_score"],
+        )
+
+    return pool_df.groupBy("q_id").applyInPandas(
+        _greedy,
+        schema="q_id BIGINT, neighbor_id BIGINT, mmr_rank BIGINT, "
+        "relevance DOUBLE, mmr_score DOUBLE",
+    )

@@ -463,3 +463,34 @@ def q_embedding_retrieval_ndcg(spark, sf_dir):
             ).alias("mrr"),
         )
     )
+
+
+# --- MMR diversified top-k ----------------------------------------------------
+
+
+@register(
+    "embedding_mmr_rerank",
+    oracle=None,
+    description="Maximal-marginal-relevance diversified top-5 "
+    "(Carbonell-Goldstein): rerank each query's exact top-20 cosine "
+    "candidates greedily by lam*relevance - (1-lam)*max-sim-to-selected "
+    "(lam=0.7) — the result-diversification step retrieval pipelines "
+    "run between ANN and the user (a RAG context window full of "
+    "near-identical passages wastes its budget; MMR trades a little "
+    "relevance for coverage). Scale shape: candidate generation is the "
+    "exact broadcast-queries/mapInPandas tier (corpus never shuffles); "
+    "the greedy rerank is a 20x20 similarity matrix per query inside "
+    "one applyInPandas keyed by q_id — candidates^2-per-query, never "
+    "corpus-scale. Deterministic (sorted group input, fixed-order "
+    "numpy float64, id tie-breaks) — rows-only by design (greedy "
+    "selection has no SQL oracle); the planted two-cluster diversity "
+    "property, subset/first-pick contracts, and rerun bit-determinism "
+    "are pinned in pytest (test_pipeline_ops).",
+    tags=("similarity", "retrieval", "llm", "pandas-udf"),
+)
+def q_embedding_mmr_rerank(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return mmr_rerank(emb, queries, k=5, pool=20, lam=0.7)

@@ -465,3 +465,63 @@ def test_global_shard_plan_monotone_and_budgeted(spark):
     for sid in sids[:-1]:
         cum += by_shard[sid]
         assert cum >= (sid + 1) * 4096, f"shard {sid} closed under budget"
+
+
+def test_mmr_rerank_contracts_and_determinism(spark):
+    """MMR: picks are a subset of the candidate pool, the first pick is
+    the plain top-1, reruns are bit-identical, and on a planted
+    two-cluster corpus MMR covers both clusters while plain top-k stays
+    in the dominant one."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paradigm_spark.operators.similarity import (
+        mmr_rerank,
+        topk_cosine,
+    )
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    pool = topk_cosine(emb, queries, k=20).collect()
+    run1 = mmr_rerank(emb, queries, k=5, pool=20, lam=0.7).collect()
+    run2 = mmr_rerank(emb, queries, k=5, pool=20, lam=0.7).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+    pool_ids = {(r["q_id"], r["neighbor_id"]) for r in pool}
+    top1 = {r["q_id"]: r["neighbor_id"] for r in pool if r["rank"] == 1}
+    for r in run1:
+        assert (r["q_id"], r["neighbor_id"]) in pool_ids
+        if r["mmr_rank"] == 1:
+            assert r["neighbor_id"] == top1[r["q_id"]]
+
+    # planted: cluster A = 6 near-identical vectors at ~0° (rel ≈ .94 to
+    # the query at 20°), cluster B = 3 vectors at ~72° (rel ≈ .62). Plain
+    # top-3 is all-A; for pick 2, A scores ≈ .5(.94 − 1.0) < 0 while B
+    # scores ≈ .5(.62 − .31) > 0 — MMR(lam=.5) must reach into B. (The
+    # query must NOT sit exactly on A's axis: rel(d) would equal
+    # sim(d, top1) for every candidate and all MMR scores degenerate to 0.)
+    import math
+
+    rows = []
+    for i in range(6):
+        th = math.radians(0.5 * i)
+        rows.append((i, [math.cos(th), math.sin(th), 0.0, 0.0]))
+    for j in range(3):
+        th = math.radians(72 + 2 * j)
+        rows.append((10 + j, [math.cos(th), math.sin(th), 0.0, 0.0]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    q = spark.createDataFrame(
+        [(100, [math.cos(math.radians(20)), math.sin(math.radians(20)), 0.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    plain = {
+        r["neighbor_id"]
+        for r in topk_cosine(corpus, q, k=3).collect()
+    }
+    mmr = {
+        r["neighbor_id"]
+        for r in mmr_rerank(corpus, q, k=3, pool=9, lam=0.5).collect()
+    }
+    assert plain <= set(range(6)), plain
+    assert mmr & {10, 11, 12}, f"MMR failed to diversify: {mmr}"
