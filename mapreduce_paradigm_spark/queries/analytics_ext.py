@@ -1284,3 +1284,123 @@ def q_customer_lorenz_deciles(spark, sf_dir):
             F.sum("rev").over(w_cum).cast("double") / F.sum("rev").over(w_all), 6
         ).alias("cum_share"),
     )
+
+
+# --- RFM segmentation ----------------------------------------------------------
+
+
+@register(
+    "user_rfm_segments",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS maxts FROM events),
+rfm AS (
+  SELECT user_id,
+         -- whole ELAPSED hours (Spark timestampdiff semantics), not
+         -- date_diff's hour-boundary crossings
+         CAST((epoch_us((SELECT maxts FROM mx)) - epoch_us(max(ts)))
+              // 3600000000 AS BIGINT) AS recency_hours,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(COALESCE(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                       FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+           AS monetary_micros
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT quantile_cont(recency_hours, [0.2, 0.4, 0.6, 0.8]) AS rb,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+         quantile_cont(monetary_micros, [0.2, 0.4, 0.6, 0.8]) AS mb
+  FROM rfm
+),
+scored AS (
+  SELECT r.user_id, r.recency_hours, r.frequency, r.monetary_micros,
+         CAST(6 - (1 + (r.recency_hours > b.rb[1])::INT
+                     + (r.recency_hours > b.rb[2])::INT
+                     + (r.recency_hours > b.rb[3])::INT
+                     + (r.recency_hours > b.rb[4])::INT) AS BIGINT) AS r_score,
+         CAST(1 + (r.frequency > b.fb[1])::INT
+                + (r.frequency > b.fb[2])::INT
+                + (r.frequency > b.fb[3])::INT
+                + (r.frequency > b.fb[4])::INT AS BIGINT) AS f_score,
+         CAST(1 + (r.monetary_micros > b.mb[1])::INT
+                + (r.monetary_micros > b.mb[2])::INT
+                + (r.monetary_micros > b.mb[3])::INT
+                + (r.monetary_micros > b.mb[4])::INT AS BIGINT) AS m_score
+  FROM rfm r, b
+)
+SELECT user_id, recency_hours, frequency, monetary_micros,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+""",
+    description="RFM segmentation: per-user recency (hours since last "
+    "event vs corpus max, TZ-free timestamp diff), frequency, and "
+    "monetary (exact purchase-value micros), each banded into quintiles "
+    "against EXACT interpolated 20/40/60/80 percentile boundaries and "
+    "concatenated into the classic 3-digit segment — marketing's "
+    "workhorse customer taxonomy. Scale shape: one user-level "
+    "aggregate; boundaries are ONE exact-percentile aggregate broadcast "
+    "back (NO global ntile window — ntile plans Exchange "
+    "SinglePartition, this repo's banned shape; at 100 TB swap the "
+    "exact percentile for the distributed-histogram selection the "
+    "median queries use — banding is broadcast-compare either way). "
+    "Spark percentile() and DuckDB quantile_cont share the R-7 "
+    "interpolation, so boundaries are bit-identical doubles; banding "
+    "is strict >, ties resolve identically. Full oracle.",
+    tags=("analytics", "events", "segmentation"),
+)
+def q_user_rfm_segments(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("maxts"))
+    rfm = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.expr("timestampdiff(HOUR, max(ts), any_value(maxts))")
+            .cast("long")
+            .alias("recency_hours"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 1000000, 0).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("monetary_micros"),
+        )
+    )
+    qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    b = rfm.agg(
+        F.expr(f"percentile(recency_hours, {qs})").alias("rb"),
+        F.expr(f"percentile(frequency, {qs})").alias("fb"),
+        F.expr(f"percentile(monetary_micros, {qs})").alias("mb"),
+    )
+
+    def band(col, bnd):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.element_at(F.col(bnd), 1)).cast("int")
+            + (F.col(col) > F.element_at(F.col(bnd), 2)).cast("int")
+            + (F.col(col) > F.element_at(F.col(bnd), 3)).cast("int")
+            + (F.col(col) > F.element_at(F.col(bnd), 4)).cast("int")
+        )
+
+    scored = rfm.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "recency_hours",
+        "frequency",
+        "monetary_micros",
+        (F.lit(6) - band("recency_hours", "rb")).cast("long").alias("r_score"),
+        band("frequency", "fb").cast("long").alias("f_score"),
+        band("monetary_micros", "mb").cast("long").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )

@@ -2065,3 +2065,163 @@ def q_click_purchase_cross_correlation(spark, sf_dir):
             6,
         ).alias("ccf"),
     )
+
+
+# --- Granger-lite: does click lead purchase? ----------------------------------
+
+
+@register(
+    "click_purchase_granger_lite",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds
+),
+cnt AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+xy AS (
+  SELECT s.hr, COALESCE(x.c, 0) AS x, COALESCE(y.c, 0) AS y
+  FROM spine s
+  LEFT JOIN cnt x ON x.hr = s.hr AND x.event_type = 'click'
+  LEFT JOIN cnt y ON y.hr = s.hr AND y.event_type = 'purchase'
+),
+tri AS (
+  SELECT b.y AS yt, a.y AS yl, a.x AS xl
+  FROM xy a JOIN xy b ON b.hr = a.hr + INTERVAL 1 HOUR
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(yt) AS BIGINT) AS s1, CAST(sum(yl) AS BIGINT) AS s2,
+         CAST(sum(xl) AS BIGINT) AS s3,
+         CAST(sum(yt * yt) AS BIGINT) AS q11,
+         CAST(sum(yl * yl) AS BIGINT) AS q22,
+         CAST(sum(xl * xl) AS BIGINT) AS q33,
+         CAST(sum(yt * yl) AS BIGINT) AS q12,
+         CAST(sum(yt * xl) AS BIGINT) AS q13,
+         CAST(sum(yl * xl) AS BIGINT) AS q23
+  FROM tri
+),
+r AS (
+  SELECT n,
+         (n * q13 - s1 * s3) * 1.0
+           / sqrt((n * q11 - s1 * s1) * 1.0 * (n * q33 - s3 * s3)) AS r13,
+         (n * q12 - s1 * s2) * 1.0
+           / sqrt((n * q11 - s1 * s1) * 1.0 * (n * q22 - s2 * s2)) AS r12,
+         (n * q23 - s2 * s3) * 1.0
+           / sqrt((n * q22 - s2 * s2) * 1.0 * (n * q33 - s3 * s3)) AS r23
+  FROM m
+),
+p AS (
+  SELECT n,
+         (r13 - r12 * r23)
+           / sqrt((1.0 - r12 * r12) * (1.0 - r23 * r23)) AS rp
+  FROM r
+)
+SELECT n,
+       round(rp, 6) AS r_partial,
+       round(rp * rp * (n - 3) / (1.0 - rp * rp), 4) AS f_stat
+FROM p
+""",
+    description="Granger-causality screen (lag 1): partial correlation of "
+    "purchase_t with click_{t-1} CONTROLLING for purchase_{t-1}, plus "
+    "the equivalent nested-OLS F statistic F = r_p^2 (n-3)/(1-r_p^2) — "
+    "'does click volume add predictive information about next-hour "
+    "purchases beyond purchases' own history?', the causality screen "
+    "raw CCF can't answer (autocorrelated series cross-correlate "
+    "spuriously). Same zero-filled hour spine as the CCF query, ONE "
+    "exact BIGINT moment pass over the lag-aligned triples, closed-form "
+    "floats only at the edge (the partial-correlation/Chow-F house "
+    "convention). Full oracle.",
+    tags=("timeseries", "events", "statistics", "correlation"),
+)
+def q_click_purchase_granger_lite(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    cnt = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    x = cnt.filter(F.col("event_type") == "click").select(
+        "hr", F.col("c").alias("x")
+    )
+    y = cnt.filter(F.col("event_type") == "purchase").select(
+        "hr", F.col("c").alias("y")
+    )
+    xy = (
+        spine.join(F.broadcast(x), "hr", "left")
+        .join(F.broadcast(y), "hr", "left")
+        .select(
+            "hr",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    a = xy.select("hr", F.col("y").alias("yl"), F.col("x").alias("xl"))
+    b = xy.select(
+        (F.col("hr") - F.expr("INTERVAL 1 HOUR")).alias("hr"),
+        F.col("y").alias("yt"),
+    )
+    tri = a.join(F.broadcast(b), "hr")
+    m = tri.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yt").alias("s1"),
+        F.sum("yl").alias("s2"),
+        F.sum("xl").alias("s3"),
+        F.sum(F.col("yt") * F.col("yt")).alias("q11"),
+        F.sum(F.col("yl") * F.col("yl")).alias("q22"),
+        F.sum(F.col("xl") * F.col("xl")).alias("q33"),
+        F.sum(F.col("yt") * F.col("yl")).alias("q12"),
+        F.sum(F.col("yt") * F.col("xl")).alias("q13"),
+        F.sum(F.col("yl") * F.col("xl")).alias("q23"),
+    )
+    r13 = (
+        (F.col("n") * F.col("q13") - F.col("s1") * F.col("s3"))
+        * 1.0
+        / F.sqrt(
+            (F.col("n") * F.col("q11") - F.col("s1") * F.col("s1"))
+            * 1.0
+            * (F.col("n") * F.col("q33") - F.col("s3") * F.col("s3"))
+        )
+    )
+    r12 = (
+        (F.col("n") * F.col("q12") - F.col("s1") * F.col("s2"))
+        * 1.0
+        / F.sqrt(
+            (F.col("n") * F.col("q11") - F.col("s1") * F.col("s1"))
+            * 1.0
+            * (F.col("n") * F.col("q22") - F.col("s2") * F.col("s2"))
+        )
+    )
+    r23 = (
+        (F.col("n") * F.col("q23") - F.col("s2") * F.col("s3"))
+        * 1.0
+        / F.sqrt(
+            (F.col("n") * F.col("q22") - F.col("s2") * F.col("s2"))
+            * 1.0
+            * (F.col("n") * F.col("q33") - F.col("s3") * F.col("s3"))
+        )
+    )
+    rp = (r13 - r12 * r23) / F.sqrt(
+        (1.0 - r12 * r12) * (1.0 - r23 * r23)
+    )
+    return m.select(
+        "n",
+        F.round(rp, 6).alias("r_partial"),
+        F.round(rp * rp * (F.col("n") - 3) / (1.0 - rp * rp), 4).alias(
+            "f_stat"
+        ),
+    )
