@@ -542,3 +542,206 @@ def q_customer_t_closeness(spark, sf_dir):
         F.round(dist, 4).alias("t_closeness"),
         (dist > 0.25).alias("breach"),
     )
+
+
+# --- per-source text complexity profile ---------------------------------------
+
+
+@register(
+    "source_text_complexity",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS words,
+         CAST(len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1
+              AS BIGINT) AS syllables
+  FROM documents
+),
+voc AS (
+  SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS vocab
+  FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) GROUP BY 1
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(words) AS BIGINT) AS total_words,
+         CAST(sum(syllables) AS BIGINT) AS total_syllables
+  FROM per_doc GROUP BY 1
+)
+SELECT a.source, a.n_docs, a.total_words,
+       round(a.total_syllables * 1.0 / a.total_words, 6)
+         AS syllables_per_word,
+       round(206.835 - 1.015 * (a.total_words * 1.0 / a.n_docs)
+             - 84.6 * (a.total_syllables * 1.0 / a.total_words), 4)
+         AS flesch_ease,
+       round(v.vocab / sqrt(CAST(a.total_words AS DOUBLE)), 6)
+         AS guiraud_index
+FROM agg a JOIN voc v ON v.source = a.source
+""",
+    description="Per-source text-complexity profile: syllables per word "
+    "(vowel-group runs — the deterministic syllable heuristic), Flesch "
+    "reading ease (docs are single sentences in this fixture, so the "
+    "sentence term reduces to words/doc — noted, not hidden), and "
+    "Guiraud's lexical-richness index V/sqrt(N) (the length-corrected "
+    "type-token ratio raw TTR can't give across differently-sized "
+    "sources). Together the quality-filtering complexity signals the "
+    "Gopher/C4 flag set doesn't cover: too-simple text (boilerplate, "
+    "SEO spam) scores high flesch + low guiraud; gibberish scores the "
+    "reverse. One token pass for vocabulary + one per-doc count pass, "
+    "both per-source aggregates; all ratios exact-integer until the "
+    "rounded edge. Full oracle.",
+    tags=("text", "llm", "quality"),
+)
+def q_source_text_complexity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("words"),
+        (F.size(F.split(F.lower("text"), "[aeiouy]+")) - 1)
+        .cast("long")
+        .alias("syllables"),
+    )
+    voc = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("w").cast("long").alias("vocab"))
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").alias("total_words"),
+        F.sum("syllables").alias("total_syllables"),
+    )
+    return agg.join(voc, "source").select(
+        "source",
+        "n_docs",
+        "total_words",
+        F.round(
+            F.col("total_syllables") * 1.0 / F.col("total_words"), 6
+        ).alias("syllables_per_word"),
+        F.round(
+            206.835
+            - 1.015 * (F.col("total_words") * 1.0 / F.col("n_docs"))
+            - 84.6 * (F.col("total_syllables") * 1.0 / F.col("total_words")),
+            4,
+        ).alias("flesch_ease"),
+        F.round(
+            F.col("vocab") / F.sqrt(F.col("total_words").cast("double")), 6
+        ).alias("guiraud_index"),
+    )
+
+
+# --- column profiler (deequ-style profiles, not checks) -----------------------
+
+
+@register(
+    "lineitem_column_profile",
+    oracle="""
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT) AS qty_nul,
+         CAST(count(DISTINCT l_quantity) AS BIGINT) AS qty_dst,
+         min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+         CAST(count(*) FILTER (WHERE l_discount IS NULL) AS BIGINT) AS dis_nul,
+         CAST(count(DISTINCT l_discount) AS BIGINT) AS dis_dst,
+         min(l_discount) AS dis_min, max(l_discount) AS dis_max,
+         CAST(count(*) FILTER (WHERE l_extendedprice IS NULL) AS BIGINT)
+           AS prc_nul,
+         CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS prc_dst,
+         min(l_extendedprice) AS prc_min, max(l_extendedprice) AS prc_max,
+         CAST(count(*) FILTER (WHERE l_returnflag IS NULL) AS BIGINT)
+           AS rf_nul,
+         CAST(count(DISTINCT l_returnflag) AS BIGINT) AS rf_dst,
+         min(l_returnflag) AS rf_min, max(l_returnflag) AS rf_max,
+         CAST(count(*) FILTER (WHERE l_linestatus IS NULL) AS BIGINT)
+           AS ls_nul,
+         CAST(count(DISTINCT l_linestatus) AS BIGINT) AS ls_dst,
+         min(l_linestatus) AS ls_min, max(l_linestatus) AS ls_max
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_name, n_rows, qty_nul AS n_nulls,
+       qty_dst AS n_distinct, qty_min AS min_num, qty_max AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM a
+UNION ALL
+SELECT 'l_discount', n_rows, dis_nul, dis_dst, dis_min, dis_max,
+       NULL, NULL FROM a
+UNION ALL
+SELECT 'l_extendedprice', n_rows, prc_nul, prc_dst, prc_min, prc_max,
+       NULL, NULL FROM a
+UNION ALL
+SELECT 'l_returnflag', n_rows, rf_nul, rf_dst,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), rf_min, rf_max FROM a
+UNION ALL
+SELECT 'l_linestatus', n_rows, ls_nul, ls_dst,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ls_min, ls_max FROM a
+""",
+    description="Column profiler (deequ-style PROFILES, the discovery "
+    "companion of the assertion-style data_quality_suite): per column — "
+    "row count, null count, EXACT distinct count, typed min/max "
+    "(numeric columns in min_num/max_num, strings in min_str/max_str — "
+    "typed lanes, no cross-engine float formatting) for five lineitem "
+    "columns. ONE scan: all metrics are conditional/multi-distinct "
+    "aggregates of the same pass (Spark plans the count-distincts via "
+    "one Expand over a shared scan; DuckDB aggregates once in a CTE "
+    "and the per-column rows are constant projections of the 1-row "
+    "result). The first thing a pipeline runs against an unfamiliar "
+    "100 TB table — scan cost shared across every profiled column. "
+    "Full oracle.",
+    tags=("quality", "agg", "profiling"),
+)
+def q_lineitem_column_profile(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("qty_nul"),
+        F.countDistinct("l_quantity").cast("long").alias("qty_dst"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.sum(F.col("l_discount").isNull().cast("long")).alias("dis_nul"),
+        F.countDistinct("l_discount").cast("long").alias("dis_dst"),
+        F.min("l_discount").alias("dis_min"),
+        F.max("l_discount").alias("dis_max"),
+        F.sum(F.col("l_extendedprice").isNull().cast("long")).alias("prc_nul"),
+        F.countDistinct("l_extendedprice").cast("long").alias("prc_dst"),
+        F.min("l_extendedprice").alias("prc_min"),
+        F.max("l_extendedprice").alias("prc_max"),
+        F.sum(F.col("l_returnflag").isNull().cast("long")).alias("rf_nul"),
+        F.countDistinct("l_returnflag").cast("long").alias("rf_dst"),
+        F.min("l_returnflag").alias("rf_min"),
+        F.max("l_returnflag").alias("rf_max"),
+        F.sum(F.col("l_linestatus").isNull().cast("long")).alias("ls_nul"),
+        F.countDistinct("l_linestatus").cast("long").alias("ls_dst"),
+        F.min("l_linestatus").alias("ls_min"),
+        F.max("l_linestatus").alias("ls_max"),
+    )
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = [
+        ("l_quantity", "qty_nul", "qty_dst", "qty_min", "qty_max", None),
+        ("l_discount", "dis_nul", "dis_dst", "dis_min", "dis_max", None),
+        ("l_extendedprice", "prc_nul", "prc_dst", "prc_min", "prc_max", None),
+        ("l_returnflag", "rf_nul", "rf_dst", None, None, ("rf_min", "rf_max")),
+        ("l_linestatus", "ls_nul", "ls_dst", None, None, ("ls_min", "ls_max")),
+    ]
+    structs = []
+    for name, nul, dst, mn, mx, strs in rows:
+        structs.append(
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(nul).alias("n_nulls"),
+                F.col(dst).alias("n_distinct"),
+                (F.col(mn) if mn else null_d).alias("min_num"),
+                (F.col(mx) if mx else null_d).alias("max_num"),
+                (F.col(strs[0]) if strs else null_s).alias("min_str"),
+                (F.col(strs[1]) if strs else null_s).alias("max_str"),
+            )
+        )
+    return a.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
