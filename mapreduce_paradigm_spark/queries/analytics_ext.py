@@ -1404,3 +1404,105 @@ def q_user_rfm_segments(spark, sf_dir):
             F.col("m_score").cast("string"),
         ).alias("segment"),
     )
+
+
+# --- exact proration (largest-remainder / Hamilton allocation) -----------------
+
+
+@register(
+    "order_lineitem_proration",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS w
+  FROM lineitem
+),
+o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_c
+  FROM orders
+),
+base AS (
+  SELECT li.l_orderkey, li.l_linenumber, li.w, o.total_c,
+         CAST(sum(li.w) OVER (PARTITION BY li.l_orderkey) AS BIGINT) AS sw
+  FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+),
+fl AS (
+  SELECT l_orderkey, l_linenumber, total_c, sw,
+         (total_c * w) // sw AS fl_c,
+         (total_c * w) % sw AS rem
+  FROM base
+),
+rk AS (
+  SELECT l_orderkey, l_linenumber, fl_c,
+         CAST(row_number() OVER (
+             PARTITION BY l_orderkey
+             ORDER BY rem DESC, l_linenumber ASC) AS BIGINT) AS rnk,
+         CAST(total_c - sum(fl_c) OVER (PARTITION BY l_orderkey) AS BIGINT)
+           AS short
+  FROM fl
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(fl_c + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_cents
+FROM rk
+""",
+    description="Exact proration: allocate each order's integer-cents "
+    "total across its lineitems proportionally to extendedprice with "
+    "the LARGEST-REMAINDER (Hamilton) method — floor shares first, "
+    "then +1 cent to the largest fractional remainders (linenumber "
+    "tie-break) until the order total is hit EXACTLY. The allocation "
+    "problem behind revenue attribution, cost chargeback, and budget "
+    "apportionment, where naive round(share) leaks or double-counts "
+    "cents and a 100 TB ledger won't reconcile. Pure BIGINT arithmetic "
+    "(cents scale keeps total*weight < 2^63), per-order windows are "
+    "key-partitioned (no global sort), conservation holds by "
+    "construction. Full oracle.",
+    tags=("analytics", "agg", "window", "finance"),
+)
+def q_order_lineitem_proration(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("w"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_c"),
+    )
+    wsum = Window.partitionBy("l_orderkey")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "w",
+        "total_c",
+        F.sum("w").over(wsum).alias("sw"),
+    )
+    fl = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_c",
+        F.expr("(total_c * w) DIV sw").alias("fl_c"),
+        F.expr("(total_c * w) % sw").alias("rem"),
+    )
+    wrnk = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), F.col("l_linenumber").asc()
+    )
+    rk = fl.select(
+        "l_orderkey",
+        "l_linenumber",
+        "fl_c",
+        F.row_number().over(wrnk).cast("long").alias("rnk"),
+        (F.col("total_c") - F.sum("fl_c").over(wsum)).alias("short"),
+    )
+    return rk.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("fl_c")
+            + F.when(F.col("rnk") <= F.col("short"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("alloc_cents"),
+    )

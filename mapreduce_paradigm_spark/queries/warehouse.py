@@ -874,3 +874,127 @@ def q_orders_bucket_hash_reconcile(spark, sf_dir):
             (F.col("n_a") == F.col("n_b")) & (F.col("x_a") == F.col("x_b"))
         ).alias("content_match"),
     )
+
+
+# --- bitemporal belief audit ----------------------------------------------------
+
+
+@register(
+    "orders_bitemporal_belief",
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS p0,
+         (o_orderkey % 5 = 0) AS corrected
+  FROM orders
+),
+-- version rows: (valid_from_d, valid_to_d, tx_from_d, tx_to_d) as day
+-- offsets from the order date; uncorrected orders carry one open row,
+-- corrected ones the classic three-row bitemporal history
+ver AS (
+  SELECT o_orderkey, o_orderpriority, corrected, p0 AS price_c,
+         0 AS vf, 999999 AS vt, 0 AS tf,
+         CASE WHEN corrected THEN 10 ELSE 999999 END AS tt
+  FROM v
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, corrected, p0,
+         0, 3, 10, 999999 FROM v WHERE corrected
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, corrected, (p0 * 9) // 10,
+         3, 999999, 10, 999999 FROM v WHERE corrected
+)
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_orderkey) FILTER (WHERE corrected) AS BIGINT)
+         AS n_corrected,
+       CAST(sum(price_c) FILTER (WHERE vf <= 1 AND 1 < vt
+                                   AND tf <= 5 AND 5 < tt) AS BIGINT)
+         AS believed_v1_tx5,
+       CAST(sum(price_c) FILTER (WHERE vf <= 5 AND 5 < vt
+                                   AND tf <= 5 AND 5 < tt) AS BIGINT)
+         AS believed_v5_tx5,
+       CAST(sum(price_c) FILTER (WHERE vf <= 1 AND 1 < vt
+                                   AND tf <= 15 AND 15 < tt) AS BIGINT)
+         AS believed_v1_tx15,
+       CAST(sum(price_c) FILTER (WHERE vf <= 5 AND 5 < vt
+                                   AND tf <= 15 AND 15 < tt) AS BIGINT)
+         AS believed_v5_tx15
+FROM ver GROUP BY 1
+""",
+    description="Bitemporal belief audit: a deterministic two-axis "
+    "version table over orders (every 5th order gets a retroactive "
+    "price correction RECORDED at day +10 that APPLIES from valid day "
+    "+3 — the classic 3-row bitemporal history: the original belief's "
+    "transaction interval closes, the unchanged early validity and the "
+    "corrected late validity reopen), then the 'what did we believe at "
+    "transaction time T about the state valid at time V' sum for the "
+    "2x2 (V in {+1,+5}) x (T in {+5,+15}) grid. Only the "
+    "(late-valid, late-tx) cell sees the correction — exactly the "
+    "audit/restatement semantics SCD2 (one time axis) cannot express, "
+    "and what a 100 TB ledger needs to answer 'was this report correct "
+    "WHEN IT RAN'. Version intervals are day offsets (row-local, exact "
+    "integers), selection is pure interval containment — one conditional "
+    "aggregate pass, no joins, no windows. Full oracle.",
+    tags=("warehouse", "scd", "bitemporal"),
+)
+def q_orders_bitemporal_belief(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("p0"),
+        (F.col("o_orderkey") % 5 == 0).alias("corrected"),
+    )
+    inf = F.lit(999999)
+    base = F.struct(
+        F.col("p0").alias("price_c"),
+        F.lit(0).alias("vf"),
+        inf.alias("vt"),
+        F.lit(0).alias("tf"),
+        F.when(F.col("corrected"), F.lit(10)).otherwise(inf).alias("tt"),
+    )
+    early = F.struct(
+        F.col("p0").alias("price_c"),
+        F.lit(0).alias("vf"),
+        F.lit(3).alias("vt"),
+        F.lit(10).alias("tf"),
+        inf.alias("tt"),
+    )
+    late = F.struct(
+        F.expr("(p0 * 9) DIV 10").alias("price_c"),
+        F.lit(3).alias("vf"),
+        inf.alias("vt"),
+        F.lit(10).alias("tf"),
+        inf.alias("tt"),
+    )
+    ver = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "corrected",
+        F.explode(
+            F.when(F.col("corrected"), F.array(base, early, late)).otherwise(
+                F.array(base)
+            )
+        ).alias("r"),
+    ).select("o_orderkey", "o_orderpriority", "corrected", "r.*")
+
+    def believed(tv, tt):
+        cond = (
+            (F.col("vf") <= tv)
+            & (F.lit(tv) < F.col("vt"))
+            & (F.col("tf") <= tt)
+            & (F.lit(tt) < F.col("tt"))
+        )
+        return F.sum(F.when(cond, F.col("price_c")))
+
+    return ver.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        F.countDistinct(
+            F.when(F.col("corrected"), F.col("o_orderkey"))
+        )
+        .cast("long")
+        .alias("n_corrected"),
+        believed(1, 5).alias("believed_v1_tx5"),
+        believed(5, 5).alias("believed_v5_tx5"),
+        believed(1, 15).alias("believed_v1_tx15"),
+        believed(5, 15).alias("believed_v5_tx15"),
+    )
