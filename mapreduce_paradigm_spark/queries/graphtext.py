@@ -1323,3 +1323,103 @@ def q_doc_graph_effective_diameter(spark, sf_dir):
             4,
         ).alias("eff_diameter_90"),
     )
+
+
+# --- link prediction: common neighbors + Adamic-Adar ---------------------------
+
+
+@register(
+    "doc_graph_adamic_adar",
+    oracle="""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+e0 AS (
+  SELECT doc_id AS a, (doc_id * 31 + k.k) % n_docs AS b
+  FROM documents, n, (VALUES (1), (2), (3)) k(k)
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM e0 WHERE a <> b
+),
+adj AS (
+  SELECT a AS z, b AS v FROM e UNION ALL SELECT b, a FROM e
+),
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+wedge AS (
+  SELECT n1.v AS u, n2.v AS w, n1.z
+  FROM adj n1 JOIN adj n2 ON n1.z = n2.z AND n1.v < n2.v
+),
+scored AS (
+  SELECT wedge.u, wedge.w,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         round(sum(1.0 / ln(deg.deg)), 6) AS adamic_adar
+  FROM wedge JOIN deg ON deg.z = wedge.z
+  WHERE deg.deg > 1
+  GROUP BY 1, 2
+)
+SELECT s.u, s.w, s.common_neighbors, s.adamic_adar
+FROM scored s
+LEFT JOIN e ON e.a = s.u AND e.b = s.w
+WHERE e.a IS NULL AND s.common_neighbors >= 2
+""",
+    description="Link prediction on the undirected citation graph: "
+    "common-neighbor count and Adamic-Adar score (sum over shared "
+    "neighbors z of 1/ln deg(z) — rare shared neighbors weigh more) "
+    "for NON-adjacent pairs with >= 2 shared neighbors — the classic "
+    "recommend-a-citation / find-missing-link primitive, and the graph "
+    "cousin of the dedup candidate generators. Shape: one wedge join "
+    "through the shared neighbor (cost sum deg(z)^2 — the postings-"
+    "explosion bound again; at 100 TB cap or sub-sample hub vertices "
+    "exactly like the df-capped jaccard tier), degrees broadcast onto "
+    "the wedge stream, existing edges removed by anti-join BEFORE "
+    "output. Scores are 1/ln of exact integer degrees summed then "
+    "rounded (the tfidf convention). Full oracle.",
+    tags=("graph", "documents", "similarity"),
+)
+def q_doc_graph_adamic_adar(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    e = (
+        docs.crossJoin(F.broadcast(ncnt))
+        .select(
+            F.col("node").alias("x"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("node") * 31 + F.lit(k), F.col("n_docs"))
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("z"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("z"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    n1 = adj.select("z", F.col("v").alias("u"))
+    n2 = adj.select("z", F.col("v").alias("w"))
+    wedge = n1.join(n2, "z").filter(F.col("u") < F.col("w"))
+    scored = (
+        wedge.join(F.broadcast(deg.filter(F.col("deg") > 1)), "z")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log(F.col("deg"))), 6).alias("adamic_adar"),
+        )
+    )
+    return (
+        scored.join(
+            e,
+            (e.a == scored.u) & (e.b == scored.w),
+            "left_anti",
+        )
+        .filter(F.col("common_neighbors") >= 2)
+        .select("u", "w", "common_neighbors", "adamic_adar")
+    )
