@@ -1506,3 +1506,89 @@ def q_order_lineitem_proration(spark, sf_dir):
         .cast("long")
         .alias("alloc_cents"),
     )
+
+
+# --- clamped running balance (non-associative scan, closed form) ---------------
+
+
+@register(
+    "user_clamped_running_balance",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 1000000, 0) AS BIGINT)
+              WHEN event_type = 'error'
+              THEN -CAST(round(value * 1000000, 0) AS BIGINT)
+              ELSE 0 END AS delta
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+cs AS (
+  SELECT user_id, ts, event_id, delta,
+         CAST(sum(delta) OVER w AS BIGINT) AS csum
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT user_id, ts, event_id, delta, csum,
+         CAST(min(csum) OVER w AS BIGINT) AS cmin
+  FROM cs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, delta,
+       CAST(csum - least(CAST(0 AS BIGINT), cmin) AS BIGINT)
+         AS balance_micros
+FROM c
+""",
+    description="Clamped-at-zero running balance per user (purchases add "
+    "value, errors refund it, the balance can never go negative) — the "
+    "inventory/credit/wallet recurrence S_t = max(0, S_{t-1} + x_t), "
+    "which is NON-ASSOCIATIVE and looks like it forces sequential "
+    "per-row iteration. The closed form S_t = C_t - min(0, min_{k<=t} "
+    "C_k) (tank identity) turns it into two ordinary prefix windows — "
+    "associative, key-partitioned by user, no recursion, no UDAF, no "
+    "row-at-a-time state. The pattern matters at 100 TB because the "
+    "naive stateful formulation serializes each key's partition; the "
+    "closed form rides the same window exchange every other per-user "
+    "metric uses. Integer micros throughout. Full oracle (DuckDB "
+    "nested window over the same identity).",
+    tags=("analytics", "events", "window", "finance"),
+)
+def q_user_clamped_running_balance(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 1000000, 0).cast("long")
+    d = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", micros)
+        .otherwise(-micros)
+        .alias("delta"),
+    )
+    # both windows share the SAME event-order frame (one exchange + one
+    # sort serve the cumsum AND its prefix-min)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "delta",
+            F.sum("delta").over(w).alias("csum"),
+        )
+        .withColumn("cmin", F.min("csum").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            "delta",
+            (F.col("csum") - F.least(F.lit(0).cast("long"), F.col("cmin")))
+            .cast("long")
+            .alias("balance_micros"),
+        )
+    )
