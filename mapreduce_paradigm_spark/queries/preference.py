@@ -413,3 +413,75 @@ def q_preference_fleiss_kappa(spark, sf_dir):
             6,
         ).alias("fleiss_kappa"),
     )
+
+
+# --- per-annotator confusion vs consensus (Dawid-Skene M-step) -----------------
+
+
+@register(
+    "annotator_confusion_vs_consensus",
+    oracle=f"""
+WITH {_VOTES_SQL},
+enc AS (
+  SELECT doc_id, r, CASE WHEN winner = hi THEN 1 ELSE 0 END AS v
+  FROM votes
+),
+truth AS (
+  SELECT doc_id,
+         CASE WHEN sum(v) >= 2 THEN 1 ELSE 0 END AS t
+  FROM enc GROUP BY 1
+),
+conf AS (
+  SELECT e.r AS rater, truth.t AS consensus, e.v AS vote,
+         CAST(count(*) AS BIGINT) AS n
+  FROM enc e JOIN truth ON e.doc_id = truth.doc_id
+  GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT rater, consensus, CAST(sum(n) AS BIGINT) AS n_t
+  FROM conf GROUP BY 1, 2
+)
+SELECT c.rater, c.consensus, c.vote, c.n,
+       round(c.n * 1.0 / t.n_t, 6) AS rate
+FROM conf c JOIN tot t
+  ON t.rater = c.rater AND t.consensus = c.consensus
+""",
+    description="Per-annotator confusion matrix against the majority "
+    "consensus — exactly the M-step of Dawid-Skene '79 annotator-"
+    "quality estimation (P(vote | consensus truth) per rater), the "
+    "diagnostic that tells you WHICH annotator to retrain/deweight "
+    "when Fleiss/Cohen only say THAT the batch disagrees. Consensus = "
+    "majority of 3 (no ties); one vote-level aggregate then "
+    "rater-scale (3x2x2) rate normalization — corpus is touched once. "
+    "Rates are exact-integer ratios rounded 6dp. Full oracle.",
+    tags=("preference", "llm", "quality"),
+)
+def q_annotator_confusion_vs_consensus(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    votes = _votes(spark, sf_dir)
+    enc = votes.select(
+        "doc_id",
+        "r",
+        (F.col("winner") == F.col("hi")).cast("int").alias("v"),
+    )
+    truth = enc.groupBy("doc_id").agg(
+        (F.sum("v") >= 2).cast("int").alias("t")
+    )
+    conf = (
+        enc.join(truth, "doc_id")
+        .groupBy(
+            F.col("r").alias("rater"),
+            F.col("t").alias("consensus"),
+            F.col("v").alias("vote"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wtot = Window.partitionBy("rater", "consensus")
+    return conf.select(
+        "rater",
+        "consensus",
+        "vote",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wtot), 6).alias("rate"),
+    )
