@@ -117,3 +117,68 @@ def test_dsum_overflow_raises_not_wraps(spark):
     # and far below the bound it still matches the exact rational value
     ok = spark.createDataFrame([(1.25,), (2.50,)], "v DOUBLE").agg(dsum(F.col("v"), "s"))
     assert ok.collect()[0]["s"] == 3.75
+
+
+# --- metamorphic differential test: random predicates, Spark vs DuckDB --------
+
+_NUM_COLS = {
+    "l_quantity": st.integers(min_value=0, max_value=55),
+    "l_linenumber": st.integers(min_value=0, max_value=8),
+}
+_STR_COLS = {
+    "l_returnflag": st.sampled_from(["A", "N", "R"]),
+    "l_linestatus": st.sampled_from(["O", "F"]),
+}
+_CMP = st.sampled_from(["<", "<=", "=", ">", ">=", "<>"])
+
+
+@st.composite
+def _leaf(draw):
+    if draw(st.booleans()):
+        col = draw(st.sampled_from(sorted(_NUM_COLS)))
+        val = draw(_NUM_COLS[col])
+        return f"{col} {draw(_CMP)} {val}"
+    col = draw(st.sampled_from(sorted(_STR_COLS)))
+    val = draw(_STR_COLS[col])
+    return f"{col} {draw(_CMP)} '{val}'"
+
+
+@st.composite
+def _predicate(draw):
+    n = draw(st.integers(min_value=1, max_value=4))
+    leaves = [draw(_leaf()) for _ in range(n)]
+    out = leaves[0]
+    for leaf in leaves[1:]:
+        op = draw(st.sampled_from(["AND", "OR"]))
+        out = f"({out} {op} {leaf})"
+    return out
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(_predicate())
+def test_random_filter_agg_matches_duckdb(spark, pred):
+    """Metamorphic differential oracle: a hypothesis-generated predicate
+    over the shared ANSI subset (comparisons on ints and strings,
+    AND/OR nesting) must produce identical grouped COUNT/SUM on Spark
+    and DuckDB. Catches predicate-semantics divergence (collation,
+    null handling, numeric coercion) that the fixed-query oracle suite
+    can't explore."""
+    import duckdb
+
+    sql = (
+        "SELECT l_returnflag, count(*) AS n, "
+        "sum(CAST(l_quantity AS BIGINT)) AS sq "
+        f"FROM lineitem WHERE {pred} GROUP BY l_returnflag"
+    )
+    from .conftest import SF_SMOKE
+
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    spark.read.parquet(path).createOrReplaceTempView("lineitem")
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    con.close()
+    assert got == want, f"predicate {pred!r}: {got} != {want}"
