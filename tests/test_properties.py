@@ -182,3 +182,48 @@ def test_random_filter_agg_matches_duckdb(spark, pred):
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     con.close()
     assert got == want, f"predicate {pred!r}: {got} != {want}"
+
+
+@st.composite
+def _agg_query(draw):
+    groups = draw(
+        st.lists(
+            st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+            min_size=1,
+            max_size=2,
+            unique=True,
+        )
+    )
+    having = draw(st.integers(min_value=0, max_value=200))
+    gcols = ", ".join(groups)
+    return (
+        # round() BEFORE the bigint cast — a bare CAST(double*100 AS
+        # BIGINT) truncates on Spark but rounds on DuckDB (this fuzz test
+        # caught exactly that divergence on first run; the house
+        # integer-cents convention exists because of it)
+        f"SELECT {gcols}, count(*) AS n, "
+        "sum(CAST(l_quantity AS BIGINT)) AS sq, "
+        "min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS mn, "
+        "max(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS mx "
+        f"FROM lineitem GROUP BY {gcols} HAVING count(*) > {having}"
+    )
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(_agg_query())
+def test_random_group_having_matches_duckdb(spark, sql):
+    """Second differential axis: random grouping sets + HAVING with
+    count/sum/min/max over integer-cast columns — grouped-aggregate and
+    HAVING semantics must agree exactly across engines."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    spark.read.parquet(path).createOrReplaceTempView("lineitem")
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}')")
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    con.close()
+    assert got == want, f"{sql}: {len(got)} vs {len(want)} rows"
