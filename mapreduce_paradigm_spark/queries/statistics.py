@@ -2078,3 +2078,95 @@ def q_nation_balance_bh_fdr(spark, sf_dir):
         F.round(padj, 6).alias("p_adj"),
         (padj <= 0.10).alias("reject_10"),
     )
+
+
+# --- upper-tail dependence between two metrics ---------------------------------
+
+
+@register(
+    "customer_order_tail_dependence",
+    oracle="""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS spend_c
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT quantile_cont(n_orders, 0.9) AS qn,
+         quantile_cont(spend_c, 0.9) AS qs
+  FROM m
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(*) FILTER (WHERE n_orders > qn) AS BIGINT) AS n_hi_orders,
+       CAST(count(*) FILTER (WHERE spend_c > qs) AS BIGINT) AS n_hi_spend,
+       CAST(count(*) FILTER (WHERE n_orders > qn AND spend_c > qs) AS BIGINT)
+         AS n_joint,
+       round(count(*) FILTER (WHERE n_orders > qn AND spend_c > qs) * 1.0
+             / NULLIF(count(*) FILTER (WHERE n_orders > qn), 0), 6)
+         AS tail_dep_lambda,
+       round(count(*) FILTER (WHERE n_orders > qn AND spend_c > qs) * 1.0
+               * count(*)
+             / NULLIF(count(*) FILTER (WHERE n_orders > qn)
+                      * count(*) FILTER (WHERE spend_c > qs), 0), 4)
+         AS joint_lift
+FROM m, b
+""",
+    description="Upper-tail dependence between order count and total "
+    "spend per customer: lambda_U ~ P(spend > p90_spend | orders > "
+    "p90_orders) plus the joint-exceedance lift vs independence — the "
+    "co-extremes diagnostic Pearson correlation misses entirely (two "
+    "metrics can be weakly correlated in the bulk yet always spike "
+    "together, which is what capacity planning and risk care about). "
+    "One customer-level aggregate; the two p90 boundaries come from "
+    "one exact-percentile aggregate (Spark percentile == DuckDB "
+    "quantile_cont, shared R-7 interpolation — the RFM convention, "
+    "broadcast-compare, no global sort); exceedance is strict-> "
+    "conditional ratios rounded at the edge. Full oracle.",
+    tags=("statistics", "risk", "agg"),
+)
+def q_customer_order_tail_dependence(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "spend_c"
+        ),
+    )
+    b = m.agg(
+        F.expr("percentile(n_orders, 0.9D)").alias("qn"),
+        F.expr("percentile(spend_c, 0.9D)").alias("qs"),
+    )
+    hi_n = F.col("n_orders") > F.col("qn")
+    hi_s = F.col("spend_c") > F.col("qs")
+    return (
+        m.crossJoin(F.broadcast(b))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(hi_n.cast("long")).alias("n_hi_orders"),
+            F.sum(hi_s.cast("long")).alias("n_hi_spend"),
+            F.sum((hi_n & hi_s).cast("long")).alias("n_joint"),
+        )
+        .select(
+            "n_customers",
+            "n_hi_orders",
+            "n_hi_spend",
+            "n_joint",
+            F.round(
+                F.col("n_joint")
+                * 1.0
+                / F.nullif(F.col("n_hi_orders"), F.lit(0)),
+                6,
+            ).alias("tail_dep_lambda"),
+            F.round(
+                F.col("n_joint")
+                * 1.0
+                * F.col("n_customers")
+                / F.nullif(
+                    F.col("n_hi_orders") * F.col("n_hi_spend"), F.lit(0)
+                ),
+                4,
+            ).alias("joint_lift"),
+        )
+    )

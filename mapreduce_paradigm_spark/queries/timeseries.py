@@ -2225,3 +2225,67 @@ def q_click_purchase_granger_lite(spark, sf_dir):
             "f_stat"
         ),
     )
+
+
+# --- inter-arrival exponential QQ fit ------------------------------------------
+
+
+@register(
+    "user_interarrival_exponential_qq",
+    oracle="""
+WITH g AS (
+  SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+gg AS (SELECT CAST(gap_s AS BIGINT) AS gap_s FROM g WHERE gap_s IS NOT NULL),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap_s) AS BIGINT) AS s,
+         quantile_cont(gap_s,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+  FROM gg
+)
+SELECT CAST(p.i AS BIGINT) AS decile, n,
+       round(q[p.i], 4) AS empirical_s,
+       round((s * 1.0 / n) * (-ln(1.0 - p.i / 10.0)), 4) AS exponential_s,
+       round(q[p.i] / ((s * 1.0 / n) * (-ln(1.0 - p.i / 10.0))), 4)
+         AS qq_ratio
+FROM st, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) p(i)
+""",
+    description="Exponential QQ fit of per-user event inter-arrival "
+    "times: empirical deciles of the pooled within-user gaps vs the "
+    "fitted exponential's quantiles -ln(1-p)/lambda (lambda from the "
+    "exact mean) — the Poisson-process goodness check behind arrival "
+    "modeling, session-gap threshold choice, and bot detection "
+    "(qq_ratio flat at 1 = memoryless arrivals; rising tail = "
+    "burstiness the Fano query quantifies differently). Gaps are "
+    "TZ-free whole elapsed seconds from a per-user lag window (one "
+    "key-partitioned exchange); deciles from one exact-percentile "
+    "aggregate (the R-7 convention); output is 9 rows. Full oracle.",
+    tags=("timeseries", "events", "statistics"),
+)
+def q_user_interarrival_exponential_qq(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        F.expr("timestampdiff(SECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)")
+        .cast("long")
+        .alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    qs = ", ".join(str(i / 10.0) + "D" for i in range(1, 10))
+    st = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap_s").alias("s"),
+        F.expr(f"percentile(gap_s, array({qs}))").alias("q"),
+    )
+    ps = F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile")
+    mean = F.col("s") * 1.0 / F.col("n")
+    theo = mean * (-F.log(1.0 - F.col("decile") / 10.0))
+    emp = F.element_at(F.col("q"), F.col("decile").cast("int"))
+    return st.select(ps, "n", "s", "q").select(
+        F.col("decile").cast("long").alias("decile"),
+        "n",
+        F.round(emp, 4).alias("empirical_s"),
+        F.round(theo, 4).alias("exponential_s"),
+        F.round(emp / theo, 4).alias("qq_ratio"),
+    )
