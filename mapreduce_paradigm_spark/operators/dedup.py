@@ -734,7 +734,12 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return per_doc.select("doc_id", guarded.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    max_chunk_df: int | None = 256,
+) -> DataFrame:
     """Pairs with Hamming distance ≤ ``max_hamming`` between SimHashes.
 
     Pigeonhole: split 63 bits into 4 chunks; any pair within distance 3 must
@@ -745,11 +750,24 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "t
     stay ~linear while fingerprints are independent, but on corpora with
     heavy CROSS-DOC content sharing (boilerplate, half-duplicated pages)
     fingerprints correlate, chunk dfs grow with the duplication rate, and
-    the bucket pair explode goes superlinear — observed exponent 1.60 on
-    a 50% half-spliced synthetic at 10×. Mitigation at scale is the same
-    as the shingle tier's df-cap: cap chunk-bucket width (drop or
-    sub-split buckets whose df exceeds a bound — pairs inside a megabucket
-    are better served by the exact-dup hash or the Jaccard tier anyway).
+    the bucket pair explode goes superlinear — round-5 harness observed
+    exponent 1.60 on a 50% half-spliced synthetic at 10× with no cap.
+
+    ``max_chunk_df`` is that regime's guard (same contract as the shingle
+    tier's ``max_shingle_df``): chunk buckets wider than the cap skip the
+    all-pairs explode entirely; their MEMBERS are routed to an
+    exact-fingerprint tier instead (group by the full 63-bit SimHash →
+    pairs within identical fingerprints). The routed tier's explosion is
+    OUTPUT-bound — every pair it emits is a true hamming-0 result — so a
+    megabucket of b docs costs its real duplicate pairs, not b² candidate
+    churn. What the cap can lose: a pair at hamming 1..max_hamming whose
+    EVERY agreeing chunk sits in a megabucket (pairs that also agree on
+    any normal-width chunk are still found there; hamming-0 pairs are
+    NEVER lost — identical fingerprints always pair in the routed tier;
+    pinned in tests/test_dedup_similarity.py). At 100 TB that trade is
+    the point: a bucket past the cap is boilerplate/templating signal,
+    which the exact-hash and Jaccard tiers handle with bounded cost.
+    ``max_chunk_df=None`` restores the uncapped explode.
     """
     # fingerprints feed 4 bucket branches: persist the (tiny) result rather
     # than recomputing the 63-aggregate pipeline per chunk
@@ -777,14 +795,50 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "t
             for i, (lo, width) in enumerate(chunks)
         ]
     )
-    pairs = (
+    grouped = (
         sh.select("doc_id", "simhash", F.explode(chunk_keys).alias("k"))
         .groupBy("k.ci", "k.c")
         .agg(F.sort_array(F.collect_set(F.struct("doc_id", "simhash"))).alias("ds"))
         .filter(F.size("ds") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.d1", "p.d2", "p.h1", "p.h2")
     )
+    bucketed = grouped
+    exact_pairs = None
+    if max_chunk_df is not None:
+        bucketed = grouped.filter(F.size("ds") <= max_chunk_df)
+        # megabucket members → exact-fingerprint tier: one grouped pass at
+        # member scale (distinct first — a doc can sit in up to 4
+        # megabuckets), identical fingerprints pair in-array. Every emitted
+        # pair is hamming 0 by construction, so h1/h2 are the group key.
+        exact_pairs = (
+            grouped.filter(F.size("ds") > max_chunk_df)
+            .select(F.explode("ds").alias("m"))
+            .select("m.doc_id", "m.simhash")
+            .distinct()
+            .groupBy("simhash")
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .select(
+                "simhash",
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids)), "
+                        "y -> struct(x AS d1, y AS d2))))"
+                    )
+                ).alias("p"),
+            )
+            .select(
+                "p.d1",
+                "p.d2",
+                F.col("simhash").alias("h1"),
+                F.col("simhash").alias("h2"),
+            )
+        )
+    pairs = bucketed.select(F.explode(pair_expr).alias("p")).select(
+        "p.d1", "p.d2", "p.h1", "p.h2"
+    )
+    if exact_pairs is not None:
+        pairs = pairs.unionByName(exact_pairs)
     return _scoped(
         pairs.distinct()
         .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
@@ -796,7 +850,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "t
 def semantic_cluster_near_dups(
     emb: DataFrame,
     threshold: float = 0.42,
-    nlist: int = 8,
+    nlist: int | None = None,
     nassign: int = 2,
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
@@ -822,7 +876,17 @@ def semantic_cluster_near_dups(
     recall (pairs co-located in NO shared cluster) is approximate; both
     are pinned in pytest. 100 TB shape: the cluster equi-join shuffles
     by cluster_id; cap per-cluster width by raising ``nlist`` — cluster
-    count scales with corpus, Σ|c|² stays bounded, and the round-5
+    count scales with corpus, Σ|c|² stays bounded. ``nlist=None``
+    (the default) DERIVES the cluster count from one cheap count of the
+    already-checkpointed base — ``max(8, ceil(n / 600))`` — because the
+    round-5 10× harness measured the fixed-nlist footgun directly:
+    nlist pinned at 8 scales as Σ|c|² ≈ n²/nlist (observed exponent
+    1.83, 3.3 s → 221 s), while nlist grown with the corpus restored
+    ≈linear (e = 0.82, 10.3× cheaper at the same scale). Callers who
+    pass an explicit nlist own that curve. ~600 vectors/cluster is the
+    skew-gate recall sweet spot; at every repo fixture scale (≤ 4800
+    vectors) the derived value equals the old default 8, so recall and
+    determinism pins are unchanged by construction. The round-5
     adversarial gate MEASURED it (30% of vectors in one direction cone:
     3.3× over exact at nlist=8 with 0.997 recall, a further 2.7× at
     nlist=32 at 0.75 recall — .gates/skew.json ``embedding_hot_cluster``).
@@ -858,6 +922,10 @@ def semantic_cluster_near_dups(
         .withColumn("n", l2_norm("e"))
         .localCheckpoint(eager=True)
     )
+    if nlist is None:
+        # scale-aware default (see docstring): one count over checkpointed
+        # blocks, no source rescan. ceil via negative floor-div.
+        nlist = max(8, -(-base.count() // 600))
     inv = 1.0 / F.col("n")
     norm = base.select(
         "id", F.transform(F.col("e"), lambda x: x * inv).alias("emb_d")

@@ -359,12 +359,14 @@ FROM ranked GROUP BY 1
     "training run consumes stage by stage. Rank bucketing uses the "
     "repo's lorenz pattern ((rn-1)*k//n), identical in both engines "
     "including the tie-break, so the stage assignment — not just the "
-    "aggregates — is reproducible. The fixture-exact form ranks with a "
-    "global row_number (range-partitioned sort); the 100 TB form "
-    "replaces the exact rank with approx-quantile score cutpoints "
-    "(one pass + broadcast thresholds) and keeps this exact-rank "
-    "contract as the sampled validation companion — same trade the "
-    "sketch tiers document.",
+    "aggregates — is reproducible. The global rank runs as the house "
+    "two-pass distributed prefix pattern (corpus_global_shard_plan's): "
+    "repartitionByRange on (ttr desc, doc_id), per-partition row counts "
+    "to the driver (one bounded O(P) read), exclusive rank offsets "
+    "broadcast back, per-partition row_number finishes the rank — NO "
+    "Exchange SinglePartition anywhere (pinned in test_plans). The "
+    "oracle's single global window IS the semantic spec; the hash match "
+    "proves the two-pass plan agrees.",
     tags=("llm", "quality", "sampling"),
 )
 def q_doc_curriculum_stages(spark, sf_dir):
@@ -379,19 +381,48 @@ def q_doc_curriculum_stages(spark, sf_dir):
             F.size(F.array_distinct("a")).cast("double") / F.size("a"), 6
         ).alias("ttr"),
     )
-    wr = Window.orderBy(F.col("ttr").desc(), F.col("doc_id").asc())
-    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = scored.select(
-        "n_tok",
-        "ttr",
-        F.row_number().over(wr).cast("long").alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    # pass 1: range-partition on the rank order; per-partition row counts
+    # are one bounded driver read (<= shuffle-partitions rows)
+    ranged = scored.repartitionByRange(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        F.col("ttr").desc(),
+        F.col("doc_id").asc(),
+    ).withColumn("pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)
+    pcounts = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy("pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in pcounts:
+        offsets[r["pid"]] = acc
+        acc += r["c"]
+    n_total = acc
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "pid INT, roff BIGINT",
+        )
+    )
+    # pass 2: per-partition row_number + broadcast offset — the window is
+    # partitioned by pid, so no single-partition exchange
+    wp = Window.partitionBy("pid").orderBy(
+        F.col("ttr").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        ranged.join(off_df, "pid")
+        .withColumn(
+            "rn", F.row_number().over(wp).cast("long") + F.col("roff")
+        )
+        .select("n_tok", "ttr", "rn")
     )
     return (
         ranked.groupBy(
-            (((F.col("rn") - 1) * _STAGES / F.col("n")).cast("long") + 1).alias(
-                "stage"
-            )
+            (
+                ((F.col("rn") - 1) * _STAGES / F.lit(n_total)).cast("long") + 1
+            ).alias("stage")
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -664,6 +695,8 @@ def q_source_crossentropy_matrix(spark, sf_dir):
 
 # --- vocabulary coverage curve -----------------------------------------------
 
+_VOCAB_KS = (10, 30, 100, 300)
+
 
 @register(
     "vocab_coverage_curve",
@@ -692,10 +725,15 @@ GROUP BY ks.k, t.vsize, t.total
     "mass covered by the top-k most frequent words, k in {10, 30, 100, "
     "300} — the tokenizer-budget curve (how big a word-level vocab must "
     "be before OOV mass is negligible; the flat tail is what BPE "
-    "absorbs). One word-count aggregate; the ranking is VOCAB-scale "
-    "(|V| << corpus tokens), the curve is |ks| rows, ranks are "
-    "deterministic (count desc, word asc). Exact integer token masses, "
-    "one division at the edge, 6dp; full oracle.",
+    "absorbs). One word-count aggregate; only the top max(ks) words can "
+    "ever contribute to the curve, so the rank runs as orderBy+limit — "
+    "Catalyst plans TakeOrderedAndProject (per-partition top-k, k·P "
+    "merge), NOT a vocab-wide single-partition sort — and the "
+    "row_number window that follows sees <= max(ks) rows (k-scale, the "
+    "same accepted bounded-window exception as the 25-row BH ranking; "
+    "pinned in test_plans). Ranks are deterministic (count desc, word "
+    "asc — a total order). Exact integer token masses, one division at "
+    "the edge, 6dp; full oracle.",
     tags=("llm", "text", "aggregation"),
 )
 def q_vocab_coverage_curve(spark, sf_dir):
@@ -704,16 +742,21 @@ def q_vocab_coverage_curve(spark, sf_dir):
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("wd")
     )
     cnt = w.groupBy("wd").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # vocab-scale → k-scale BEFORE any global window: only r <= max(ks)
+    # rows can join the curve, and orderBy+limit is TakeOrderedAndProject
+    top = cnt.orderBy(F.col("n").desc(), F.col("wd").asc()).limit(_VOCAB_KS[-1])
     wr = Window.orderBy(F.col("n").desc(), F.col("wd").asc())
-    ranked = cnt.select(
+    ranked = top.select(
         "n", F.row_number().over(wr).cast("long").alias("r")
     )
-    tot = ranked.agg(
+    # totals come from the FULL count table (vsize is the whole vocab,
+    # not the top-k slice)
+    tot = cnt.agg(
         F.sum("n").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("vsize"),
     )
     ks = docs.sparkSession.createDataFrame(
-        [(10,), (30,), (100,), (300,)], "k long"
+        [(k,) for k in _VOCAB_KS], "k long"
     )
     return (
         ks.join(ranked, ranked["r"] <= ks["k"])

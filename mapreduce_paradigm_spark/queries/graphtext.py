@@ -504,6 +504,10 @@ def q_doc_graph_bfs_depths(spark, sf_dir):
             dist.unionByName(nxt)
             .groupBy("node")
             .agg(F.min("depth").alias("depth"))
+            # house iterative-loop convention: dist feeds BOTH next round's
+            # frontier filter and the union, so without a per-round
+            # checkpoint the logical plan doubles per round (~2^r)
+            .localCheckpoint(eager=False)
         )
     return dist.select(
         F.col("node").alias("doc_id"), F.col("depth").cast("bigint").alias("depth")

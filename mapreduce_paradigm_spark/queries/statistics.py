@@ -1927,9 +1927,13 @@ def q_value_oneway_anova_f(spark, sf_dir):
 
 # identical Abramowitz-Stegun 7.1.26 erf polynomial on both engines: only
 # cross-engine exp() ulp differences can diverge, the ln/exp precedent the
-# whole stats family already relies on (rounded at the edge)
+# whole stats family already relies on (rounded at the edge).
+# Two-sided p for a z statistic is erfc(|z|/sqrt(2)) = poly(tt)*exp(-zz^2)
+# directly — A&S 7.1.26 writes erf = 1 - poly*exp(-x^2), so the complement
+# IS the polynomial term (no leading "1 -"): pval(z=1.96) ~= 0.05,
+# decreasing in |z| (pinned in tests/test_statistics.py).
 _BH_P_SQL = (
-    "1.0 - (((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt"
+    "(((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt"
     " - 0.284496736) * tt + 0.254829592) * tt) * exp(-zz * zz)"
 )
 

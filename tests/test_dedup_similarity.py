@@ -506,3 +506,55 @@ def test_strongly_connected_components_tarjan_oracle(spark):
 
     with _pytest.raises(ConvergenceError):
         strongly_connected_components(cvd, cyc, max_prop=5)
+
+
+def test_simhash_chunk_df_cap_keeps_all_hamming0_pairs(spark):
+    """max_chunk_df routes megabucket members to the exact-fingerprint tier.
+
+    Contract pinned here (round-5 verdict ask #1): capping may drop a
+    hamming 1..3 pair whose every agreeing chunk is a megabucket, but it
+    NEVER loses a pair the exact-dup tier would catch — identical
+    fingerprints always pair, whatever the bucket widths."""
+    template = " ".join(f"w{i}" for i in range(48))
+    rows = []
+    # 20 near-identical docs (template + 1 unique token) → correlated
+    # fingerprints → wide chunk buckets (the boilerplate regime)
+    for i in range(20):
+        rows.append((i, template + f" unique{i}"))
+    # exact-duplicate groups planted INSIDE the correlated mass
+    rows += [(100, template + " dup_a"), (101, template + " dup_a")]
+    rows += [
+        (200, template + " dup_b"),
+        (201, template + " dup_b"),
+        (202, template + " dup_b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    # the fixture must actually create a megabucket at the test cap,
+    # otherwise the assertion below is vacuous
+    fps = [r["simhash"] for r in simhash(docs).collect()]
+    widths: dict = {}
+    for h in fps:
+        for ci, (lo, w) in enumerate([(0, 16), (16, 16), (32, 16), (48, 15)]):
+            key = (ci, (h >> lo) & ((1 << w) - 1))
+            widths[key] = widths.get(key, 0) + 1
+    assert max(widths.values()) > 4, "fixture failed to create a megabucket"
+
+    uncapped = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in simhash_near_pairs(docs, 3, max_chunk_df=None).collect()
+    }
+    capped = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in simhash_near_pairs(docs, 3, max_chunk_df=4).collect()
+    }
+    # capping never invents pairs, and agrees on hamming where both emit
+    assert set(capped) <= set(uncapped)
+    for p, h in capped.items():
+        assert uncapped[p] == h
+    # hamming-0 pairs are NEVER lost
+    zeros = {p for p, h in uncapped.items() if h == 0}
+    assert zeros, "fixture planted no exact-dup pairs"
+    assert zeros <= set(capped)
+    for p in zeros:
+        assert capped[p] == 0
