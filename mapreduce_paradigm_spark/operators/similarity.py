@@ -773,10 +773,14 @@ def mmr_rerank(
     (cosine desc, neighbor_id asc) before any float op, numpy float64
     throughout, ties broken by neighbor id — reruns are bit-identical.
     mmr_score of the first pick is lam*relevance (empty selected set).
+    Cost note: the greedy loop re-scans max-similarity penalties per
+    pick — O(k·pool·|selected|) ≈ O(pool³) worst case per query group.
+    Fine at the default pool=20 (8k multiply-adds); ``pool`` is
+    caller-controlled, so keep it O(100) — past that, maintain a
+    running per-candidate max-penalty vector instead.
     """
     import pandas as pd
 
-    spark = corpus.sparkSession
     cands = topk_cosine(corpus, queries, k=pool, id_col=id_col, emb_col=emb_col)
     vecs = _unit_normalized(corpus, emb_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("emb_d")

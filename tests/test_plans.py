@@ -489,3 +489,21 @@ def test_global_shard_plan_no_single_partition_window(spark):
     one."""
     plan = formatted_plan(_df(spark, "corpus_global_shard_plan"))
     assert "SinglePartition" not in plan, plan
+
+
+def test_curriculum_stages_no_single_partition_exchange(spark):
+    """Round-5 advisor finding: the TTR rank ran as a partition-less
+    Window.orderBy row_number — Exchange SinglePartition over the whole
+    corpus. Now the house two-pass prefix-rank; pin the shape."""
+    plan = formatted_plan(_df(spark, "doc_curriculum_stages"))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_vocab_coverage_top_k_without_global_sort(spark):
+    """The vocab rank must reach k-scale via TakeOrderedAndProject
+    (per-partition top-k) BEFORE any global window; the remaining
+    single-partition window sees <= max(ks)=300 rows — the accepted
+    bounded-window exception (same class as the 25-row BH ranking),
+    documented here."""
+    plan = formatted_plan(_df(spark, "vocab_coverage_curve"))
+    assert "TakeOrderedAndProject" in plan, plan
