@@ -1,6 +1,7 @@
-"""One-off sf1 scaling measurement for the heavy dedup/ANN tier
-(round-4 verdict ask #7): everything at sf0.1 finishes in a few seconds,
-so the Σdf² / Σ|c|² / banding cost arguments had no recorded 10× point.
+"""10x scaling measurement for the heavy dedup/ANN/text tier
+(round-4 verdict ask #7; extended per round-5 asks #1/#2/#4/#5):
+everything at sf0.1 finishes in a few seconds, so the Σdf² / Σ|c|² /
+banding cost arguments need a recorded 10× point.
 
 No sf1 fixture exists (and /root/testdata is read-only), so this harness
 generates DISTRIBUTION-PRESERVING synthetic corpora at two sizes with the
@@ -14,14 +15,31 @@ scaling exponent log10(t_10x / t_1x):
   DENSITY does not inflate with scale (naive replication would add 45
   near-identical copies per group and measure output explosion, not
   operator scaling). BOTH scale points use the construction, so the
-  exponent is generator-consistent.
-- embeddings: hash-uniform dim-64 vectors (the fixture's observed regime —
-  see the ANN recall floors), again at both scales.
+  exponent is generator-consistent. Written as
+  {tmp}/corpus_{tag}/documents.parquet so registered QUERY builders can
+  be pointed at the synthetic corpus via their sf_dir argument.
+- documents+dup5: the same corpus with a CONTROLLED 5% duplicate rate —
+  every doc_id ≡ 0 (mod 20) has its text replaced by a lookback target's
+  text (target = id − 1 − hash%59, deterministic). The plain half-splice
+  corpus has no Jaccard≥0.5 pairs at all, so the round-5 CC exponent was
+  vacuous (fixed overhead only); here edge count grows ~n/20 with the
+  corpus and the star-contraction rounds do real work at both scales.
+  Pair counts are logged next to the timing so "did the operator see
+  work" is checkable in the artifact.
+- embeddings: hash-uniform dim-64 vectors (the fixture's observed
+  regime — see the ANN recall floors), again at both scales.
 
-semantic_cluster_near_dups is measured two ways at 10×: nlist FIXED at 8
-(exposes the documented Σ|c|² superlinearity — the failure mode) and
-nlist scaled 10× with the corpus (the documented mitigation; expected
-≈linear). Run: python bench_sf1.py → .gates/sf1.json + stdout table.
+simhash_near_pairs is measured at the CAPPED DEFAULT (max_chunk_df=256,
+the round-6 guard: megabucket members route to the exact-fingerprint
+tier) and UNCAPPED (max_chunk_df=None — the round-5 e=1.60 correlated-
+content failure regime, kept as the documented counterfactual).
+
+semantic_cluster_near_dups is measured at the scale-aware DEFAULT
+(nlist=None → max(8, ceil(n/600)); expected ≈linear) and with nlist
+FORCED to 8 (the round-5 measured e=1.83 footgun — now requires an
+explicit caller choice, kept for the record).
+
+Run: python bench_sf1.py → .gates/sf1.json + stdout table.
 """
 
 from __future__ import annotations
@@ -75,6 +93,36 @@ def build_docs(spark, sf_dir: str, n: int, out: str) -> None:
     )
 
 
+def build_dup_docs(spark, src: str, out: str) -> None:
+    """5% controlled duplicate density: doc_id ≡ 0 (mod 20), id ≥ 60 copies
+    the text of target = id − 1 − xxhash64(id,9)%59. Targets can collide
+    (clusters of 3+) and a target may itself be a dup (its original text
+    then exists nowhere — a deterministic no-op that slightly lowers the
+    effective rate). Everything is hash-derived: rerun-stable."""
+    base = spark.read.parquet(src)
+    picks = (
+        base.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") >= 60))
+        .select(
+            F.col("doc_id").alias("d"),
+            (
+                F.col("doc_id")
+                - 1
+                - F.pmod(F.xxhash64("doc_id", F.lit(9)), F.lit(59))
+            ).alias("t"),
+        )
+    )
+    replaced = picks.join(
+        base.select(F.col("doc_id").alias("t"), F.col("text").alias("ttext")),
+        "t",
+    ).select(F.col("d").alias("doc_id"), "ttext")
+    (
+        base.join(replaced, "doc_id", "left")
+        .select("doc_id", F.coalesce("ttext", "text").alias("text"))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
 def build_embeddings(spark, n: int, out: str) -> None:
     spark.range(n).select(
         F.col("id").alias("vec_id"),
@@ -98,6 +146,7 @@ def main() -> None:
         semantic_cluster_near_dups,
         simhash_near_pairs,
     )
+    from mapreduce_paradigm_spark.registry import all_specs
     from mapreduce_paradigm_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,45 +156,71 @@ def main() -> None:
     tmp = os.environ.get("SPARK_GRAFT_SF1_TMP", "/tmp/sf1_scaling")
     sizes = {"1x": 5_000, "10x": 50_000}
     for tag, n in sizes.items():
-        build_docs(spark, sf_dir, n, f"{tmp}/docs_{tag}")
+        build_docs(spark, sf_dir, n, f"{tmp}/corpus_{tag}/documents.parquet")
+        build_dup_docs(
+            spark,
+            f"{tmp}/corpus_{tag}/documents.parquet",
+            f"{tmp}/corpusdup_{tag}/documents.parquet",
+        )
         build_embeddings(spark, n, f"{tmp}/emb_{tag}")
 
     results: dict[str, dict[str, float]] = {}
+    notes: dict[str, dict[str, int]] = {}
 
     def run(name: str, tag: str, df) -> None:
         release_caches()
         t = _timed(df)
         results.setdefault(name, {})[tag] = t
-        print(f"{name:36s} {tag:>4s}: {t:8.2f}s", flush=True)
+        print(f"{name:40s} {tag:>4s}: {t:8.2f}s", flush=True)
 
+    specs = all_specs()
     for tag in ("1x", "10x"):
-        docs = spark.read.parquet(f"{tmp}/docs_{tag}")
+        corpus_dir = f"{tmp}/corpus_{tag}"
+        dup_dir = f"{tmp}/corpusdup_{tag}"
+        docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        dupdocs = spark.read.parquet(f"{dup_dir}/documents.parquet")
         emb = spark.read.parquet(f"{tmp}/emb_{tag}")
+
         run("ngram_jaccard_pairs_dfcap64", tag,
             jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=64))
         run("ngram_jaccard_prefix_filter", tag,
             jaccard_pairs_prefix_filter(docs, k=3, threshold=0.5))
         run("minhash_lsh_pairs", tag,
             minhash_lsh_pairs(docs, k=3, num_hashes=32, bands=8, threshold=0.5))
-        run("simhash_near_pairs", tag, simhash_near_pairs(docs, max_hamming=3))
-        run("dedup_clusters_star", tag,
+        run("simhash_near_pairs_capped256", tag,
+            simhash_near_pairs(docs, max_hamming=3))
+        run("simhash_near_pairs_uncapped", tag,
+            simhash_near_pairs(docs, max_hamming=3, max_chunk_df=None))
+
+        # CC on the controlled-dup corpus: log the edge count so the
+        # exponent is demonstrably non-vacuous (round-5's was: 0 pairs)
+        dup_pairs = jaccard_pairs(dupdocs, k=3, threshold=0.5, max_shingle_df=64)
+        n_pairs = dup_pairs.count()
+        notes.setdefault("dedup_clusters_star_dup5", {})[f"{tag}_pairs"] = n_pairs
+        print(f"{'dedup_clusters_star_dup5':40s} {tag:>4s}: {n_pairs} edges",
+              flush=True)
+        run("dedup_clusters_star_dup5", tag,
             connected_components_star(
-                jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=64),
+                jaccard_pairs(dupdocs, k=3, threshold=0.5, max_shingle_df=64),
                 edges_unique=True,
             ))
+
         run("embedding_near_dup_lsh", tag, embedding_near_dup_lsh(emb))
-        if tag == "1x":
-            run("semantic_cluster_dedup_nlist8", tag,
-                semantic_cluster_near_dups(emb, threshold=0.42, nlist=8))
-        else:
-            run("semantic_cluster_dedup_nlist8", tag,
-                semantic_cluster_near_dups(emb, threshold=0.42, nlist=8))
-            run("semantic_cluster_dedup_nlist_scaled", tag,
-                semantic_cluster_near_dups(emb, threshold=0.42, nlist=80))
+        run("semantic_cluster_dedup_default", tag,
+            semantic_cluster_near_dups(emb, threshold=0.42))
+        run("semantic_cluster_dedup_nlist8_forced", tag,
+            semantic_cluster_near_dups(emb, threshold=0.42, nlist=8))
+
+        # heavy text ops measured through their REGISTERED builders (the
+        # synthetic corpus dir satisfies load_table's documents contract)
+        run("duplicate_span_extraction", tag,
+            specs["duplicate_span_extraction"].builder(spark, corpus_dir))
+        run("doc_segment_boilerplate", tag,
+            specs["doc_segment_boilerplate"].builder(spark, corpus_dir))
 
     import math
 
-    out = {"sizes": sizes, "queries": {}}
+    out = {"sizes": sizes, "queries": {}, "notes": notes}
     for name, t in sorted(results.items()):
         row = dict(t)
         if "1x" in t and "10x" in t:

@@ -763,3 +763,64 @@ def q_embedding_lsh_near_dup_check(spark, sf_dir):
             ).alias("recall_ge_095_ok"),
         )
     )
+
+
+@register(
+    "hyperball_accuracy_check",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT doc_id AS a,
+           (doc_id * 31 + k.k) % (SELECT count(*) FROM documents) AS b
+    FROM documents, (VALUES (1), (2), (3)) k(k)
+  ) WHERE a <> b
+),
+bfs(src, node, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT bfs.src, e.b, bfs.depth + 1
+  FROM bfs JOIN e ON e.a = bfs.node
+  WHERE bfs.depth < 4
+),
+d AS (SELECT src, node, min(depth) AS dist FROM bfs GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_nodes,
+       TRUE AS rel_err_le_010_ok
+FROM d WHERE dist <= 4
+""",
+    description="HyperBall contract as a full oracle (the round-5 ask: the "
+    "last rows-only tier whose accuracy is SQL-checkable): the EXACT "
+    "neighborhood-function N(4) pair count is hash-checked against the "
+    "DuckDB recursive-CTE BFS, `n_nodes` pins the graph size, and "
+    "`rel_err_le_010_ok` pins the HLL-register estimate (m=64, "
+    "xxhash64-derived — deterministic, hence assertable as a hard "
+    "boolean) within 10% of the exact count — the same floor the "
+    "sf0.001 pytest pin uses; per-ball std error is ~13% but the "
+    "n-vertex sum concentrates well inside it. Companion to rows-only "
+    "doc_graph_hyperball; the exact tier reuses "
+    "doc_graph_neighborhood_function's builder, so the two registered "
+    "queries can never drift apart silently.",
+    tags=("graph", "sketch", "approx", "check"),
+)
+def q_hyperball_accuracy_check(spark, sf_dir):
+    from mapreduce_paradigm_spark.queries.graphtext import (
+        q_doc_graph_hyperball,
+        q_doc_graph_neighborhood_function,
+    )
+
+    exact = (
+        q_doc_graph_neighborhood_function(spark, sf_dir)
+        .filter(F.col("radius") == 4)
+        .select(F.col("pairs").cast("long").alias("n_pairs_exact"))
+    )
+    est = q_doc_graph_hyperball(spark, sf_dir).select(
+        "nf4_est", F.col("n_nodes").cast("long").alias("n_nodes")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_pairs_exact",
+        "n_nodes",
+        (
+            F.abs(F.col("nf4_est") - F.col("n_pairs_exact")) * 10
+            <= F.col("n_pairs_exact")
+        ).alias("rel_err_le_010_ok"),
+    )
