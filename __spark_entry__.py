@@ -76,7 +76,12 @@ def _gate_priority() -> dict[str, tuple[int, int]]:
 # green row that hashed an older semantics). All round-3 pins landed fresh
 # green rows in CORRECTNESS_r03 and were dropped; empty means pure
 # staleness-first ordering.
-_GATE_BACKLOG: tuple[str, ...] = ()
+#
+# Round 7: nation_balance_bh_fdr's registered semantics changed in round 6
+# (the BH p-value inversion fix, queries/statistics.py) and it has never had
+# a driver CORRECTNESS row — pin it first so the hard signal lands on the
+# fixed math before the never-checked queue drains (round-6 verdict ask #4).
+_GATE_BACKLOG: tuple[str, ...] = ("nation_balance_bh_fdr",)
 
 
 def _registration_age() -> dict[str, int]:

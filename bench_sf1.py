@@ -167,9 +167,17 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     notes: dict[str, dict[str, int]] = {}
 
-    def run(name: str, tag: str, df) -> None:
+    def run(name: str, tag: str, make) -> None:
+        """Time thunk construction AND execution together: eager operators
+        (connected_components_star's localCheckpoint loop, SemDeDup's Lloyd
+        passes + centroid collects) do their real work at CONSTRUCTION time,
+        so timing a pre-built DataFrame's noop write alone under-reports
+        them to near-zero (caught round 7: CC over 126k edges "took" 0.04s)."""
         release_caches()
-        t = _timed(df)
+        t0 = time.perf_counter()
+        df = make()
+        df.write.format("noop").mode("overwrite").save()
+        t = round(time.perf_counter() - t0, 2)
         results.setdefault(name, {})[tag] = t
         print(f"{name:40s} {tag:>4s}: {t:8.2f}s", flush=True)
 
@@ -182,41 +190,54 @@ def main() -> None:
         emb = spark.read.parquet(f"{tmp}/emb_{tag}")
 
         run("ngram_jaccard_pairs_dfcap64", tag,
-            jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=64))
+            lambda: jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=64))
         run("ngram_jaccard_prefix_filter", tag,
-            jaccard_pairs_prefix_filter(docs, k=3, threshold=0.5))
+            lambda: jaccard_pairs_prefix_filter(docs, k=3, threshold=0.5))
         run("minhash_lsh_pairs", tag,
-            minhash_lsh_pairs(docs, k=3, num_hashes=32, bands=8, threshold=0.5))
+            lambda: minhash_lsh_pairs(docs, k=3, num_hashes=32, bands=8, threshold=0.5))
         run("simhash_near_pairs_capped256", tag,
-            simhash_near_pairs(docs, max_hamming=3))
+            lambda: simhash_near_pairs(docs, max_hamming=3))
         run("simhash_near_pairs_uncapped", tag,
-            simhash_near_pairs(docs, max_hamming=3, max_chunk_df=None))
+            lambda: simhash_near_pairs(docs, max_hamming=3, max_chunk_df=None))
 
-        # CC on the controlled-dup corpus: log the edge count so the
-        # exponent is demonstrably non-vacuous (round-5's was: 0 pairs)
-        dup_pairs = jaccard_pairs(dupdocs, k=3, threshold=0.5, max_shingle_df=64)
-        n_pairs = dup_pairs.count()
+        # CC on the controlled-dup corpus: materialize the edge list to
+        # parquet FIRST so the timed run measures star-contraction scaling
+        # alone — timing CC over the lazy jaccard_pairs plan would conflate
+        # edge-generation cost into the exponent (advisor, round 6). The
+        # edge count is logged so the exponent is demonstrably non-vacuous
+        # (round-5's was: 0 pairs).
+        edges_path = f"{tmp}/dup_edges_{tag}"
+        jaccard_pairs(dupdocs, k=3, threshold=0.5, max_shingle_df=64) \
+            .write.mode("overwrite").parquet(edges_path)
+        dup_edges = spark.read.parquet(edges_path)
+        n_pairs = dup_edges.count()
         notes.setdefault("dedup_clusters_star_dup5", {})[f"{tag}_pairs"] = n_pairs
         print(f"{'dedup_clusters_star_dup5':40s} {tag:>4s}: {n_pairs} edges",
               flush=True)
         run("dedup_clusters_star_dup5", tag,
-            connected_components_star(
-                jaccard_pairs(dupdocs, k=3, threshold=0.5, max_shingle_df=64),
-                edges_unique=True,
-            ))
+            lambda: connected_components_star(dup_edges, edges_unique=True))
 
-        run("embedding_near_dup_lsh", tag, embedding_near_dup_lsh(emb))
+        # measured at the PRODUCTION regime (threshold 0.90, nbits=12 —
+        # the operator docstring's "cosine >= 0.9 uses nbits 8-16" band),
+        # the r5-comparable t090 point. At the fixture default (0.42,
+        # nbits=4) the docstring documents selectivity ~nil: ~79% of ALL
+        # pairs become candidates on uniform vectors (P = 1-(1-0.5^4)^24),
+        # so a 10x point there measures the all-pairs explode, not the LSH.
+        # The round-6 harness edit accidentally dropped to the default —
+        # its would-be 10x point was a ~1.9G-row candidate join.
+        run("embedding_near_dup_lsh_t090", tag,
+            lambda: embedding_near_dup_lsh(emb, threshold=0.90, nbits=12))
         run("semantic_cluster_dedup_default", tag,
-            semantic_cluster_near_dups(emb, threshold=0.42))
+            lambda: semantic_cluster_near_dups(emb, threshold=0.42))
         run("semantic_cluster_dedup_nlist8_forced", tag,
-            semantic_cluster_near_dups(emb, threshold=0.42, nlist=8))
+            lambda: semantic_cluster_near_dups(emb, threshold=0.42, nlist=8))
 
         # heavy text ops measured through their REGISTERED builders (the
         # synthetic corpus dir satisfies load_table's documents contract)
         run("duplicate_span_extraction", tag,
-            specs["duplicate_span_extraction"].builder(spark, corpus_dir))
+            lambda: specs["duplicate_span_extraction"].builder(spark, corpus_dir))
         run("doc_segment_boilerplate", tag,
-            specs["doc_segment_boilerplate"].builder(spark, corpus_dir))
+            lambda: specs["doc_segment_boilerplate"].builder(spark, corpus_dir))
 
     import math
 

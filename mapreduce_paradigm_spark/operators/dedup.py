@@ -855,6 +855,7 @@ def semantic_cluster_near_dups(
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: cluster the corpus with a
     spherical-k-means coarse quantizer, then run the EXACT cosine verify
@@ -896,6 +897,13 @@ def semantic_cluster_near_dups(
     DEGRADING to 0.6× of the exact all-pairs tier — k-means centroids
     split a dense cone (more centroids land inside it); fixed hyperplanes
     cannot. Rows-only driver check (k-means is not SQL-expressible).
+
+    The ``nlist=None`` derivation runs one eager ``count()`` Spark job at
+    operator-construction time (over already-checkpointed blocks, so it is
+    cheap — but the operator is no longer lazy). Callers that already know
+    the corpus size (e.g. an ingest pipeline that just counted it) can pass
+    ``corpus_size=n`` to keep the derived-nlist behavior without the extra
+    job; it is ignored when ``nlist`` is given explicitly.
     """
     import numpy as np
 
@@ -924,8 +932,10 @@ def semantic_cluster_near_dups(
     )
     if nlist is None:
         # scale-aware default (see docstring): one count over checkpointed
-        # blocks, no source rescan. ceil via negative floor-div.
-        nlist = max(8, -(-base.count() // 600))
+        # blocks (skipped when the caller supplied corpus_size), no source
+        # rescan. ceil via negative floor-div.
+        n_corpus = corpus_size if corpus_size is not None else base.count()
+        nlist = max(8, -(-n_corpus // 600))
     inv = 1.0 / F.col("n")
     norm = base.select(
         "id", F.transform(F.col("e"), lambda x: x * inv).alias("emb_d")
