@@ -329,3 +329,94 @@ def test_random_window_matches_duckdb(spark, sql):
     want = norm(con.execute(sql).fetchall())
     con.close()
     assert got == want, f"{sql}: first diff {next((a, b) for a, b in zip(got, want) if a != b)}"
+
+
+@st.composite
+def _join_query(draw):
+    """Random join over the shared ANSI subset with NULL keys injected.
+
+    Both sides fold their key through ``% m`` (many-to-many multiplicity)
+    and a deterministic CASE stripe replaces a slice of keys with NULL —
+    so every generated query exercises the spots where engines have
+    historically diverged: NULL keys never equi-matching, outer-join
+    padding (NULL groups, NULL-preserving aggregates over padded rows),
+    and the null-aware NOT IN anti-join (one NULL in the subquery empties
+    the result). Results are grouped aggregates, so the comparison stays
+    small and order-free.
+    """
+    m = draw(st.integers(min_value=17, max_value=61))
+    nl = draw(st.integers(min_value=0, max_value=5))
+    nr = draw(st.integers(min_value=0, max_value=9))
+    lkey = f"CASE WHEN l_linenumber = {nl} THEN NULL ELSE l_orderkey % {m} END"
+    rkey = f"CASE WHEN o_orderkey % 11 = {nr} THEN NULL ELSE o_orderkey % {m} END"
+    ctes = (
+        "WITH l AS (SELECT l_returnflag, l_quantity, "
+        f"{lkey} AS k FROM lineitem), "
+        f"r AS (SELECT o_orderstatus, {rkey} AS k FROM orders) "
+    )
+    kind = draw(
+        st.sampled_from(
+            [
+                "JOIN",
+                "LEFT JOIN",
+                "RIGHT JOIN",
+                "FULL JOIN",
+                "IN",
+                "NOT IN",
+                "EXISTS",
+                "NOT EXISTS",
+            ]
+        )
+    )
+    if kind in ("JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"):
+        return ctes + (
+            "SELECT l_returnflag, o_orderstatus, count(*) AS n, "
+            "sum(CAST(l_quantity AS BIGINT)) AS sq, "
+            "count(l.k) AS lk, count(r.k) AS rk "
+            f"FROM l {kind} r ON l.k = r.k "
+            "GROUP BY l_returnflag, o_orderstatus"
+        )
+    if kind in ("IN", "NOT IN"):
+        where = f"l.k {kind} (SELECT k FROM r)"
+    else:
+        neg = "NOT " if kind.startswith("NOT") else ""
+        where = f"{neg}EXISTS (SELECT 1 FROM r WHERE r.k = l.k)"
+    return ctes + (
+        "SELECT l_returnflag, count(*) AS n, "
+        "sum(CAST(l_quantity AS BIGINT)) AS sq "
+        f"FROM l WHERE {where} GROUP BY l_returnflag"
+    )
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(_join_query())
+def test_random_join_matches_duckdb(spark, sql):
+    """Fourth differential axis: random joins — inner/left/right/full with
+    NULL-striped many-to-many keys, plus IN / NOT IN / EXISTS /
+    NOT EXISTS subquery forms. NOT IN with a NULL in the subquery is the
+    null-aware anti-join (result must be empty); outer padding must
+    produce identical NULL groups and NULL-skipping counts on both
+    engines."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    def norm(rows):
+        return sorted(
+            tuple((v is None, 0 if v is None else v) for v in r) for r in rows
+        )
+
+    lpath = f"{SF_SMOKE}/lineitem.parquet"
+    opath = f"{SF_SMOKE}/orders.parquet"
+    spark.read.parquet(lpath).createOrReplaceTempView("lineitem")
+    spark.read.parquet(opath).createOrReplaceTempView("orders")
+    got = norm(spark.sql(sql).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{lpath}')")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{opath}')")
+    want = norm(con.execute(sql).fetchall())
+    con.close()
+    assert got == want, (
+        f"{sql}: {len(got)} vs {len(want)} rows; first diff "
+        f"{next(((a, b) for a, b in zip(got, want) if a != b), None)}"
+    )
