@@ -420,3 +420,62 @@ def test_random_join_matches_duckdb(spark, sql):
         f"{sql}: {len(got)} vs {len(want)} rows; first diff "
         f"{next(((a, b) for a, b in zip(got, want) if a != b), None)}"
     )
+
+
+@st.composite
+def _setop_query(draw):
+    """Random set operation between two NULL-bearing projections.
+
+    UNION/INTERSECT/EXCEPT (and their ALL bag forms) are the one family
+    where SQL's NULL logic flips: set ops treat NULLs as EQUAL when
+    deduplicating/matching (unlike join/predicate equality). Each branch
+    projects (flag, quantity % m with a NULL stripe) under a random
+    predicate, so duplicates and NULLs are guaranteed on both sides; the
+    result is re-aggregated so the comparison is small and order-free.
+    """
+    m = draw(st.integers(min_value=2, max_value=9))
+    nl = draw(st.integers(min_value=0, max_value=5))
+    op = draw(
+        st.sampled_from(
+            ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+        )
+    )
+    p1 = draw(_predicate())
+    p2 = draw(_predicate())
+    branch = (
+        "SELECT l_returnflag AS a, "
+        f"CASE WHEN l_linenumber = {nl} THEN NULL "
+        f"ELSE CAST(l_quantity AS BIGINT) % {m} END AS b "
+        "FROM lineitem WHERE {pred}"
+    )
+    return (
+        f"SELECT a, count(*) AS n, count(b) AS nb, sum(b) AS sb FROM "
+        f"({branch.format(pred=p1)} {op} {branch.format(pred=p2)}) "
+        "GROUP BY a"
+    )
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(_setop_query())
+def test_random_setop_matches_duckdb(spark, sql):
+    """Fifth differential axis: random UNION / INTERSECT / EXCEPT with and
+    without ALL over NULL-bearing duplicate-heavy branches — bag-vs-set
+    dedup counts and NULL-equality in set-op matching must agree exactly
+    across engines."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    def norm(rows):
+        return sorted(
+            tuple((v is None, 0 if v is None else v) for v in r) for r in rows
+        )
+
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    spark.read.parquet(path).createOrReplaceTempView("lineitem")
+    got = norm(spark.sql(sql).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}')")
+    want = norm(con.execute(sql).fetchall())
+    con.close()
+    assert got == want, f"{sql}: {len(got)} vs {len(want)} rows"
