@@ -93,6 +93,36 @@ def build_docs(spark, sf_dir: str, n: int, out: str) -> None:
     )
 
 
+def build_docs_zipf(spark, n: int, out: str) -> None:
+    """Scale-CONSISTENT synthetic corpus: content novelty grows with n.
+
+    The half-splice generator above preserves the fixture's token stats
+    but recycles a FIXED ~2k-doc parent pool, so every shingle's df grows
+    ∝ n — fine at 10x, degenerate at 100x (measured: the lossless prefix
+    filter's posting lists get 10x deeper per decade and the candidate
+    join OOMs at 500k docs; that measures the generator, not the
+    operator — a real 10x corpus is 10x of mostly NEW content). Here each
+    token is drawn by hash: 35% from a fixed 2k-word Zipf head (rank
+    log-uniform ⇒ p(r) ∝ 1/r) and 65% from a tail vocabulary of size
+    10·n — so common-word df keeps its constant RATE, rare-shingle df
+    stays O(1), and Jaccard≥0.5 pairs exist only where build_dup_docs
+    injects them. Deterministic (xxhash64 everywhere), length 80–199.
+    """
+    tail_v = 10 * n
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform("
+            " sequence(1, 80 + CAST(pmod(xxhash64(id, 0), 120) AS INT)),"
+            " j -> CASE WHEN pmod(xxhash64(id, j, 5), 100) < 35"
+            "  THEN concat('h', CAST(pow(2000.0,"
+            "       pmod(xxhash64(id, j, 6), 1000) / 1000.0) AS INT))"
+            f" ELSE concat('w', pmod(xxhash64(id, j, 7), {tail_v}))"
+            " END))"
+        ).alias("text"),
+    ).write.mode("overwrite").parquet(out)
+
+
 def build_dup_docs(spark, src: str, out: str) -> None:
     """5% controlled duplicate density: doc_id ≡ 0 (mod 20), id ≥ 60 copies
     the text of target = id − 1 − xxhash64(id,9)%59. Targets can collide
@@ -154,9 +184,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     tmp = os.environ.get("SPARK_GRAFT_SF1_TMP", "/tmp/sf1_scaling")
-    sizes = {"1x": 5_000, "10x": 50_000}
+    # Default two-point curve; SPARK_GRAFT_SF1_SIZES="10x:50000,100x:500000"
+    # selects other points (round 7 added a 100x run of the production tier
+    # so the claimed exponents rest on a three-point power-law fit, not a
+    # two-point ratio). The two documented-superlinear COUNTERFACTUAL rows
+    # (uncapped simhash e≈1.5, forced nlist=8 e≈1.9) are skipped above 50k
+    # docs — extrapolation puts them at ~40 min and ~7 h there; the whole
+    # point of those rows is that you must not run them at scale.
+    sizes_env = os.environ.get("SPARK_GRAFT_SF1_SIZES")
+    if sizes_env:
+        sizes = {
+            kv.split(":")[0]: int(kv.split(":")[1])
+            for kv in sizes_env.split(",")
+        }
+    else:
+        sizes = {"1x": 5_000, "10x": 50_000}
+    # SPARK_GRAFT_SF1_GEN=zipf selects the scale-consistent generator
+    # (REQUIRED above 50k docs — see build_docs_zipf on why half-splice
+    # is df-degenerate there); default keeps the fixture-derived
+    # half-splice corpus the committed 1x/10x receipts used.
+    gen = os.environ.get("SPARK_GRAFT_SF1_GEN", "halfsplice")
     for tag, n in sizes.items():
-        build_docs(spark, sf_dir, n, f"{tmp}/corpus_{tag}/documents.parquet")
+        if gen == "zipf":
+            build_docs_zipf(spark, n, f"{tmp}/corpus_{tag}/documents.parquet")
+        else:
+            build_docs(spark, sf_dir, n, f"{tmp}/corpus_{tag}/documents.parquet")
         build_dup_docs(
             spark,
             f"{tmp}/corpus_{tag}/documents.parquet",
@@ -182,7 +234,7 @@ def main() -> None:
         print(f"{name:40s} {tag:>4s}: {t:8.2f}s", flush=True)
 
     specs = all_specs()
-    for tag in ("1x", "10x"):
+    for tag in sizes:
         corpus_dir = f"{tmp}/corpus_{tag}"
         dup_dir = f"{tmp}/corpusdup_{tag}"
         docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
@@ -197,8 +249,9 @@ def main() -> None:
             lambda: minhash_lsh_pairs(docs, k=3, num_hashes=32, bands=8, threshold=0.5))
         run("simhash_near_pairs_capped256", tag,
             lambda: simhash_near_pairs(docs, max_hamming=3))
-        run("simhash_near_pairs_uncapped", tag,
-            lambda: simhash_near_pairs(docs, max_hamming=3, max_chunk_df=None))
+        if sizes[tag] <= 50_000:  # counterfactual: superlinear by design
+            run("simhash_near_pairs_uncapped", tag,
+                lambda: simhash_near_pairs(docs, max_hamming=3, max_chunk_df=None))
 
         # CC on the controlled-dup corpus: materialize the edge list to
         # parquet FIRST so the timed run measures star-contraction scaling
@@ -229,8 +282,9 @@ def main() -> None:
             lambda: embedding_near_dup_lsh(emb, threshold=0.90, nbits=12))
         run("semantic_cluster_dedup_default", tag,
             lambda: semantic_cluster_near_dups(emb, threshold=0.42))
-        run("semantic_cluster_dedup_nlist8_forced", tag,
-            lambda: semantic_cluster_near_dups(emb, threshold=0.42, nlist=8))
+        if sizes[tag] <= 50_000:  # counterfactual: superlinear by design
+            run("semantic_cluster_dedup_nlist8_forced", tag,
+                lambda: semantic_cluster_near_dups(emb, threshold=0.42, nlist=8))
 
         # heavy text ops measured through their REGISTERED builders (the
         # synthetic corpus dir satisfies load_table's documents contract)
@@ -241,17 +295,26 @@ def main() -> None:
 
     import math
 
-    out = {"sizes": sizes, "queries": {}, "notes": notes}
+    out = {"sizes": sizes, "generator": gen, "queries": {}, "notes": notes}
+    ordered = sorted(sizes, key=sizes.get)
     for name, t in sorted(results.items()):
         row = dict(t)
         if "1x" in t and "10x" in t:
             row["exponent"] = round(math.log10(t["10x"] / t["1x"]), 2)
+        # generalized per-step exponents for any size ladder:
+        # log(t_b/t_a) / log(n_b/n_a) between consecutive measured points
+        for a, b in zip(ordered, ordered[1:]):
+            if a in t and b in t:
+                row[f"exponent_{a}_{b}"] = round(
+                    math.log10(t[b] / t[a]) / math.log10(sizes[b] / sizes[a]), 2
+                )
         out["queries"][name] = row
         print(name, row, flush=True)
     os.makedirs(os.path.join(_REPO, ".gates"), exist_ok=True)
-    with open(os.path.join(_REPO, ".gates", "sf1.json"), "w") as f:
+    out_name = os.environ.get("SPARK_GRAFT_SF1_OUT", "sf1.json")
+    with open(os.path.join(_REPO, ".gates", out_name), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print("wrote .gates/sf1.json")
+    print(f"wrote .gates/{out_name}")
     spark.stop()
 
 

@@ -568,6 +568,58 @@ def embedding_near_dup_pairs(
     )
 
 
+def lsh_params(
+    n: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    max_bands: int = 64,
+) -> dict:
+    """Derive scale-correct ``(nbits, bands)`` for ``embedding_near_dup_lsh``.
+
+    Fixed nbits is the footgun analog of SemDeDup's fixed nlist: expected
+    bucket width is n/2^nbits, so candidate pairs grow ∝ bands·n²/2^nbits —
+    quadratic once n ≫ 2^nbits. MEASURED (.gates/sf1_zipf_3pt.json): at
+    nbits=12, threshold 0.90 the operator is fine at 50k vectors but hits
+    exponent ≈1.8 on the 50k→500k decade (bucket width 12 → 122). The
+    standard banding analysis (Indyk–Motwani; the same trade Broder's
+    MinHash banding optimizes) says: raising nbits by 1 halves per-band
+    candidates but only costs a (1/p)× band increase where
+    p = 1 − θ/π < 1 is the per-hyperplane agreement probability at the
+    threshold angle — so larger nbits strictly wins until the signature
+    table itself (n·bands rows, one shuffle) dominates, which happens at
+    2^nbits ≈ n. Hence:
+
+      nbits  = ceil(log2 n), lowered until the recall target fits max_bands
+      bands  = ceil( ln(1−target_recall) / ln(1−p^nbits) )
+
+    guaranteeing P(candidate | cosine ≥ threshold) ≥ target_recall for
+    every pair AT the threshold (pairs above it collide more). For LOW
+    thresholds (≈0.42, θ≈65°) p is small and the bands cap binds at
+    nbits ≈ 6 regardless of n — sign-LSH is inherently non-selective
+    there (the operator docstring's long-standing caveat); the helper
+    makes that regime explicit instead of silently quadratic.
+    """
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1) for cosine LSH")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    p = 1.0 - math.acos(threshold) / math.pi
+    log_miss = math.log(1.0 - target_recall)
+
+    def bands_for(nb: int) -> int:
+        p1 = p**nb
+        if p1 >= 1.0:
+            return 1
+        return max(1, math.ceil(log_miss / math.log(1.0 - p1)))
+
+    nbits = max(4, math.ceil(math.log2(max(2, n))))
+    while nbits > 4 and bands_for(nbits) > max_bands:
+        nbits -= 1
+    return {"nbits": nbits, "bands": min(max_bands, bands_for(nbits))}
+
+
 def embedding_near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.42,
@@ -594,6 +646,16 @@ def embedding_near_dup_lsh(
     above random) selectivity is inherently weak, so (4, 24) is chosen for
     recall ≈ 1; production semantic dedup at cosine ≥ 0.9 uses
     nbits 8-16 where the same plan prunes candidates 10-100×.
+
+    Scale rule (MEASURED, `.gates/sf1_zipf_3pt.json`): ``nbits`` must grow
+    with the corpus — expected bucket width is n/2^nbits, so FIXED nbits
+    turns candidate generation quadratic once n ≫ 2^nbits (nbits=12 at
+    threshold 0.90: linear to 50k vectors, exponent ≈1.8 on the 50k→500k
+    decade as bucket width grew 12 → 122). Use ``lsh_params(n, threshold)``
+    to derive a scale-correct ``(nbits, bands)`` pair with a recall
+    guarantee — the banding-analysis optimum lands at 2^nbits ≈ n, where
+    candidates stay ∝ n·bands. The (4, 24) default is kept for existing
+    callers at fixture scales; it is NOT a 100 TB setting.
     """
     import numpy as np
 

@@ -99,6 +99,69 @@ def test_embedding_near_dup_lsh_subset_and_recall(spark):
     assert recall >= 0.95, f"recall {recall}: missed {exact - approx}"
 
 
+def test_lsh_params_scale_rule_and_recall_guarantee():
+    """Pure-math pins for the banding-analysis parameter derivation
+    (independent of Spark): the derived nbits tracks log2(n) at high
+    thresholds, the bands cap binds at low thresholds (where sign-LSH is
+    documented non-selective), and the (nbits, bands) pair always meets
+    the recall guarantee P(candidate) = 1-(1-p^nbits)^bands ≥ target at
+    the threshold angle."""
+    import math
+
+    from mapreduce_paradigm_spark.operators.dedup import lsh_params
+
+    for t, recall in ((0.9, 0.95), (0.9, 0.99), (0.7, 0.95)):
+        p = 1.0 - math.acos(t) / math.pi
+        last_nbits = 0
+        for n in (1_000, 50_000, 500_000, 5_000_000, 500_000_000):
+            prm = lsh_params(n, t, target_recall=recall)
+            assert prm["nbits"] >= last_nbits  # monotone in n
+            last_nbits = prm["nbits"]
+            got = 1.0 - (1.0 - p ** prm["nbits"]) ** prm["bands"]
+            assert got >= recall - 1e-12, (t, n, prm, got)
+    # high threshold, big n: optimum is 2^nbits ≈ n
+    assert lsh_params(500_000, 0.9)["nbits"] == 19
+    # low threshold: the max_bands cap binds and nbits stops growing —
+    # the same params come back at any corpus size (non-selective regime)
+    lo1, lo2 = lsh_params(50_000, 0.42), lsh_params(500_000_000, 0.42)
+    assert lo1 == lo2 and lo1["nbits"] <= 8
+    # recall guarantee still holds in the capped regime
+    p42 = 1.0 - math.acos(0.42) / math.pi
+    got = 1.0 - (1.0 - p42 ** lo1["nbits"]) ** lo1["bands"]
+    assert got >= 0.95
+
+
+def test_lsh_derived_params_recall_on_fixture(spark):
+    """End-to-end: embedding_near_dup_lsh under lsh_params-derived
+    (nbits, bands) keeps the subset-of-exact contract and the recall
+    floor on the fixture corpus — the derived settings are usable, not
+    just theoretically optimal."""
+    from mapreduce_paradigm_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+        lsh_params,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    # derive against 0.99 and assert the empirical floor at 0.95: the
+    # analytic guarantee is the EXPECTED candidate probability at the
+    # threshold angle; a ~50-pair fixture draws binomially around it, so
+    # the test needs slack between target and floor to be noise-proof.
+    prm = lsh_params(n, 0.42, target_recall=0.99)
+    exact = {
+        (r["d1"], r["d2"], r["cosine"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.42).collect()
+    }
+    approx = {
+        (r["d1"], r["d2"], r["cosine"])
+        for r in embedding_near_dup_lsh(emb, threshold=0.42, **prm).collect()
+    }
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"derived {prm}: recall {recall}"
+
+
 def test_topk_cosine_against_numpy(spark):
     emb = load_table(spark, SF_CORRECT, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
