@@ -455,6 +455,61 @@ def _setop_query(draw):
     )
 
 
+@st.composite
+def _distinct_filter_query(draw):
+    """Random DISTINCT / FILTER-clause aggregates.
+
+    count(DISTINCT expr) over a NULL-bearing expression plus per-aggregate
+    FILTER (WHERE pred) clauses — distinct-dedup NULL handling and
+    filtered-aggregate empty-set results (NULL for sum/min, 0 for count)
+    are semantics none of the other axes touch. Integer aggregates only,
+    per the house exact-arithmetic convention.
+    """
+    g = draw(st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]))
+    m = draw(st.integers(min_value=2, max_value=9))
+    nl = draw(st.integers(min_value=0, max_value=5))
+    dcol = (
+        f"CASE WHEN l_linenumber = {nl} THEN NULL "
+        f"ELSE CAST(l_quantity AS BIGINT) % {m} END"
+    )
+    p1 = draw(_predicate())
+    p2 = draw(_predicate())
+    return (
+        f"SELECT {g}, count(DISTINCT {dcol}) AS cd, "
+        f"count({dcol}) AS cnn, "
+        f"sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE {p1}) AS sf, "
+        f"count(*) FILTER (WHERE {p2}) AS cf, "
+        f"min(CAST(l_quantity AS BIGINT)) FILTER (WHERE {p1}) AS mn "
+        f"FROM lineitem GROUP BY {g}"
+    )
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(_distinct_filter_query())
+def test_random_distinct_filter_agg_matches_duckdb(spark, sql):
+    """Sixth differential axis: count(DISTINCT) over NULL-bearing
+    expressions + FILTER (WHERE ...) aggregate clauses — distinct NULL
+    exclusion and the NULL-vs-0 empty-filter results must agree exactly
+    across engines."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    def norm(rows):
+        return sorted(
+            tuple((v is None, 0 if v is None else v) for v in r) for r in rows
+        )
+
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    spark.read.parquet(path).createOrReplaceTempView("lineitem")
+    got = norm(spark.sql(sql).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}')")
+    want = norm(con.execute(sql).fetchall())
+    con.close()
+    assert got == want, f"{sql}: {len(got)} vs {len(want)} rows"
+
+
 @settings(max_examples=15, deadline=None, derandomize=True)
 @given(_setop_query())
 def test_random_setop_matches_duckdb(spark, sql):
