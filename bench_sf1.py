@@ -1,7 +1,8 @@
-"""10x scaling measurement for the heavy dedup/ANN/text tier
-(round-4 verdict ask #7; extended per round-5 asks #1/#2/#4/#5):
+"""Scaling-ladder measurement for the heavy dedup/ANN/text tier
+(round-4 verdict ask #7; extended per round-5 asks #1/#2/#4/#5; round 7
+added arbitrary size ladders + the scale-consistent zipf generator):
 everything at sf0.1 finishes in a few seconds, so the Σdf² / Σ|c|² /
-banding cost arguments need a recorded 10× point.
+banding cost arguments need recorded 10×/100× points.
 
 No sf1 fixture exists (and /root/testdata is read-only), so this harness
 generates DISTRIBUTION-PRESERVING synthetic corpora at two sizes with the
