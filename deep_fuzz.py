@@ -24,6 +24,7 @@ from hypothesis import HealthCheck, given, seed, settings
 from tests.test_properties import (
     _agg_query,
     _distinct_filter_query,
+    _grouping_query,
     _join_query,
     _predicate,
     _setop_query,
@@ -63,6 +64,17 @@ def check(axis, sql):
     counts[axis] = counts.get(axis, 0) + 1
     got = norm(spark.sql(sql).collect())
     want = norm(con.execute(sql).fetchall())
+    if axis == "grouping" and not got and want:
+        # the PINNED empty-input divergence (ANSI () grouping set on empty
+        # input: DuckDB one zero-row super-aggregate, Spark none) — same
+        # carve-out shape as the committed test; anything else still fails
+        ok = all(
+            r[:4] == ((True, 0), (True, 0), (False, 1), (False, 1))
+            and r[4] == (False, 0) and r[5] == (True, 0)
+            for r in want
+        )
+        if ok:
+            return
     if got != want:
         diff = next(((a, b) for a, b in zip(got, want) if a != b), None)
         failures.append((axis, sql, len(got), len(want), diff))
@@ -86,6 +98,7 @@ AXES = [
     ("join", _join_query(), lambda s: s),
     ("setop", _setop_query(), lambda s: s),
     ("distinct_filter", _distinct_filter_query(), lambda s: s),
+    ("grouping", _grouping_query(), lambda s: s),
 ]
 only = os.environ.get("FUZZ_AXES")
 if only:
