@@ -77,11 +77,9 @@ def _gate_priority() -> dict[str, tuple[int, int]]:
 # green rows in CORRECTNESS_r03 and were dropped; empty means pure
 # staleness-first ordering.
 #
-# Round 7: nation_balance_bh_fdr's registered semantics changed in round 6
-# (the BH p-value inversion fix, queries/statistics.py) and it has never had
-# a driver CORRECTNESS row — pin it first so the hard signal lands on the
-# fixed math before the never-checked queue drains (round-6 verdict ask #4).
-_GATE_BACKLOG: tuple[str, ...] = ("nation_balance_bh_fdr",)
+# Round 8: the round-7 pin (nation_balance_bh_fdr) landed its green row in
+# CORRECTNESS_r07 and is dropped — back to pure staleness-first ordering.
+_GATE_BACKLOG: tuple[str, ...] = ()
 
 
 def _registration_age() -> dict[str, int]:
@@ -109,13 +107,22 @@ def _ordered_specs():
     names.sort(
         key=lambda n: (
             n not in _GATE_BACKLOG,
-            # rows-only specs (oracle is None) sort LAST: a driver row for
-            # them can only record `err: no_oracle`, so every gate slot they
-            # occupy is budget taken from a hash-checkable query (round-4
-            # verdict ask #3 — 14 slots were burned that way). Their hard
-            # checks live in pytest (recall/accuracy/determinism pins) and
-            # in the companion *_check invariant queries, which DO carry
-            # full oracles and flow through the normal queue.
+            # NEVER-checked queries lead regardless of oracle kind: round-7
+            # verdict ask #2 wants every registered query driver-certified
+            # at least once (a rows-only spec's `no_oracle` row still
+            # certifies it builds and returns rows in the driver's plain
+            # session). Within the never-checked group, full-oracle specs
+            # go first — their rows carry the hard hash signal.
+            prio.get(n, (0, 0))[0] > 0,
+            # among ALREADY-checked queries rotating stalest-first,
+            # rows-only specs (oracle is None) sort LAST: a repeat driver
+            # row for them can only re-record `err: no_oracle`, so every
+            # rotation slot they occupy is budget taken from a
+            # hash-checkable query (round-4 verdict ask #3 — 14 slots were
+            # burned that way). Their hard checks live in pytest
+            # (recall/accuracy/determinism pins) and in the companion
+            # *_check invariant queries, which DO carry full oracles and
+            # flow through the normal rotation.
             specs[n].oracle is None,
             *prio.get(n, (0, 0)),
             age.get(n, len(age)),

@@ -172,7 +172,9 @@ def main() -> None:
         embedding_near_dup_lsh,
         jaccard_pairs,
         jaccard_pairs_prefix_filter,
+        lsh_params,
         minhash_lsh_pairs,
+        minhash_lsh_stats,
         release_caches,
         semantic_cluster_near_dups,
         simhash_near_pairs,
@@ -248,11 +250,25 @@ def main() -> None:
             lambda: jaccard_pairs_prefix_filter(docs, k=3, threshold=0.5))
         run("minhash_lsh_pairs", tag,
             lambda: minhash_lsh_pairs(docs, k=3, num_hashes=32, bands=8, threshold=0.5))
+        # invariant cost drivers next to the wall time (round-7 verdict
+        # ask #3, the CC edge-count pattern): if candidate/signature counts
+        # grow linearly while wall time does not, the superlinear exponent
+        # is a single-JVM spill artifact, not algorithmic work growth
+        mh_stats = minhash_lsh_stats(docs, k=3, num_hashes=32, bands=8)
+        notes.setdefault("minhash_lsh_pairs", {}).update(
+            {f"{tag}_{k}": v for k, v in mh_stats.items()}
+        )
+        print(f"{'minhash_lsh_pairs':40s} {tag:>4s}: {mh_stats}", flush=True)
+        # historical fixed 4-block layout (comparable with the committed
+        # r5-r7 receipts) AND the round-8 derived-layout default
         run("simhash_near_pairs_capped256", tag,
+            lambda: simhash_near_pairs(docs, max_hamming=3, n_blocks=4))
+        run("simhash_near_pairs_derived", tag,
             lambda: simhash_near_pairs(docs, max_hamming=3))
         if sizes[tag] <= 50_000:  # counterfactual: superlinear by design
             run("simhash_near_pairs_uncapped", tag,
-                lambda: simhash_near_pairs(docs, max_hamming=3, max_chunk_df=None))
+                lambda: simhash_near_pairs(docs, max_hamming=3, max_chunk_df=None,
+                                           n_blocks=4))
 
         # CC on the controlled-dup corpus: materialize the edge list to
         # parquet FIRST so the timed run measures star-contraction scaling
@@ -271,16 +287,23 @@ def main() -> None:
         run("dedup_clusters_star_dup5", tag,
             lambda: connected_components_star(dup_edges, edges_unique=True))
 
-        # measured at the PRODUCTION regime (threshold 0.90, nbits=12 —
-        # the operator docstring's "cosine >= 0.9 uses nbits 8-16" band),
-        # the r5-comparable t090 point. At the fixture default (0.42,
-        # nbits=4) the docstring documents selectivity ~nil: ~79% of ALL
-        # pairs become candidates on uniform vectors (P = 1-(1-0.5^4)^24),
-        # so a 10x point there measures the all-pairs explode, not the LSH.
-        # The round-6 harness edit accidentally dropped to the default —
-        # its would-be 10x point was a ~1.9G-row candidate join.
-        run("embedding_near_dup_lsh_t090", tag,
-            lambda: embedding_near_dup_lsh(emb, threshold=0.90, nbits=12))
+        # PRODUCTION regime (threshold 0.90). Three rows: the round-8
+        # DERIVED DEFAULT (nbits=None → lsh_params; the row the verdict
+        # asked the ladder to certify at e≲0.7), with the derived params
+        # logged; and the legacy FIXED (12, 24) counterfactual — the
+        # measured e=1.81 footgun, comparable with the committed r7
+        # receipt, skipped above 50k where it costs ~700 s. At low
+        # thresholds (0.42) selectivity is ~nil by construction (the
+        # operator docstring's caveat), so ladder points run at 0.90.
+        run("embedding_near_dup_lsh_t090_default", tag,
+            lambda: embedding_near_dup_lsh(emb, threshold=0.90))
+        notes.setdefault("embedding_near_dup_lsh_t090_default", {})[
+            f"{tag}_params"
+        ] = sorted(lsh_params(sizes[tag], 0.90, target_recall=0.99).items())
+        if sizes[tag] <= 50_000:  # counterfactual: superlinear by design
+            run("embedding_near_dup_lsh_t090_fixed12", tag,
+                lambda: embedding_near_dup_lsh(emb, threshold=0.90, nbits=12,
+                                               bands=24))
         run("semantic_cluster_dedup_default", tag,
             lambda: semantic_cluster_near_dups(emb, threshold=0.42))
         if sizes[tag] <= 50_000:  # counterfactual: superlinear by design
@@ -300,10 +323,11 @@ def main() -> None:
     ordered = sorted(sizes, key=sizes.get)
     for name, t in sorted(results.items()):
         row = dict(t)
-        if "1x" in t and "10x" in t:
-            row["exponent"] = round(math.log10(t["10x"] / t["1x"]), 2)
-        # generalized per-step exponents for any size ladder:
-        # log(t_b/t_a) / log(n_b/n_a) between consecutive measured points
+        # per-step exponents only — log(t_b/t_a)/log(n_b/n_a) between
+        # consecutive measured points. The old "exponent" key hardcoded
+        # log10(t_10x/t_1x), silently wrong whenever SPARK_GRAFT_SF1_SIZES
+        # made the 1x:10x tags a non-10x ratio (advisor, round 7); the
+        # exponent_1x_10x key is the correct general form of the same number.
         for a, b in zip(ordered, ordered[1:]):
             if a in t and b in t:
                 row[f"exponent_{a}_{b}"] = round(

@@ -26,6 +26,7 @@ from tests.test_properties import (
     _distinct_filter_query,
     _grouping_query,
     _join_query,
+    _orderby_limit_query,
     _predicate,
     _setop_query,
     _window_query,
@@ -99,6 +100,7 @@ AXES = [
     ("setop", _setop_query(), lambda s: s),
     ("distinct_filter", _distinct_filter_query(), lambda s: s),
     ("grouping", _grouping_query(), lambda s: s),
+    ("orderby_limit", _orderby_limit_query(), lambda s: s),
 ]
 only = os.environ.get("FUZZ_AXES")
 if only:

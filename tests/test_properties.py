@@ -632,6 +632,84 @@ def test_random_distinct_filter_agg_matches_duckdb(spark, sql):
     assert got == want, f"{sql}: {len(got)} vs {len(want)} rows"
 
 
+@st.composite
+def _orderby_limit_query(draw):
+    """Random ORDER BY / LIMIT / OFFSET top-k — the eighth differential
+    axis (round-7 verdict optional ask #8) and a known cross-engine
+    tie-semantics trap.
+
+    Two sub-modes, both constructed so the comparison is deterministic:
+
+    - ``total``: the sort key is totalized with the unique
+      (l_orderkey, l_linenumber) tiebreak, so the selected ROW SET after
+      LIMIT/OFFSET is engine-independent and full rows are compared.
+    - ``tied``: the key is deliberately tie-heavy (quantity, flags, a
+      NULL-bearing nullif) with NO tiebreak, and ONLY the key column is
+      projected — any correct engine returns the same key MULTISET for a
+      given LIMIT/OFFSET slice of the sorted sequence, so multiset
+      compare is exact while the engines are free to pick different
+      rows within a tie (the trap this axis exists to probe: an engine
+      that mis-slices ties returns a different multiset).
+
+    Null ordering is always EXPLICIT (NULLS FIRST/LAST): Spark's default
+    is NULLS FIRST for ASC / NULLS LAST for DESC while DuckDB defaults
+    to NULLS LAST everywhere — a by-design divergence the axis must not
+    re-discover 500 times.
+    """
+    nl = draw(st.integers(min_value=0, max_value=7))
+    key = draw(
+        st.sampled_from(
+            [
+                "CAST(l_quantity AS BIGINT)",
+                "l_returnflag",
+                "CAST(round(l_extendedprice * 100, 0) AS BIGINT)",
+                f"nullif(CAST(l_quantity AS BIGINT), {nl})",
+            ]
+        )
+    )
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    nulls = draw(st.sampled_from(["NULLS FIRST", "NULLS LAST"]))
+    k = draw(st.integers(min_value=1, max_value=50))
+    off = draw(st.integers(min_value=0, max_value=20))
+    lim = f"LIMIT {k}" + (f" OFFSET {off}" if off else "")
+    if draw(st.booleans()):  # total-order mode: full rows comparable
+        return (
+            f"SELECT l_orderkey, l_linenumber, {key} AS k FROM lineitem "
+            f"ORDER BY {key} {direction} {nulls}, l_orderkey, l_linenumber "
+            f"{lim}"
+        )
+    return (  # tied mode: key multiset comparable
+        f"SELECT {key} AS k FROM lineitem "
+        f"ORDER BY {key} {direction} {nulls} {lim}"
+    )
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(_orderby_limit_query())
+def test_random_orderby_limit_matches_duckdb(spark, sql):
+    """Eighth differential axis: ORDER BY + LIMIT/OFFSET top-k with ties,
+    explicit null ordering, and offsets — the one committed-template
+    family the other seven axes don't touch. Comparison is multiset
+    (sorted), which is exact in both sub-modes by construction."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    def norm(rows):
+        return sorted(
+            tuple((v is None, 0 if v is None else v) for v in r) for r in rows
+        )
+
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    spark.read.parquet(path).createOrReplaceTempView("lineitem")
+    got = norm(spark.sql(sql).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}')")
+    want = norm(con.execute(sql).fetchall())
+    con.close()
+    assert got == want, f"{sql}: {len(got)} vs {len(want)} rows"
+
+
 @settings(max_examples=15, deadline=None, derandomize=True)
 @given(_setop_query())
 def test_random_setop_matches_duckdb(spark, sql):
