@@ -183,7 +183,16 @@ def main() -> None:
     from mapreduce_paradigm_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="bench-sf1", master="local[32]")
+    # SPARK_GRAFT_SF1_MEM overrides the 8g session default — required for
+    # the 5M-doc (1000x) points, where 8g OOMs the minhash shuffle; the
+    # value used is recorded in the artifact so heap-sensitive exponents
+    # (the documented single-JVM spill regime) stay attributable.
+    mem = os.environ.get("SPARK_GRAFT_SF1_MEM")
+    spark = get_spark(
+        app_name="bench-sf1",
+        master="local[32]",
+        extra_conf={"spark.driver.memory": mem} if mem else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     tmp = os.environ.get("SPARK_GRAFT_SF1_TMP", "/tmp/sf1_scaling")
@@ -207,17 +216,38 @@ def main() -> None:
     # is df-degenerate there); default keeps the fixture-derived
     # half-splice corpus the committed 1x/10x receipts used.
     gen = os.environ.get("SPARK_GRAFT_SF1_GEN", "halfsplice")
+    # SPARK_GRAFT_SF1_OPS: comma list of row names to run (default all) —
+    # the committed path behind the targeted artifacts (the 1000x minhash/
+    # simhash/CC run, the t090 autoparams receipt), so every .gates row
+    # regenerates from this harness without ad-hoc edits (advisor, round 7).
+    ops_env = os.environ.get("SPARK_GRAFT_SF1_OPS")
+    ops = set(ops_env.split(",")) if ops_env else None
+
+    def want(name: str) -> bool:
+        return ops is None or name in ops
+
+    need_docs = ops is None or any(
+        not o.startswith(("embedding_", "semantic_", "dedup_clusters"))
+        for o in (ops or set())
+    )
+    need_dup = want("dedup_clusters_star_dup5")
+    need_emb = ops is None or any(
+        o.startswith(("embedding_", "semantic_")) for o in (ops or set())
+    )
     for tag, n in sizes.items():
-        if gen == "zipf":
-            build_docs_zipf(spark, n, f"{tmp}/corpus_{tag}/documents.parquet")
-        else:
-            build_docs(spark, sf_dir, n, f"{tmp}/corpus_{tag}/documents.parquet")
-        build_dup_docs(
-            spark,
-            f"{tmp}/corpus_{tag}/documents.parquet",
-            f"{tmp}/corpusdup_{tag}/documents.parquet",
-        )
-        build_embeddings(spark, n, f"{tmp}/emb_{tag}")
+        if need_docs or need_dup:
+            if gen == "zipf":
+                build_docs_zipf(spark, n, f"{tmp}/corpus_{tag}/documents.parquet")
+            else:
+                build_docs(spark, sf_dir, n, f"{tmp}/corpus_{tag}/documents.parquet")
+        if need_dup:
+            build_dup_docs(
+                spark,
+                f"{tmp}/corpus_{tag}/documents.parquet",
+                f"{tmp}/corpusdup_{tag}/documents.parquet",
+            )
+        if need_emb:
+            build_embeddings(spark, n, f"{tmp}/emb_{tag}")
 
     results: dict[str, dict[str, float]] = {}
     notes: dict[str, dict[str, int]] = {}
@@ -240,32 +270,44 @@ def main() -> None:
     for tag in sizes:
         corpus_dir = f"{tmp}/corpus_{tag}"
         dup_dir = f"{tmp}/corpusdup_{tag}"
-        docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
-        dupdocs = spark.read.parquet(f"{dup_dir}/documents.parquet")
-        emb = spark.read.parquet(f"{tmp}/emb_{tag}")
-
-        run("ngram_jaccard_pairs_dfcap64", tag,
-            lambda: jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=64))
-        run("ngram_jaccard_prefix_filter", tag,
-            lambda: jaccard_pairs_prefix_filter(docs, k=3, threshold=0.5))
-        run("minhash_lsh_pairs", tag,
-            lambda: minhash_lsh_pairs(docs, k=3, num_hashes=32, bands=8, threshold=0.5))
-        # invariant cost drivers next to the wall time (round-7 verdict
-        # ask #3, the CC edge-count pattern): if candidate/signature counts
-        # grow linearly while wall time does not, the superlinear exponent
-        # is a single-JVM spill artifact, not algorithmic work growth
-        mh_stats = minhash_lsh_stats(docs, k=3, num_hashes=32, bands=8)
-        notes.setdefault("minhash_lsh_pairs", {}).update(
-            {f"{tag}_{k}": v for k, v in mh_stats.items()}
+        docs = (
+            spark.read.parquet(f"{corpus_dir}/documents.parquet")
+            if (need_docs or need_dup)
+            else None
         )
-        print(f"{'minhash_lsh_pairs':40s} {tag:>4s}: {mh_stats}", flush=True)
+        dupdocs = (
+            spark.read.parquet(f"{dup_dir}/documents.parquet") if need_dup else None
+        )
+        emb = spark.read.parquet(f"{tmp}/emb_{tag}") if need_emb else None
+
+        if want("ngram_jaccard_pairs_dfcap64"):
+            run("ngram_jaccard_pairs_dfcap64", tag,
+                lambda: jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=64))
+        if want("ngram_jaccard_prefix_filter"):
+            run("ngram_jaccard_prefix_filter", tag,
+                lambda: jaccard_pairs_prefix_filter(docs, k=3, threshold=0.5))
+        if want("minhash_lsh_pairs"):
+            run("minhash_lsh_pairs", tag,
+                lambda: minhash_lsh_pairs(docs, k=3, num_hashes=32, bands=8, threshold=0.5))
+            # invariant cost drivers next to the wall time (round-7 verdict
+            # ask #3, the CC edge-count pattern): if candidate/signature
+            # counts grow linearly while wall time does not, the superlinear
+            # exponent is a single-JVM spill artifact, not work growth
+            mh_stats = minhash_lsh_stats(docs, k=3, num_hashes=32, bands=8)
+            notes.setdefault("minhash_lsh_pairs", {}).update(
+                {f"{tag}_{k}": v for k, v in mh_stats.items()}
+            )
+            print(f"{'minhash_lsh_pairs':40s} {tag:>4s}: {mh_stats}", flush=True)
         # historical fixed 4-block layout (comparable with the committed
         # r5-r7 receipts) AND the round-8 derived-layout default
-        run("simhash_near_pairs_capped256", tag,
-            lambda: simhash_near_pairs(docs, max_hamming=3, n_blocks=4))
-        run("simhash_near_pairs_derived", tag,
-            lambda: simhash_near_pairs(docs, max_hamming=3))
-        if sizes[tag] <= 50_000:  # counterfactual: superlinear by design
+        if want("simhash_near_pairs_capped256"):
+            run("simhash_near_pairs_capped256", tag,
+                lambda: simhash_near_pairs(docs, max_hamming=3, n_blocks=4))
+        if want("simhash_near_pairs_derived"):
+            run("simhash_near_pairs_derived", tag,
+                lambda: simhash_near_pairs(docs, max_hamming=3))
+        if sizes[tag] <= 50_000 and want("simhash_near_pairs_uncapped"):
+            # counterfactual: superlinear by design
             run("simhash_near_pairs_uncapped", tag,
                 lambda: simhash_near_pairs(docs, max_hamming=3, max_chunk_df=None,
                                            n_blocks=4))
@@ -276,16 +318,17 @@ def main() -> None:
         # edge-generation cost into the exponent (advisor, round 6). The
         # edge count is logged so the exponent is demonstrably non-vacuous
         # (round-5's was: 0 pairs).
-        edges_path = f"{tmp}/dup_edges_{tag}"
-        jaccard_pairs(dupdocs, k=3, threshold=0.5, max_shingle_df=64) \
-            .write.mode("overwrite").parquet(edges_path)
-        dup_edges = spark.read.parquet(edges_path)
-        n_pairs = dup_edges.count()
-        notes.setdefault("dedup_clusters_star_dup5", {})[f"{tag}_pairs"] = n_pairs
-        print(f"{'dedup_clusters_star_dup5':40s} {tag:>4s}: {n_pairs} edges",
-              flush=True)
-        run("dedup_clusters_star_dup5", tag,
-            lambda: connected_components_star(dup_edges, edges_unique=True))
+        if want("dedup_clusters_star_dup5"):
+            edges_path = f"{tmp}/dup_edges_{tag}"
+            jaccard_pairs(dupdocs, k=3, threshold=0.5, max_shingle_df=64) \
+                .write.mode("overwrite").parquet(edges_path)
+            dup_edges = spark.read.parquet(edges_path)
+            n_pairs = dup_edges.count()
+            notes.setdefault("dedup_clusters_star_dup5", {})[f"{tag}_pairs"] = n_pairs
+            print(f"{'dedup_clusters_star_dup5':40s} {tag:>4s}: {n_pairs} edges",
+                  flush=True)
+            run("dedup_clusters_star_dup5", tag,
+                lambda: connected_components_star(dup_edges, edges_unique=True))
 
         # PRODUCTION regime (threshold 0.90). Three rows: the round-8
         # DERIVED DEFAULT (nbits=None → lsh_params; the row the verdict
@@ -295,31 +338,49 @@ def main() -> None:
         # receipt, skipped above 50k where it costs ~700 s. At low
         # thresholds (0.42) selectivity is ~nil by construction (the
         # operator docstring's caveat), so ladder points run at 0.90.
-        run("embedding_near_dup_lsh_t090_default", tag,
-            lambda: embedding_near_dup_lsh(emb, threshold=0.90))
-        notes.setdefault("embedding_near_dup_lsh_t090_default", {})[
-            f"{tag}_params"
-        ] = sorted(lsh_params(sizes[tag], 0.90, target_recall=0.99).items())
-        if sizes[tag] <= 50_000:  # counterfactual: superlinear by design
+        if want("embedding_near_dup_lsh_t090_default"):
+            run("embedding_near_dup_lsh_t090_default", tag,
+                lambda: embedding_near_dup_lsh(emb, threshold=0.90))
+            notes.setdefault("embedding_near_dup_lsh_t090_default", {})[
+                f"{tag}_params"
+            ] = sorted(
+                lsh_params(
+                    sizes[tag], 0.90, target_recall=0.99, max_bands=128
+                ).items()
+            )
+        if sizes[tag] <= 50_000 and want("embedding_near_dup_lsh_t090_fixed12"):
+            # counterfactual: superlinear by design
             run("embedding_near_dup_lsh_t090_fixed12", tag,
                 lambda: embedding_near_dup_lsh(emb, threshold=0.90, nbits=12,
                                                bands=24))
-        run("semantic_cluster_dedup_default", tag,
-            lambda: semantic_cluster_near_dups(emb, threshold=0.42))
-        if sizes[tag] <= 50_000:  # counterfactual: superlinear by design
+        if want("semantic_cluster_dedup_default"):
+            run("semantic_cluster_dedup_default", tag,
+                lambda: semantic_cluster_near_dups(emb, threshold=0.42))
+        if sizes[tag] <= 50_000 and want("semantic_cluster_dedup_nlist8_forced"):
+            # counterfactual: superlinear by design
             run("semantic_cluster_dedup_nlist8_forced", tag,
                 lambda: semantic_cluster_near_dups(emb, threshold=0.42, nlist=8))
 
         # heavy text ops measured through their REGISTERED builders (the
         # synthetic corpus dir satisfies load_table's documents contract)
-        run("duplicate_span_extraction", tag,
-            lambda: specs["duplicate_span_extraction"].builder(spark, corpus_dir))
-        run("doc_segment_boilerplate", tag,
-            lambda: specs["doc_segment_boilerplate"].builder(spark, corpus_dir))
+        if want("duplicate_span_extraction"):
+            run("duplicate_span_extraction", tag,
+                lambda: specs["duplicate_span_extraction"].builder(spark, corpus_dir))
+        if want("doc_segment_boilerplate"):
+            run("doc_segment_boilerplate", tag,
+                lambda: specs["doc_segment_boilerplate"].builder(spark, corpus_dir))
 
     import math
 
-    out = {"sizes": sizes, "generator": gen, "queries": {}, "notes": notes}
+    out = {
+        "sizes": sizes,
+        "generator": gen,
+        "queries": {},
+        "notes": notes,
+        "heap": {"spark.driver.memory": mem or "8g (session default)"},
+    }
+    if ops is not None:
+        out["ops_filter"] = sorted(ops)
     ordered = sorted(sizes, key=sizes.get)
     for name, t in sorted(results.items()):
         row = dict(t)

@@ -541,7 +541,10 @@ def minhash_lsh_stats(
     artifact) — the CC edge-count pattern applied to MinHash.
     """
     rows = num_hashes // bands
-    sh = _tracked_persist(hashed_shingles(docs, k, text_col))
+    # plain persist (not _tracked_persist): this helper returns a dict, so
+    # there is no result DataFrame for _scoped() to hand the cache to —
+    # it is unpersisted explicitly before returning
+    sh = hashed_shingles(docs, k, text_col).persist()
     sig = minhash_signatures(docs, k, num_hashes, text_col, shingles=sh)
     stacked = sig.groupBy(
         "doc_id", (F.col("bin") / rows).cast("int").alias("band_idx")
@@ -556,7 +559,10 @@ def minhash_lsh_stats(
     # several bands), so both are reported
     agg = buckets.agg(
         F.count("*").alias("n_buckets"),
-        F.sum(F.col("w") * (F.col("w") - 1) / 2).cast("long").alias("n_pairs_raw"),
+        # coalesce: zero qualifying buckets (possible at small n) sums to NULL
+        F.coalesce(F.sum(F.col("w") * (F.col("w") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("n_pairs_raw"),
     ).collect()[0]
     pair_expr = F.expr(
         "flatten(transform(ds, (x, i) -> "
@@ -660,6 +666,20 @@ def lsh_params(
     there (the operator docstring's long-standing caveat); the helper
     makes that regime explicit instead of silently quadratic.
 
+    What the derivation buys — and its honest asymptote: at 2^nbits ≈ n,
+    per-band random-pair candidates are Θ(n), but holding the recall
+    target as n grows forces bands ∝ (1/p)^log2(n) = n^log2(1/p), so
+    TOTAL candidate work is Θ(n^(1+ρ)) with ρ = ln(1/p)/ln 2 — at
+    t=0.90, ρ = 0.224, i.e. n^1.22. That is the classic LSH time
+    exponent (Indyk–Motwani), the known-optimal curve for this family:
+    mildly superlinear BY THEORY, versus n²/2^nbits (→ n² at fixed
+    nbits) and n² for all-pairs. The round-8 ladder measured the default
+    at e=1.19/decade on 50k→500k (58 s at 500k) — matching 1+ρ — while
+    fixed nbits=12 measured e=1.81 at 700 s, 12× the absolute cost
+    (.gates/sf1_zipf_3pt_r8.json; the round-7 "e=0.64" autoparams
+    receipt compared a 500k derived point against a 10× point measured
+    at different params and understated the true fixed-recall curve).
+
     If even the nbits floor (4) cannot reach ``target_recall`` within
     ``max_bands`` bands (very low threshold + very high target), the
     bands ARE capped and a ``UserWarning`` reports the achieved recall —
@@ -708,6 +728,7 @@ def embedding_near_dup_lsh(
     emb_col: str = "embedding",
     target_recall: float = 0.99,
     corpus_size: int | None = None,
+    max_bands: int = 128,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded sign-LSH candidates + exact rerank
     — the 100 TB shape of ``embedding_near_dup_pairs`` (whose docstring
@@ -733,12 +754,21 @@ def embedding_near_dup_lsh(
     input at operator-construction time — cheap, but the operator is no
     longer lazy; callers that already know the corpus size pass
     ``corpus_size=n`` to stay lazy (ignored when nbits is explicit). The
-    banding-analysis optimum lands at 2^nbits ≈ n, where candidates stay
-    ∝ n·bands — the plan that survives 100×. ``target_recall`` defaults
+    banding-analysis optimum lands at 2^nbits ≈ n, where total candidate
+    work follows the LSH-optimal Θ(n^(1+ρ)) curve (ρ = 0.224 at t=0.90 —
+    see ``lsh_params``; measured e=1.19/decade vs 1.81 fixed-nbits at
+    12× the absolute cost) — the plan that survives 100×.
+    ``target_recall`` defaults
     to 0.99 so the EMPIRICAL recall on finite corpora has slack over the
     0.95 contract floor (the analytic guarantee is the expected candidate
     probability at the threshold angle; a finite pair set draws
-    binomially around it).
+    binomially around it). ``max_bands`` defaults to 128, above
+    lsh_params' 64: the 0.99 target at the log2(n) nbits optimum needs
+    ~86 bands at t=0.90 — capping at 64 forces nbits down 19→17 and
+    MEASURED e=1.33 on the 50k→500k decade (bucket width 4× wider),
+    while the band budget itself only grows the signature table
+    linearly (n·bands rows). Candidates dominate bands at scale; spend
+    bands, never bucket width.
 
     Explicit-parameter callers: ``nbits`` given with ``bands=None``
     derives the band count that meets ``target_recall`` at that nbits
@@ -763,7 +793,9 @@ def embedding_near_dup_lsh(
                 "or neither (derived via lsh_params)"
             )
         n_corpus = corpus_size if corpus_size is not None else emb.count()
-        prm = lsh_params(n_corpus, threshold, target_recall=target_recall)
+        prm = lsh_params(
+            n_corpus, threshold, target_recall=target_recall, max_bands=max_bands
+        )
         nbits, bands = prm["nbits"], prm["bands"]
     elif bands is None:
         # caller fixed nbits: derive the band count meeting target_recall
@@ -777,16 +809,16 @@ def embedding_near_dup_lsh(
             if p1 >= 1.0
             else max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p1)))
         )
-        if want > 64:
-            achieved = 1.0 - (1.0 - p1) ** 64
+        if want > max_bands:
+            achieved = 1.0 - (1.0 - p1) ** max_bands
             warnings.warn(
                 f"embedding_near_dup_lsh: target_recall={target_recall} needs "
-                f"{want} bands at nbits={nbits}; capping at 64 — achieved "
-                f"recall at the threshold is ~{achieved:.4f}",
+                f"{want} bands at nbits={nbits}; capping at {max_bands} — "
+                f"achieved recall at the threshold is ~{achieved:.4f}",
                 UserWarning,
                 stacklevel=2,
             )
-        bands = min(64, want)
+        bands = min(max_bands, want)
 
     # All bands' signatures in ONE corpus pass: the (bands·nbits, dim) plane
     # matrix is broadcast and each Arrow batch is signed with a single numpy
@@ -939,7 +971,7 @@ def _simhash_blocks(n_blocks: int) -> list[tuple[int, int]]:
 def simhash_params(
     n: int,
     max_hamming: int = 3,
-    margin_bits: int = 6,
+    margin_bits: int = 3,
     max_tables: int = 64,
 ) -> dict:
     """Derive a scale-correct block count for ``simhash_near_pairs``.
@@ -958,7 +990,11 @@ def simhash_params(
       key_bits(m) ≥ log2(n) + margin_bits   and   C(m, d) ≤ max_tables
 
     (key_bits computed from the actual narrowest subset, not the
-    approximation). Returns ``{"n_blocks": m}``; if no m within the table
+    approximation; margin 3 ⇒ expected bucket width ≤ ⅛, so per-table
+    candidate work is already ≤ n/8 — a wider margin only buys constant
+    headroom while the table count C(m, d) is the real cost multiplier:
+    at 500k docs margin 6 picks m=6/20 tables for no measurable gain
+    over m=5/10). Returns ``{"n_blocks": m}``; if no m within the table
     budget reaches the target width, the widest affordable m is returned
     with a ``UserWarning`` — never a silently-quadratic layout.
     """
@@ -1014,8 +1050,10 @@ def simhash_near_pairs(
     via ``simhash_params`` (one eager ``count()`` at construction unless
     ``corpus_size`` is passed — the SemDeDup ``nlist=None`` pattern),
     because a fixed 16-bit key saturates near 1e7 docs: bucket width
-    n/2^16 makes the per-bucket pair explode quadratic (SCALE.md,
-    measured 5M-doc note). Absent the df cap the candidate SET is
+    n/2^16 makes the per-bucket pair explode quadratic — MEASURED at 5M
+    docs, where fixed 4-block hits e=1.43 (305 s) while the derived m=6
+    layout stays e=0.98 (176 s) in the same session
+    (.gates/sf1_zipf_1000x_r8.json). Absent the df cap the candidate SET is
     layout-independent — every hamming ≤ d pair agrees on some key in
     every valid layout — so changing n_blocks never changes results
     (pinned in pytest); with the cap, WHICH buckets count as megabuckets

@@ -279,6 +279,26 @@ def test_simhash_fingerprints_zero_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_embedding_lsh_derived_default_plan(spark):
+    # the round-8 DERIVED default (nbits=None → lsh_params from a
+    # construction-time count) must keep the banded-LSH plan shape: one
+    # mapInPandas signature pass feeding a bucket groupBy + in-array pair
+    # explode, exact rerank via two equi-joins — never an all-pairs
+    # CartesianProduct / BroadcastNestedLoopJoin, which is exactly what a
+    # broken candidate stage degenerates into
+    from mapreduce_paradigm_spark.operators.dedup import embedding_near_dup_lsh
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    plan = formatted_plan(embedding_near_dup_lsh(emb, threshold=0.90))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # one batched signature pass
+    # candidate generation groups by (band, bucket): a real Exchange on the
+    # bucket key, not a single-partition collapse
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_per_document_queries_never_shuffle(spark):
     # every per-document computation (text stats, quality, fingerprints,
     # redaction, token counts, repetition, CDC-free scoring) must be a pure
