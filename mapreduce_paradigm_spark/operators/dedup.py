@@ -15,11 +15,36 @@ Everything is DataFrame-native (xxhash64 / bit ops / window), no UDFs.
 
 from __future__ import annotations
 
+import math
 import threading
+import warnings
 import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# in-array unordered pair combinations of a sorted id list ``ds`` — the
+# no-self-join bucket-explode shared by the MinHash banding, its stats
+# mirror, and the embedding sign-LSH buckets (one definition so the three
+# can never drift apart)
+_COMBO_PAIR_EXPR = (
+    "flatten(transform(ds, (x, i) -> "
+    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+)
+
+
+def _bands_for_recall(p: float, nbits: int, target_recall: float) -> float:
+    """Band count meeting P(candidate) = 1−(1−p^nbits)^bands ≥ target_recall
+    at per-hash agreement probability ``p`` — the Indyk–Motwani banding
+    identity shared by ``lsh_params`` and ``embedding_near_dup_lsh``'s
+    explicit-nbits path. Returns ``math.inf`` when ``p**nbits`` underflows
+    to zero (the target is unreachable at any band count)."""
+    p1 = p**nbits
+    if p1 >= 1.0:
+        return 1
+    if p1 <= 0.0:
+        return math.inf
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p1)))
 
 
 # --- cache discipline --------------------------------------------------------
@@ -203,13 +228,9 @@ def _pairs_from_postings(postings: DataFrame) -> DataFrame:
     no join of the full (doc, shingle) stream against itself. Cost is
     Σ df·(df−1)/2 rows into one pair-count shuffle; singleton shingles
     (df=1, the majority in natural text) vanish in the filter."""
-    pair_expr = F.expr(
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
-    )
     return (
         postings.filter(F.col("df") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
+        .select(F.explode(F.expr(_COMBO_PAIR_EXPR)).alias("p"))
         .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -293,13 +314,9 @@ def delta_jaccard_pairs(
     postings = _tracked_persist(postings)
     new_sids = shingles.filter(is_new(F.col("doc_id"))).select("sid").distinct()
     touched = postings.join(new_sids, "sid", "left_semi")
-    pair_expr = F.expr(
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
-    )
     common = (
         touched.filter(F.col("df") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
+        .select(F.explode(F.expr(_COMBO_PAIR_EXPR)).alias("p"))
         .filter(is_new(F.col("p.d1")) | is_new(F.col("p.d2")))
         .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .agg(F.count("*").alias("n_common"))
@@ -435,6 +452,29 @@ def minhash_signatures(
     )
 
 
+def _minhash_band_hashes(
+    docs: DataFrame,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    text_col: str,
+    shingles: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, band-hash table) — the signature → band pipeline shared
+    by ``minhash_lsh_pairs`` and ``minhash_lsh_stats``: the stats helper's
+    contract is that its counts ARE the operator's, so the pipeline exists
+    exactly once. Band hash comes from the sorted (bin, mh) pairs of each
+    band — a second aggregate over the SAME doc_id-prefixed key, so AQE
+    reuses the partitioning; equal shingle sets → equal bins → equal band
+    hash."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, k, num_hashes, text_col, shingles=shingles)
+    stacked = sig.groupBy(
+        "doc_id", (F.col("bin") / rows).cast("int").alias("band_idx")
+    ).agg(F.xxhash64(F.array_sort(F.collect_list(F.struct("bin", "mh")))).alias("bh"))
+    return sig, stacked
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 3,
@@ -460,19 +500,11 @@ def minhash_lsh_pairs(
     1.6 s) and, at 100 TB, keeps the verify stage linear in candidates
     rather than superlinear in shingle document frequency.
     """
-    rows = num_hashes // bands
     # ONE corpus scan: the hashed shingle stream feeds both the signature
     # path (candidates) and the postings path (verify); persisted because
     # the two subtrees materialize independently.
     sh = _tracked_persist(hashed_shingles(docs, k, text_col))
-    sig = minhash_signatures(docs, k, num_hashes, text_col, shingles=sh)
-    # band hash from the sorted (bin, mh) pairs of each band — a second
-    # aggregate over the SAME doc_id-prefixed key, so AQE reuses the
-    # partitioning; equal shingle sets → equal bins → equal band hash
-    stacked = (
-        sig.groupBy("doc_id", (F.col("bin") / rows).cast("int").alias("band_idx"))
-        .agg(F.xxhash64(F.array_sort(F.collect_list(F.struct("bin", "mh")))).alias("bh"))
-    )
+    _, stacked = _minhash_band_hashes(docs, k, num_hashes, bands, text_col, sh)
     # candidates per bucket WITHOUT a self-join: group each (band, hash)
     # bucket into a sorted doc list, explode in-array combinations —
     # Σ bucket² work, one shuffle, identical pair set.
@@ -481,12 +513,8 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    pair_expr = F.expr(
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
-    )
     candidates = (
-        buckets.select(F.explode(pair_expr).alias("p"))
+        buckets.select(F.explode(F.expr(_COMBO_PAIR_EXPR)).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
@@ -538,53 +566,51 @@ def minhash_lsh_stats(
     generates superlinear work" (counts grow superlinearly → banding
     parameters need the ``lsh_params`` treatment) from "the single-JVM
     harness is spilling" (counts grow linearly → strong-scaling
-    artifact) — the CC edge-count pattern applied to MinHash.
+    artifact) — the CC edge-count pattern applied to MinHash. The
+    signature/band pipeline is SHARED with the operator
+    (``_minhash_band_hashes``), so the two cannot drift apart.
     """
-    rows = num_hashes // bands
     # plain persist (not _tracked_persist): this helper returns a dict, so
-    # there is no result DataFrame for _scoped() to hand the cache to —
-    # it is unpersisted explicitly before returning
+    # there is no result DataFrame for _scoped() to hand the cache to — it
+    # is unpersisted in the finally (an OOM mid-count must not leak a
+    # corpus-scale cache that release_caches() can't see)
     sh = hashed_shingles(docs, k, text_col).persist()
-    sig = minhash_signatures(docs, k, num_hashes, text_col, shingles=sh)
-    stacked = sig.groupBy(
-        "doc_id", (F.col("bin") / rows).cast("int").alias("band_idx")
-    ).agg(F.xxhash64(F.array_sort(F.collect_list(F.struct("bin", "mh")))).alias("bh"))
-    buckets = (
-        stacked.groupBy("band_idx", "bh")
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 2)
-    )
-    # Σ C(w,2) per bucket == the pre-distinct candidate stream; distinct
-    # candidates need the actual pair explode (a doc pair can collide in
-    # several bands), so both are reported
-    agg = buckets.agg(
-        F.count("*").alias("n_buckets"),
-        # coalesce: zero qualifying buckets (possible at small n) sums to NULL
-        F.coalesce(F.sum(F.col("w") * (F.col("w") - 1) / 2), F.lit(0))
-        .cast("long")
-        .alias("n_pairs_raw"),
-    ).collect()[0]
-    pair_expr = F.expr(
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
-    )
-    n_candidates = (
-        stacked.groupBy("band_idx", "bh")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.d1", "p.d2")
-        .distinct()
-        .count()
-    )
-    out = {
-        "n_signature_rows": sig.count(),
-        "n_band_buckets_ge2": int(agg["n_buckets"]),
-        "n_candidate_pairs_raw": int(agg["n_pairs_raw"]),
-        "n_candidate_pairs_distinct": int(n_candidates),
-    }
-    sh.unpersist()
-    return out
+    try:
+        sig, stacked = _minhash_band_hashes(
+            docs, k, num_hashes, bands, text_col, sh
+        )
+        buckets = (
+            stacked.groupBy("band_idx", "bh")
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= 2)
+        )
+        # Σ C(w,2) per bucket == the pre-distinct candidate stream; distinct
+        # candidates need the actual pair explode (a doc pair can collide in
+        # several bands), so both are reported
+        agg = buckets.agg(
+            F.count("*").alias("n_buckets"),
+            # coalesce: zero qualifying buckets (possible at small n) → NULL
+            F.coalesce(F.sum(F.col("w") * (F.col("w") - 1) / 2), F.lit(0))
+            .cast("long")
+            .alias("n_pairs_raw"),
+        ).collect()[0]
+        n_candidates = (
+            stacked.groupBy("band_idx", "bh")
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(F.explode(F.expr(_COMBO_PAIR_EXPR)).alias("p"))
+            .select("p.d1", "p.d2")
+            .distinct()
+            .count()
+        )
+        return {
+            "n_signature_rows": sig.count(),
+            "n_band_buckets_ge2": int(agg["n_buckets"]),
+            "n_candidate_pairs_raw": int(agg["n_pairs_raw"]),
+            "n_candidate_pairs_distinct": int(n_candidates),
+        }
+    finally:
+        sh.unpersist()
 
 
 # --- embedding-cosine near-dup ----------------------------------------------
@@ -685,36 +711,27 @@ def lsh_params(
     bands ARE capped and a ``UserWarning`` reports the achieved recall —
     the guarantee cannot silently degrade (advisor, round 7).
     """
-    import math
-    import warnings
-
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1) for cosine LSH")
     if not 0.0 < target_recall < 1.0:
         raise ValueError("target_recall must be in (0, 1)")
     p = 1.0 - math.acos(threshold) / math.pi
-    log_miss = math.log(1.0 - target_recall)
-
-    def bands_for(nb: int) -> int:
-        p1 = p**nb
-        if p1 >= 1.0:
-            return 1
-        return max(1, math.ceil(log_miss / math.log(1.0 - p1)))
 
     nbits = max(4, math.ceil(math.log2(max(2, n))))
-    while nbits > 4 and bands_for(nbits) > max_bands:
+    while nbits > 4 and _bands_for_recall(p, nbits, target_recall) > max_bands:
         nbits -= 1
-    if bands_for(nbits) > max_bands:
+    want = _bands_for_recall(p, nbits, target_recall)
+    if want > max_bands:
         achieved = 1.0 - (1.0 - p**nbits) ** max_bands
         warnings.warn(
             f"lsh_params: target_recall={target_recall} needs "
-            f"{bands_for(nbits)} bands at the nbits floor ({nbits}) but "
+            f"{want} bands at the nbits floor ({nbits}) but "
             f"max_bands={max_bands}; capping — achieved recall at the "
             f"threshold is ~{achieved:.4f}",
             UserWarning,
             stacklevel=2,
         )
-    return {"nbits": nbits, "bands": min(max_bands, bands_for(nbits))}
+    return {"nbits": nbits, "bands": int(min(max_bands, want))}
 
 
 def embedding_near_dup_lsh(
@@ -772,7 +789,8 @@ def embedding_near_dup_lsh(
 
     Explicit-parameter callers: ``nbits`` given with ``bands=None``
     derives the band count that meets ``target_recall`` at that nbits
-    (capped at 64 with a ``lsh_params``-style warning); both given is the
+    (capped at ``max_bands`` with a ``lsh_params``-style warning); both
+    given is the
     fully-manual legacy mode (the pre-round-8 default (4, 24) lives on in
     fixture tests); ``bands`` without ``nbits`` is ambiguous → ValueError.
     At low thresholds (0.42 ≈ 65°, barely above random) sign-LSH is
@@ -780,8 +798,6 @@ def embedding_near_dup_lsh(
     production semantic dedup at cosine ≥ 0.9 derives nbits ≈ log2(n)
     where the same plan prunes candidates 10-100×.
     """
-    import math
-
     import numpy as np
 
     from mapreduce_paradigm_spark.functions import dot_product, l2_norm
@@ -798,19 +814,17 @@ def embedding_near_dup_lsh(
         )
         nbits, bands = prm["nbits"], prm["bands"]
     elif bands is None:
-        # caller fixed nbits: derive the band count meeting target_recall
-        # at that width (same Indyk–Motwani identity as lsh_params)
-        import warnings
-
+        # caller fixed nbits: derive the band count meeting target_recall at
+        # that width — same validation and banding identity as lsh_params
+        # (shared via _bands_for_recall so the two can never diverge)
+        if not 0.0 < threshold < 1.0:
+            raise ValueError("threshold must be in (0, 1) for cosine LSH")
+        if not 0.0 < target_recall < 1.0:
+            raise ValueError("target_recall must be in (0, 1)")
         p = 1.0 - math.acos(threshold) / math.pi
-        p1 = p**nbits
-        want = (
-            1
-            if p1 >= 1.0
-            else max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p1)))
-        )
+        want = _bands_for_recall(p, nbits, target_recall)
         if want > max_bands:
-            achieved = 1.0 - (1.0 - p1) ** max_bands
+            achieved = 1.0 - (1.0 - p**nbits) ** max_bands
             warnings.warn(
                 f"embedding_near_dup_lsh: target_recall={target_recall} needs "
                 f"{want} bands at nbits={nbits}; capping at {max_bands} — "
@@ -818,7 +832,7 @@ def embedding_near_dup_lsh(
                 UserWarning,
                 stacklevel=2,
             )
-        bands = min(max_bands, want)
+        bands = int(min(max_bands, want))
 
     # All bands' signatures in ONE corpus pass: the (bands·nbits, dim) plane
     # matrix is broadcast and each Arrow batch is signed with a single numpy
@@ -849,15 +863,11 @@ def embedding_near_dup_lsh(
 
     base = emb.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e_raw"))
     sig = base.mapInPandas(sign_buckets, schema="id BIGINT, band INT, bucket BIGINT")
-    pair_expr = F.expr(
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
-    )
     candidates = (
         sig.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("id")).alias("ds"))
         .filter(F.size("ds") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
+        .select(F.explode(F.expr(_COMBO_PAIR_EXPR)).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
@@ -998,9 +1008,6 @@ def simhash_params(
     budget reaches the target width, the widest affordable m is returned
     with a ``UserWarning`` — never a silently-quadratic layout.
     """
-    import math
-    import warnings
-
     if max_hamming < 0:
         raise ValueError("max_hamming must be >= 0")
     d = max_hamming
@@ -1138,8 +1145,9 @@ def simhash_near_pairs(
     if max_chunk_df is not None:
         bucketed = grouped.filter(F.size("ds") <= max_chunk_df)
         # megabucket members → exact-fingerprint tier: one grouped pass at
-        # member scale (distinct first — a doc can sit in up to 4
-        # megabuckets), identical fingerprints pair in-array. Every emitted
+        # member scale (distinct first — a doc can sit in up to
+        # C(n_blocks, d) megabuckets, one per subset table), identical
+        # fingerprints pair in-array. Every emitted
         # pair is hamming 0 by construction, so h1/h2 are the group key.
         exact_pairs = (
             grouped.filter(F.size("ds") > max_chunk_df)

@@ -287,15 +287,16 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
 
 def _planted_twin_embeddings(spark, sf_dir):
     """Fixture embeddings + a deterministic near-dup TWIN for every 10th
-    vector: twin = v + 0.2·j where j is an md5-derived pseudo-random
-    vector with components in (−1, 1]. Fixture vectors have ‖v‖ ≈ √(64/3)
-    and j is ≈orthogonal with ‖0.2·j‖ ≈ 0.2‖v‖, so cos(v, twin) ≈
-    1/√1.04 ≈ 0.98 — well above the 0.90 production threshold while
-    non-twin pairs stay near 0 (the raw fixture has NO cosine ≥ 0.6
-    pairs, so a t=0.90 query over it would be vacuous). Twin ids offset
-    by 1e6. md5-hex-prefix arithmetic is the repo's cross-engine
-    determinism convention; the index in the hash input is 1-based to
-    match DuckDB's 1-based list lambdas."""
+    vector: twin = v + 0.05·j where j is an md5-derived pseudo-random
+    vector with components in (−1, 1]. Fixture vectors are UNIT-NORM
+    (‖v‖ = 1, measured) and j is ≈orthogonal with ‖j‖ ≈ √(64/3) ≈ 4.62,
+    so ‖0.05·j‖ ≈ 0.23 and cos(v, twin) ≈ 1/√(1 + 0.23²) ≈ 0.974
+    (measured min on the fixture: 0.963) — comfortably above the 0.90
+    production threshold while non-twin pairs stay near 0 (the raw
+    fixture has NO cosine ≥ 0.6 pairs, so a t=0.90 query over it would
+    be vacuous). Twin ids offset by 1e6. md5-hex-prefix arithmetic is
+    the repo's cross-engine determinism convention; the index in the
+    hash input is 1-based to match DuckDB's 1-based list lambdas."""
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )

@@ -155,6 +155,11 @@ def test_lsh_params_cap_warns_with_achieved_recall():
         warnings.simplefilter("always")
         lsh_params(50_000, 0.9)
     assert not w
+    # p**nbits underflow → inf sentinel, never ZeroDivisionError
+    from mapreduce_paradigm_spark.operators.dedup import _bands_for_recall
+
+    assert _bands_for_recall(0.5, 5000, 0.95) == math.inf
+    assert _bands_for_recall(1.0, 8, 0.95) == 1
 
 
 def test_embedding_lsh_param_modes(spark):
@@ -173,6 +178,21 @@ def test_embedding_lsh_param_modes(spark):
     df = embedding_near_dup_lsh(emb, threshold=0.90, nbits=12)
     assert df.columns == ["d1", "d2", "cosine"]  # plan builds lazily
     assert 1 <= want <= 64  # the derived count is in the uncapped regime
+    # degenerate inputs get the SAME clear errors as the lsh_params path,
+    # not math-domain crashes (round-8 review finding)
+    with pytest.raises(ValueError, match="target_recall"):
+        embedding_near_dup_lsh(emb, threshold=0.90, nbits=12, target_recall=1.0)
+    with pytest.raises(ValueError, match="threshold"):
+        embedding_near_dup_lsh(emb, threshold=1.5, nbits=12)
+    # p**nbits underflow (huge nbits at a low threshold) caps with a
+    # warning instead of ZeroDivisionError
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df2 = embedding_near_dup_lsh(emb, threshold=0.42, nbits=60)
+    assert df2.columns == ["d1", "d2", "cosine"]
+    assert any("capping" in str(x.message) for x in w)
 
 
 def test_simhash_params_derivation_pins():
