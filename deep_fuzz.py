@@ -28,6 +28,7 @@ from tests.test_properties import (
     _join_query,
     _orderby_limit_query,
     _predicate,
+    _scalar_expr_query,
     _setop_query,
     _window_query,
 )
@@ -101,6 +102,7 @@ AXES = [
     ("distinct_filter", _distinct_filter_query(), lambda s: s),
     ("grouping", _grouping_query(), lambda s: s),
     ("orderby_limit", _orderby_limit_query(), lambda s: s),
+    ("scalar_expr", _scalar_expr_query(), lambda s: s),
 ]
 only = os.environ.get("FUZZ_AXES")
 if only:

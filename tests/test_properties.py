@@ -684,6 +684,82 @@ def _orderby_limit_query(draw):
     )
 
 
+@st.composite
+def _scalar_case_expr(draw, depth=0):
+    """Random integer-valued scalar expression over the shared ANSI subset:
+    CASE WHEN / coalesce(nullif(...)) / greatest / least / abs / % / + - *
+    with small literal multipliers so every value stays far from BIGINT
+    range (overflow HANDLING is a by-design dialect difference — Spark
+    non-ANSI wraps, DuckDB promotes/raises — and is deliberately out of
+    scope; value semantics of the constructs themselves are in scope)."""
+    leaves = [
+        "CAST(l_quantity AS BIGINT)",
+        "CAST(l_linenumber AS BIGINT)",
+        str(draw(st.integers(min_value=-9, max_value=9))),
+    ]
+    if depth >= 2 or draw(st.booleans()):
+        return draw(st.sampled_from(leaves))
+    kind = draw(
+        st.sampled_from(["case", "coalesce_nullif", "greatest", "least",
+                         "abs", "mod", "arith"])
+    )
+    a = draw(_scalar_case_expr(depth=depth + 1))
+    b = draw(_scalar_case_expr(depth=depth + 1))
+    if kind == "case":
+        pred = draw(_predicate())
+        return f"(CASE WHEN {pred} THEN {a} ELSE {b} END)"
+    if kind == "coalesce_nullif":
+        lit = draw(st.integers(min_value=-9, max_value=9))
+        return f"coalesce(nullif({a}, {lit}), {b})"
+    if kind in ("greatest", "least"):
+        return f"{kind}({a}, {b})"
+    if kind == "abs":
+        return f"abs({a} - {b})"
+    if kind == "mod":
+        m = draw(st.integers(min_value=2, max_value=9))
+        return f"({a} % {m})"
+    op = draw(st.sampled_from(["+", "-"]))
+    mult = draw(st.integers(min_value=1, max_value=5))
+    return f"({a} {op} {mult} * {b})"
+
+
+@st.composite
+def _scalar_expr_query(draw):
+    e1 = draw(_scalar_case_expr())
+    e2 = draw(_scalar_case_expr())
+    return (
+        f"SELECT l_orderkey, l_linenumber, CAST({e1} AS BIGINT) AS v1, "
+        f"CAST({e2} AS BIGINT) AS v2 FROM lineitem"
+    )
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(_scalar_expr_query())
+def test_random_scalar_case_expr_matches_duckdb(spark, sql):
+    """Ninth differential axis: nested CASE WHEN / coalesce(nullif) /
+    greatest / least / abs / %-arithmetic scalar expressions — branch
+    selection, NULL propagation through n-ary functions, and C-style
+    modulo sign must agree per-row across engines. Integer-bounded so
+    overflow dialect differences (by design) never fire."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    def norm(rows):
+        return sorted(
+            tuple((v is None, 0 if v is None else v) for v in r) for r in rows
+        )
+
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    spark.read.parquet(path).createOrReplaceTempView("lineitem")
+    got = norm(spark.sql(sql).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}')")
+    want = norm(con.execute(sql).fetchall())
+    con.close()
+    assert got == want, f"{sql}: {len(got)} vs {len(want)} rows"
+
+
 @settings(max_examples=20, deadline=None, derandomize=True)
 @given(_orderby_limit_query())
 def test_random_orderby_limit_matches_duckdb(spark, sql):
