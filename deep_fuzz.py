@@ -29,6 +29,7 @@ from tests.test_properties import (
     _orderby_limit_query,
     _predicate,
     _scalar_expr_query,
+    _string_pred_query,
     _setop_query,
     _window_query,
 )
@@ -103,6 +104,7 @@ AXES = [
     ("grouping", _grouping_query(), lambda s: s),
     ("orderby_limit", _orderby_limit_query(), lambda s: s),
     ("scalar_expr", _scalar_expr_query(), lambda s: s),
+    ("string_pred", _string_pred_query(), lambda s: s),
 ]
 only = os.environ.get("FUZZ_AXES")
 if only:

@@ -685,6 +685,85 @@ def _orderby_limit_query(draw):
 
 
 @st.composite
+def _string_pred_query(draw):
+    """Random string-function + LIKE predicate over a synthesized string
+    (the fixture has no long text columns, so one is built from flag +
+    key-mod + ISO date — deterministic and identical across engines).
+    Transforms: upper/lower/substr(1,k)/replace/trim; predicates: LIKE /
+    NOT LIKE with %/_ patterns, length comparisons, binary-collation
+    string comparisons, IN lists. ASCII-only and positive substr offsets
+    by construction — locale/negative-offset dialect differences are
+    deliberately out of scope; pattern matching, case folding, and
+    binary collation ordering are in scope."""
+    base = (
+        "concat(l_returnflag, '-', CAST(l_orderkey % 100 AS STRING), "
+        "'-', CAST(l_shipdate AS STRING))"
+    )
+    kind = draw(st.sampled_from(["id", "upper", "lower", "substr", "replace", "trim"]))
+    if kind == "id":
+        t = base
+    elif kind == "substr":
+        k = draw(st.integers(min_value=1, max_value=12))
+        t = f"substr({base}, 1, {k})"
+    elif kind == "replace":
+        t = f"replace({base}, '-', 'x')"
+    elif kind == "trim":
+        t = f"trim(concat(' ', {base}, ' '))"
+    else:
+        t = f"{kind}({base})"
+    pkind = draw(st.sampled_from(["like", "not_like", "length", "cmp", "in"]))
+    if pkind in ("like", "not_like"):
+        pieces = draw(
+            st.lists(
+                st.sampled_from(["%", "_", "A", "F", "N", "R", "-", "19", "x", "9"]),
+                min_size=1,
+                max_size=4,
+            )
+        )
+        pat = "".join(pieces)
+        op = "LIKE" if pkind == "like" else "NOT LIKE"
+        pred = f"{t} {op} '{pat}'"
+    elif pkind == "length":
+        n = draw(st.integers(min_value=0, max_value=20))
+        pred = f"length({t}) {draw(_CMP)} {n}"
+    elif pkind == "cmp":
+        lit = draw(st.sampled_from(["A-1", "F-50-19", "N", "R-99", "a", "z"]))
+        pred = f"{t} {draw(_CMP)} '{lit}'"
+    else:
+        lits = draw(
+            st.lists(st.sampled_from(["A", "F", "N", "R", "O"]), min_size=1, max_size=3)
+        )
+        inl = ", ".join(f"'{x}'" for x in lits)
+        pred = f"substr({t}, 1, 1) IN ({inl})"
+    return (
+        "SELECT l_returnflag, count(*) AS n, "
+        "sum(CAST(l_quantity AS BIGINT)) AS sq "
+        f"FROM lineitem WHERE {pred} GROUP BY l_returnflag"
+    )
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(_string_pred_query())
+def test_random_string_pred_matches_duckdb(spark, sql):
+    """Tenth differential axis: string transforms (upper/lower/substr/
+    replace/trim) under LIKE / NOT LIKE patterns, length comparisons,
+    binary-collation ordering, and IN lists — per-group counts must
+    agree exactly across engines."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    spark.read.parquet(path).createOrReplaceTempView("lineitem")
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}')")
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    con.close()
+    assert got == want, f"{sql}: {got} != {want}"
+
+
+@st.composite
 def _scalar_case_expr(draw, depth=0):
     """Random integer-valued scalar expression over the shared ANSI subset:
     CASE WHEN / coalesce(nullif(...)) / greatest / least / abs / % / + - *
