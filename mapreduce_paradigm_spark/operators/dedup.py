@@ -15,6 +15,7 @@ Everything is DataFrame-native (xxhash64 / bit ops / window), no UDFs.
 
 from __future__ import annotations
 
+import logging
 import math
 import threading
 import warnings
@@ -575,10 +576,17 @@ def minhash_lsh_stats(
     # is unpersisted in the finally (an OOM mid-count must not leak a
     # corpus-scale cache that release_caches() can't see)
     sh = hashed_shingles(docs, k, text_col).persist()
+    sig = stacked = None
     try:
         sig, stacked = _minhash_band_hashes(
             docs, k, num_hashes, bands, text_col, sh
         )
+        # persist the signature and band frames too: three consumers below
+        # (bucket-width agg, distinct-candidate count, sig.count()) would
+        # otherwise each recompute the corpus-scale signature groupBy
+        # (round-8 advisor item)
+        sig = sig.persist()
+        stacked = stacked.persist()
         buckets = (
             stacked.groupBy("band_idx", "bh")
             .agg(F.count("*").alias("w"))
@@ -610,7 +618,9 @@ def minhash_lsh_stats(
             "n_candidate_pairs_distinct": int(n_candidates),
         }
     finally:
-        sh.unpersist()
+        for frame in (stacked, sig, sh):
+            if frame is not None:
+                frame.unpersist()
 
 
 # --- embedding-cosine near-dup ----------------------------------------------
@@ -723,11 +733,17 @@ def lsh_params(
     want = _bands_for_recall(p, nbits, target_recall)
     if want > max_bands:
         achieved = 1.0 - (1.0 - p**nbits) ** max_bands
+        # math.inf means p^nbits underflowed — the target is unreachable at
+        # ANY band count; say so instead of interpolating 'needs inf bands'
+        need = (
+            "is unreachable at any band count (p^nbits underflows to 0)"
+            if math.isinf(want)
+            else f"needs {want} bands"
+        )
         warnings.warn(
-            f"lsh_params: target_recall={target_recall} needs "
-            f"{want} bands at the nbits floor ({nbits}) but "
-            f"max_bands={max_bands}; capping — achieved recall at the "
-            f"threshold is ~{achieved:.4f}",
+            f"lsh_params: target_recall={target_recall} {need} at the "
+            f"nbits floor ({nbits}) but max_bands={max_bands}; capping — "
+            f"achieved recall at the threshold is ~{achieved:.4f}",
             UserWarning,
             stacklevel=2,
         )
@@ -808,7 +824,25 @@ def embedding_near_dup_lsh(
                 "bands without nbits is ambiguous: pass both (manual mode) "
                 "or neither (derived via lsh_params)"
             )
-        n_corpus = corpus_size if corpus_size is not None else emb.count()
+        if corpus_size is not None:
+            n_corpus = corpus_size
+        else:
+            # derived-default path is EAGER: one corpus count() runs NOW, at
+            # construction, and the derived (nbits, bands) change the emitted
+            # pair set vs the pre-r8 fixed default. One-time-per-process info
+            # log so default callers see both (round-8 advisor item); pass
+            # corpus_size= to stay lazy.
+            n_corpus = emb.count()
+            if not getattr(embedding_near_dup_lsh, "_eager_count_logged", False):
+                embedding_near_dup_lsh._eager_count_logged = True
+                logging.getLogger(__name__).info(
+                    "embedding_near_dup_lsh: nbits/bands not given — derived "
+                    "from an eager corpus count() at construction (n=%d). "
+                    "Pass corpus_size= to keep construction lazy; derived "
+                    "params supersede the pre-r8 fixed (nbits=4, bands=24) "
+                    "default and change the emitted pair set.",
+                    n_corpus,
+                )
         prm = lsh_params(
             n_corpus, threshold, target_recall=target_recall, max_bands=max_bands
         )
@@ -825,9 +859,14 @@ def embedding_near_dup_lsh(
         want = _bands_for_recall(p, nbits, target_recall)
         if want > max_bands:
             achieved = 1.0 - (1.0 - p**nbits) ** max_bands
+            need = (
+                "is unreachable at any band count (p^nbits underflows to 0)"
+                if math.isinf(want)
+                else f"needs {want} bands"
+            )
             warnings.warn(
-                f"embedding_near_dup_lsh: target_recall={target_recall} needs "
-                f"{want} bands at nbits={nbits}; capping at {max_bands} — "
+                f"embedding_near_dup_lsh: target_recall={target_recall} "
+                f"{need} at nbits={nbits}; capping at {max_bands} — "
                 f"achieved recall at the threshold is ~{achieved:.4f}",
                 UserWarning,
                 stacklevel=2,

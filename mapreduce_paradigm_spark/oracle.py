@@ -38,6 +38,31 @@ def _canonical(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _driver_boundary_sort(pdf: pd.DataFrame) -> None:
+    """Replicate the DRIVER's canonicalization on the RAW collected frame:
+    a multi-column pandas ``sort_values`` over all columns. Multi-column
+    sorts factorize each key through a hash table, so any unhashable cell
+    (list / dict / numpy array — i.e. an un-rendered ARRAY or MAP column
+    at the registry boundary) raises ``TypeError: unhashable type`` here,
+    exactly as it did in the driver for round 8's ``embedding_pca_project``
+    red row. Our own ``_canonical`` stringifies values BEFORE sorting and
+    therefore never crashes — which is why the round-8 pre-flight sim
+    green-lit a query the real driver rejected. This check runs on every
+    compare (full-oracle AND rows-only) so a boundary-unsafe schema fails
+    in pytest before the driver ever sees it (round-8 verdict ask #1)."""
+    if len(pdf.columns) == 0:
+        return
+    try:
+        pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    except TypeError as exc:
+        raise TypeError(
+            "driver-boundary check: output is not canonicalizable by the "
+            "driver's raw pandas sort (un-rendered ARRAY/MAP column at the "
+            "registry boundary? render with array_join / to_json per the "
+            f"house convention): {exc}"
+        ) from exc
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -52,11 +77,15 @@ def compare_query(
 
     spec = all_specs()[name]
     if spec.oracle is None:
-        df = spec.builder(spark, sf_dir)
-        n = df.count()
-        return CompareResult(name, True, f"rows-only check: {n} rows")
+        # mirror the driver: COLLECT the result and run its raw
+        # canonicalizing sort — df.count() alone green-lit round 8's
+        # boundary-unsafe pca output that crashed the real driver
+        pdf = spec.builder(spark, sf_dir).toPandas()
+        _driver_boundary_sort(pdf)
+        return CompareResult(name, True, f"rows-only check: {len(pdf)} rows")
 
     spark_pdf = spec.builder(spark, sf_dir).toPandas()
+    _driver_boundary_sort(spark_pdf)
     with duckdb_connection(sf_dir) as con:
         duck_pdf = con.sql(spec.oracle).df()
 

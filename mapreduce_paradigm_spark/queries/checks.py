@@ -770,13 +770,15 @@ def q_embedding_lsh_near_dup_check(spark, sf_dir):
     oracle="""
 WITH
   base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  -- twin hash binds the ORIGINAL id via the distinct name src_id; never
+  -- shadow vec_id with the +1e6 alias inside the lambda (r8 advisor item)
   twins AS (
-    SELECT vec_id + 1000000 AS vec_id,
+    SELECT src_id + 1000000 AS vec_id,
            list_transform(e, (x, i) -> x + 0.05 * (
-             (CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' ||
+             (CAST('0x' || substr(md5(CAST(src_id AS VARCHAR) || ':' ||
                                       CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
               % 2001 - 1000) / 1000.0)) AS e
-    FROM base WHERE vec_id % 10 = 0
+    FROM (SELECT vec_id AS src_id, e FROM base WHERE vec_id % 10 = 0)
   ),
   aug AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
 SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,

@@ -296,18 +296,30 @@ def _planted_twin_embeddings(spark, sf_dir):
     fixture has NO cosine ≥ 0.6 pairs, so a t=0.90 query over it would
     be vacuous). Twin ids offset by 1e6. md5-hex-prefix arithmetic is
     the repo's cross-engine determinism convention; the index in the
-    hash input is 1-based to match DuckDB's 1-based list lambdas."""
+    hash input is 1-based to match DuckDB's 1-based list lambdas.
+
+    The twin hash is computed from the ORIGINAL id exposed under the
+    distinct name ``src_id`` — never from an expression that reuses the
+    ``vec_id`` name for both the shifted alias and the lambda reference.
+    Alias-shadow resolution inside lateral lambdas is a dialect quirk
+    (DuckDB happens to bind the base column today), so both this builder
+    and the DuckDB oracle in checks.py hash the unambiguous ``src_id``
+    (round-8 advisor item)."""
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    twins = base.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.expr(
-            "transform(e, (x, i) -> x + 0.05 * ("
-            "(CAST(conv(substr(md5(concat(CAST(vec_id AS STRING), ':', "
-            "CAST(i + 1 AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2001 "
-            "- 1000) / 1000.0))"
-        ).alias("e"),
+    twins = (
+        base.filter(F.col("vec_id") % 10 == 0)
+        .select(F.col("vec_id").alias("src_id"), "e")
+        .select(
+            (F.col("src_id") + 1000000).alias("vec_id"),
+            F.expr(
+                "transform(e, (x, i) -> x + 0.05 * ("
+                "(CAST(conv(substr(md5(concat(CAST(src_id AS STRING), ':', "
+                "CAST(i + 1 AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2001 "
+                "- 1000) / 1000.0))"
+            ).alias("e"),
+        )
     )
     return base.unionByName(twins)
 
@@ -317,8 +329,9 @@ def _planted_twin_embeddings(spark, sf_dir):
     oracle=None,  # banded sign-LSH candidates → recall < 1 by construction
     description="PRODUCTION-regime banded sign-LSH near-dup: threshold "
     "0.90 with lsh_params-DERIVED (nbits, bands) — the selective regime "
-    "the 100x ladder measured (e=0.64 vs 1.81 fixed-nbits, "
-    ".gates/sf1_zipf_3pt.json), over fixture embeddings augmented with "
+    "the 100x ladder measured at e=1.19/decade, matching the theoretical "
+    "n^(1+rho) LSH optimum (rho=0.224 at t=0.90; vs e=1.81 fixed-nbits, "
+    ".gates/sf1_zipf_3pt_r8.json), over fixture embeddings augmented with "
     "planted md5-deterministic twins (the raw fixture has no cosine>=0.9 "
     "pairs). Registered so the driver surface exercises the pruning "
     "regime, not only the t=0.42 everything-collides fixture regime; "

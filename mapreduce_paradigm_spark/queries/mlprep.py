@@ -295,15 +295,26 @@ def q_embedding_array_hof_suite(spark, sf_dir):
     "whole-stage codegen — corpus scanned once per phase, never "
     "shuffled, no Python in the projection path. Component signs "
     "canonicalized for rerun stability (operators/similarity.py: "
-    "pca_project).",
+    "pca_project). The pc array is rendered as a fixed-precision "
+    "space-joined string at the registry boundary (house convention — "
+    "the driver's pandas canonicalization cannot sort raw list "
+    "columns); the raw-array operator output stays numpy-pinned in "
+    "pytest.",
     tags=("mlprep", "embeddings", "llm"),
 )
 def q_embedding_pca_project(spark, sf_dir):
     from mapreduce_paradigm_spark.operators.similarity import pca_project
 
-    return pca_project(
-        load_table(spark, sf_dir, "embeddings"), n_components=4
-    ).withColumnRenamed("id", "vec_id")
+    return (
+        pca_project(load_table(spark, sf_dir, "embeddings"), n_components=4)
+        .withColumnRenamed("id", "vec_id")
+        .select(
+            "vec_id",
+            F.array_join(
+                F.transform("pc", lambda x: F.format_string("%.6f", x)), " "
+            ).alias("pc"),
+        )
+    )
 
 
 @register(
