@@ -169,6 +169,7 @@ def main() -> None:
         connected_components_star,
     )
     from mapreduce_paradigm_spark.operators.dedup import (
+        embedding_lsh_stats,
         embedding_near_dup_lsh,
         jaccard_pairs,
         jaccard_pairs_prefix_filter,
@@ -353,6 +354,36 @@ def main() -> None:
             run("embedding_near_dup_lsh_t090_fixed12", tag,
                 lambda: embedding_near_dup_lsh(emb, threshold=0.90, nbits=12,
                                                bands=24))
+        if want("embedding_lsh_t090_stats"):
+            # invariant cost drivers WITHOUT the candidate-distinct shuffle
+            # (the minhash counts pattern, round 9): one groupBy(band,
+            # bucket) aggregate — runs at sizes whose wall point cannot fit
+            # this box's spill disk, so the 4th decade is attributable by
+            # counts (Σ C(w,2) vs the Θ(n^(1+ρ)) theory curve) even where
+            # seconds are spill-regime-polluted
+            el_stats = embedding_lsh_stats(
+                emb, threshold=0.90, corpus_size=sizes[tag]
+            )
+            notes.setdefault("embedding_lsh_t090_stats", {}).update(
+                {f"{tag}_{k}": v for k, v in el_stats.items()}
+            )
+            print(f"{'embedding_lsh_t090_stats':40s} {tag:>4s}: {el_stats}",
+                  flush=True)
+        if want("embedding_lsh_t090_stats_b256"):
+            # counterfactual for the max_bands=128 breakdown measured at 5M
+            # (cap pins nbits at 21 where ideal is 23 → counts jump e=2.0 on
+            # the 2M→5M step): with max_bands=256 the derivation keeps
+            # nbits=ceil(log2 n) (23, bands=161 at 5M) and counts return to the Θ(n^(1+ρ))
+            # curve — bands are linear signature cost, width is quadratic
+            # candidate cost ("spend bands, never width")
+            el_stats = embedding_lsh_stats(
+                emb, threshold=0.90, corpus_size=sizes[tag], max_bands=256
+            )
+            notes.setdefault("embedding_lsh_t090_stats_b256", {}).update(
+                {f"{tag}_{k}": v for k, v in el_stats.items()}
+            )
+            print(f"{'embedding_lsh_t090_stats_b256':40s} {tag:>4s}: {el_stats}",
+                  flush=True)
         if want("semantic_cluster_dedup_default"):
             run("semantic_cluster_dedup_default", tag,
                 lambda: semantic_cluster_near_dups(emb, threshold=0.42))

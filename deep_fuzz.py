@@ -23,6 +23,7 @@ from hypothesis import HealthCheck, given, seed, settings
 
 from tests.test_properties import (
     _agg_query,
+    _datetime_query,
     _distinct_filter_query,
     _grouping_query,
     _join_query,
@@ -105,6 +106,7 @@ AXES = [
     ("orderby_limit", _orderby_limit_query(), lambda s: s),
     ("scalar_expr", _scalar_expr_query(), lambda s: s),
     ("string_pred", _string_pred_query(), lambda s: s),
+    ("datetime", _datetime_query(), lambda s: s),
 ]
 only = os.environ.get("FUZZ_AXES")
 if only:

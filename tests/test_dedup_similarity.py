@@ -131,6 +131,41 @@ def test_lsh_params_scale_rule_and_recall_guarantee():
     assert got >= 0.95
 
 
+def test_lsh_params_warns_when_cap_forces_width_down():
+    """Round-9: the band budget's OTHER failure mode — at high thresholds
+    and large n, max_bands forces nbits below ceil(log2 n) and candidate
+    growth leaves the n^(1+rho) curve (measured e=2.0 on the 2M->5M count
+    step at t=0.90/128 bands). That domain edge must be LOUD at scale and
+    quiet in the small-n / low-threshold regimes the docstring already
+    documents."""
+    import warnings
+
+    from mapreduce_paradigm_spark.operators.dedup import lsh_params
+
+    # past the domain edge: reduced width, load >= 2, big n → warns
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        prm = lsh_params(5_000_000, 0.9, target_recall=0.99, max_bands=128)
+    assert prm == {"nbits": 21, "bands": 117}
+    assert len(w) == 1 and "forces nbits 23->21" in str(w[0].message)
+    assert "raise max_bands" in str(w[0].message)
+    # raising the budget restores the ideal width — and the warning goes
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        prm = lsh_params(5_000_000, 0.9, target_recall=0.99, max_bands=256)
+    assert prm["nbits"] == 23 and not w
+    # inside the domain: no reduction, no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lsh_params(500_000, 0.9, target_recall=0.99, max_bands=128)
+    assert not w
+    # small-fixture low threshold: reduced but quiet (documented regime)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lsh_params(500, 0.42)
+    assert not w
+
+
 def test_lsh_params_cap_warns_with_achieved_recall():
     """Round-7 advisor: when even the nbits floor cannot meet the recall
     target within max_bands, the cap must WARN and report the achieved
@@ -257,6 +292,44 @@ def test_minhash_lsh_stats_counts(spark):
     assert st["n_candidate_pairs_distinct"] <= st["n_candidate_pairs_raw"]
     verified = minhash_lsh_pairs(docs, 3, 32, 8, 0.5).count()
     assert verified <= st["n_candidate_pairs_distinct"]
+
+
+def test_embedding_lsh_stats_counts(spark):
+    """The embedding stats helper mirrors the operator's SHARED signature
+    pipeline (``_sign_band_signatures``): signature rows are exactly
+    n·bands (every vector signs every band — unlike MinHash there is no
+    per-doc shingle dedup), raw collisions bound distinct candidates from
+    above, and every emitted near-dup pair is a candidate."""
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _COMBO_PAIR_EXPR,
+        _sign_band_signatures,
+        embedding_lsh_stats,
+        embedding_near_dup_lsh,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    st = embedding_lsh_stats(emb, threshold=0.90, corpus_size=n)
+    assert st["n_signature_rows"] == n * st["bands"]
+    # independent distinct-candidate recount at this tiny n (the stats
+    # helper deliberately never materializes pairs at scale)
+    distinct = (
+        _sign_band_signatures(
+            emb, st["nbits"], st["bands"], 64, 7, "vec_id", "embedding"
+        )
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_COMBO_PAIR_EXPR)).alias("p"))
+        .select("p.d1", "p.d2")
+        .distinct()
+        .count()
+    )
+    assert distinct <= st["n_candidate_pairs_raw"]
+    emitted = embedding_near_dup_lsh(
+        emb, threshold=0.90, corpus_size=n
+    ).count()
+    assert emitted <= distinct
 
 
 def test_lsh_derived_params_recall_on_fixture(spark):

@@ -865,6 +865,132 @@ def test_random_orderby_limit_matches_duckdb(spark, sql):
     assert got == want, f"{sql}: {len(got)} vs {len(want)} rows"
 
 
+@st.composite
+def _datetime_query(draw):
+    """Random date/timestamp arithmetic over the shared ANSI subset —
+    the one committed-template family axes 1–10 never touch (and the TZ
+    sweep only re-runs REGISTERED queries, not generated expressions).
+
+    In scope: ``EXTRACT(YEAR/MONTH/DAY/QUARTER/HOUR)``, ``date_trunc``
+    at year/quarter/month/week/day granularity (week = ISO Monday start
+    in both engines), ``+/- INTERVAL n DAY/MONTH`` including the
+    end-of-month clamp (Jan 31 + 1 MONTH = Feb 28/29 in both),
+    ``last_day``, ``greatest``/``least`` over dates, and date BETWEEN /
+    interval-shifted date comparisons as predicates.
+
+    Kept comparable by construction:
+    - every date-typed output is ``CAST(... AS DATE)`` (Spark
+      ``date_trunc``/date+interval return TIMESTAMP where DuckDB returns
+      DATE — a type, not value, dialect difference);
+    - timestamps stay NTZ (fixture dates cast to TIMESTAMP, never
+      TIMESTAMPTZ) — session-zone semantics are the registered TZ
+      sweep's job, not this axis's;
+    - no ``datediff``/``date_diff`` by NAME (2-arg Spark vs 3-arg
+      DuckDB — a parse-level dialect difference); day distances are
+      expressed as interval-shifted comparisons instead;
+    - no DOW/WEEK ``EXTRACT`` (numbering conventions differ by design).
+
+    The sf0.001 lineitem fixture carries ONE date column (l_shipdate —
+    no commit/receipt dates), so two-date constructions pair it with
+    interval-shifted copies of itself and literal dates.
+    """
+    dcol = "l_shipdate"
+    # date-valued expression
+    ekind = draw(st.sampled_from(["id", "addday", "addmonth", "trunc", "last", "gl"]))
+    if ekind == "id":
+        dexpr = dcol
+    elif ekind == "addday":
+        n = draw(st.integers(min_value=-45, max_value=45))
+        op, n = ("+", n) if n >= 0 else ("-", -n)
+        dexpr = f"CAST({dcol} {op} INTERVAL {n} DAY AS DATE)"
+    elif ekind == "addmonth":
+        m = draw(st.integers(min_value=-14, max_value=14))
+        op, m = ("+", m) if m >= 0 else ("-", -m)
+        dexpr = f"CAST({dcol} {op} INTERVAL {m} MONTH AS DATE)"
+    elif ekind == "trunc":
+        unit = draw(st.sampled_from(["year", "quarter", "month", "week", "day"]))
+        dexpr = f"CAST(date_trunc('{unit}', {dcol}) AS DATE)"
+    elif ekind == "last":
+        dexpr = f"last_day({dcol})"
+    else:
+        fn = draw(st.sampled_from(["greatest", "least"]))
+        y = draw(st.integers(min_value=1992, max_value=1998))
+        k = draw(st.integers(min_value=1, max_value=28))
+        dexpr = (
+            f"{fn}({dcol}, CAST({dcol} + INTERVAL {k} DAY AS DATE), "
+            f"DATE '{y}-06-{k:02d}')"
+        )
+    # group key: an EXTRACT field of the expression or the date itself
+    field = draw(st.sampled_from(["YEAR", "MONTH", "DAY", "QUARTER", None]))
+    if field is None:
+        key = dexpr
+    else:
+        key = f"CAST(EXTRACT({field} FROM {dexpr}) AS BIGINT)"
+    # optionally route through an NTZ timestamp + hour shift
+    if draw(st.booleans()):
+        h = draw(st.integers(min_value=0, max_value=47))
+        ts = f"CAST({dcol} AS TIMESTAMP) + INTERVAL {h} HOUR"
+        tkind = draw(st.sampled_from(["hour", "truncday", "trunchour"]))
+        if tkind == "hour":
+            key = f"CAST(EXTRACT(HOUR FROM {ts}) AS BIGINT)"
+        elif tkind == "truncday":
+            key = f"CAST(date_trunc('day', {ts}) AS DATE)"
+        else:
+            key = f"date_trunc('hour', {ts})"
+    # predicate
+    pkind = draw(st.sampled_from(["between", "shifted_cmp", "month_eq", "none"]))
+    if pkind == "between":
+        y = draw(st.integers(min_value=1992, max_value=1998))
+        m = draw(st.integers(min_value=1, max_value=12))
+        pred = (
+            f"{dcol} BETWEEN DATE '{y}-{m:02d}-01' "
+            f"AND DATE '{y}-{m:02d}-28' + INTERVAL "
+            f"{draw(st.integers(min_value=0, max_value=120))} DAY"
+        )
+    elif pkind == "shifted_cmp":
+        k = draw(st.integers(min_value=0, max_value=30))
+        y = draw(st.integers(min_value=1993, max_value=1997))
+        pred = f"{dcol} {draw(_CMP)} DATE '{y}-06-15' + INTERVAL {k} DAY"
+    elif pkind == "month_eq":
+        m = draw(st.integers(min_value=1, max_value=12))
+        pred = f"EXTRACT(MONTH FROM {dcol}) = {m}"
+    else:
+        pred = "TRUE"
+    return (
+        f"SELECT {key} AS k, count(*) AS n, "
+        "min(l_orderkey) AS mn, max(l_orderkey) AS mx "
+        f"FROM lineitem WHERE {pred} GROUP BY {key}"
+    )
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(_datetime_query())
+def test_random_datetime_matches_duckdb(spark, sql):
+    """Eleventh differential axis: date/timestamp arithmetic — EXTRACT
+    fields, date_trunc granularities, +/- DAY and MONTH intervals (incl.
+    end-of-month clamping), last_day, date greatest/least, and
+    interval-shifted/BETWEEN predicates — per-group aggregates must agree
+    exactly across engines. NTZ-only and free of by-design dialect
+    differences by construction (see _datetime_query)."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    def norm(rows):
+        return sorted(
+            tuple((v is None, 0 if v is None else v) for v in r) for r in rows
+        )
+
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    spark.read.parquet(path).createOrReplaceTempView("lineitem")
+    got = norm(spark.sql(sql).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}')")
+    want = norm(con.execute(sql).fetchall())
+    con.close()
+    assert got == want, f"{sql}: {len(got)} vs {len(want)} rows"
+
+
 @settings(max_examples=15, deadline=None, derandomize=True)
 @given(_setop_query())
 def test_random_setop_matches_duckdb(spark, sql):
