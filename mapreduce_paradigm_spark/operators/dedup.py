@@ -754,16 +754,26 @@ def lsh_params(
     # e≈1.37 on the uncapped 500k→2M steps; max_bands=256 (nbits=23,
     # bands=161 at 5M) returns the counts to the theory curve
     # (.gates/sf1_zipf_emb_stats_r9.json / _b256_r9.json). Warn when the
-    # reduction bites where it costs real work — load factor ≥ 2 at
-    # corpus sizes the ladder measures (≥50k) — so the quadratic-regime
-    # entry is loud; the small-n / low-threshold cap (the operator
-    # docstring's documented non-selective regime) stays quiet.
-    if nbits < nbits_ideal and n >= 50_000 and n / (1 << nbits) >= 2.0:
+    # reduction bites where it costs real work AND the fix is actionable:
+    # load factor ≥ 2 at corpus sizes the ladder measures (≥50k), and the
+    # ideal width's band requirement within 8× the current budget —
+    # "raise max_bands" is then real advice. The low-threshold regime
+    # (t≈0.42 needs tens of thousands of ideal-width bands at 1M vectors;
+    # no practical budget helps) stays quiet: it is the operator
+    # docstring's documented inherently-non-selective caveat, not a
+    # budget mistake.
+    want_ideal = _bands_for_recall(p, nbits_ideal, target_recall)
+    if (
+        nbits < nbits_ideal
+        and n >= 50_000
+        and n / (1 << nbits) >= 2.0
+        and want_ideal <= 8 * max_bands
+    ):
         warnings.warn(
             f"lsh_params: max_bands={max_bands} forces nbits "
             f"{nbits_ideal}->{nbits} at n={n} (meeting "
             f"target_recall={target_recall} at the ideal width needs "
-            f"{_bands_for_recall(p, nbits_ideal, target_recall)} bands); "
+            f"{want_ideal} bands); "
             f"expected bucket load rises to ~{n / (1 << nbits):.1f} and "
             f"candidate growth leaves the n^(1+rho) optimum toward "
             f"n^2/2^{nbits} — raise max_bands to stay on the theory curve "
@@ -775,21 +785,73 @@ def lsh_params(
     want = _bands_for_recall(p, nbits, target_recall)
     if want > max_bands:
         achieved = 1.0 - (1.0 - p**nbits) ** max_bands
-        # math.inf means p^nbits underflowed — the target is unreachable at
-        # ANY band count; say so instead of interpolating 'needs inf bands'
-        need = (
-            "is unreachable at any band count (p^nbits underflows to 0)"
-            if math.isinf(want)
-            else f"needs {want} bands"
-        )
         warnings.warn(
-            f"lsh_params: target_recall={target_recall} {need} at the "
+            f"lsh_params: target_recall={target_recall} "
+            f"{_band_need_phrase(want)} at the "
             f"nbits floor ({nbits}) but max_bands={max_bands}; capping — "
             f"achieved recall at the threshold is ~{achieved:.4f}",
             UserWarning,
             stacklevel=2,
         )
     return {"nbits": nbits, "bands": int(min(max_bands, want))}
+
+
+def _band_need_phrase(want: float) -> str:
+    """Render a band requirement for cap warnings — special-casing the
+    math.inf sentinel (p^nbits underflow: unreachable at ANY band count)
+    so the message never interpolates 'needs inf bands'. Shared by
+    ``lsh_params`` and ``embedding_near_dup_lsh`` (single source for the
+    phrasing the round-8 advisor asked to fix)."""
+    if math.isinf(want):
+        return "is unreachable at any band count (p^nbits underflows to 0)"
+    return f"needs {want} bands"
+
+
+def _derive_lsh_params(
+    emb: DataFrame,
+    threshold: float,
+    nbits: int | None,
+    bands: int | None,
+    target_recall: float,
+    corpus_size: int | None,
+    max_bands: int,
+) -> tuple[int, int]:
+    """The derived-default (nbits=None, bands=None) contract, SHARED by
+    ``embedding_near_dup_lsh`` and ``embedding_lsh_stats`` so the two can
+    never drift: bands-without-nbits is rejected, corpus size comes from
+    ``corpus_size=`` or one eager count() (with the one-time info log),
+    and ``lsh_params`` does the banding math. Explicit nbits passes
+    through untouched — the callers own their explicit-width paths."""
+    if nbits is not None:
+        return nbits, bands
+    if bands is not None:
+        raise ValueError(
+            "bands without nbits is ambiguous: pass both (manual mode) "
+            "or neither (derived via lsh_params)"
+        )
+    if corpus_size is not None:
+        n_corpus = corpus_size
+    else:
+        # derived-default path is EAGER: one corpus count() runs NOW, at
+        # construction, and the derived (nbits, bands) change the emitted
+        # pair set vs the pre-r8 fixed default. One-time-per-process info
+        # log so default callers see both (round-8 advisor item); pass
+        # corpus_size= to stay lazy.
+        n_corpus = emb.count()
+        if not getattr(_derive_lsh_params, "_eager_count_logged", False):
+            _derive_lsh_params._eager_count_logged = True
+            logging.getLogger(__name__).info(
+                "embedding_near_dup_lsh: nbits/bands not given — derived "
+                "from an eager corpus count() at construction (n=%d). "
+                "Pass corpus_size= to keep construction lazy; derived "
+                "params supersede the pre-r8 fixed (nbits=4, bands=24) "
+                "default and change the emitted pair set.",
+                n_corpus,
+            )
+    prm = lsh_params(
+        n_corpus, threshold, target_recall=target_recall, max_bands=max_bands
+    )
+    return prm["nbits"], prm["bands"]
 
 
 def _sign_band_signatures(
@@ -869,45 +931,42 @@ def embedding_lsh_stats(
 
     Parameters mirror ``embedding_near_dup_lsh`` exactly (including the
     ``lsh_params`` derived default and ``corpus_size=`` laziness opt-out)
-    and the signature pipeline is SHARED via ``_sign_band_signatures``."""
-    if nbits is None:
-        if bands is not None:
-            raise ValueError(
-                "bands without nbits is ambiguous: pass both (manual mode) "
-                "or neither (derived via lsh_params)"
-            )
-        n_corpus = corpus_size if corpus_size is not None else emb.count()
-        prm = lsh_params(
-            n_corpus, threshold, target_recall=target_recall, max_bands=max_bands
-        )
-        nbits, bands = prm["nbits"], prm["bands"]
-    elif bands is None:
+    and the signature pipeline is SHARED via ``_sign_band_signatures``.
+
+    ONE job, no persist: all three counts come out of a single
+    conditional aggregate over the bucket widths (Σw recovers the
+    signature-row count exactly since every signature lands in exactly
+    one (band, bucket)). Persisting the n·bands signature frame here
+    would spill corpus-scale state on the exact code path built to dodge
+    the spill regime (round-9 self-review)."""
+    if bands is None and nbits is not None:
         raise ValueError("stats helper needs explicit bands when nbits is explicit")
-    sig = _sign_band_signatures(
-        emb, nbits, bands, dim, seed, id_col, emb_col
-    ).persist()
-    try:
-        agg = (
-            sig.groupBy("band", "bucket")
-            .agg(F.count("*").alias("w"))
-            .filter(F.col("w") >= 2)
-            .agg(
-                F.count("*").alias("n_buckets"),
-                F.coalesce(F.sum(F.col("w") * (F.col("w") - 1) / 2), F.lit(0))
-                .cast("long")
-                .alias("n_pairs_raw"),
+    nbits, bands = _derive_lsh_params(
+        emb, threshold, nbits, bands, target_recall, corpus_size, max_bands
+    )
+    sig = _sign_band_signatures(emb, nbits, bands, dim, seed, id_col, emb_col)
+    ge2 = F.col("w") >= 2
+    agg = (
+        sig.groupBy("band", "bucket")
+        .agg(F.count("*").alias("w"))
+        .agg(
+            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("n_sig"),
+            F.count_if(ge2).alias("n_buckets"),
+            F.coalesce(
+                F.sum(F.when(ge2, F.col("w") * (F.col("w") - 1) / 2)), F.lit(0)
             )
-            .collect()[0]
+            .cast("long")
+            .alias("n_pairs_raw"),
         )
-        return {
-            "nbits": int(nbits),
-            "bands": int(bands),
-            "n_signature_rows": sig.count(),
-            "n_band_buckets_ge2": int(agg["n_buckets"]),
-            "n_candidate_pairs_raw": int(agg["n_pairs_raw"]),
-        }
-    finally:
-        sig.unpersist()
+        .collect()[0]
+    )
+    return {
+        "nbits": int(nbits),
+        "bands": int(bands),
+        "n_signature_rows": int(agg["n_sig"]),
+        "n_band_buckets_ge2": int(agg["n_buckets"]),
+        "n_candidate_pairs_raw": int(agg["n_pairs_raw"]),
+    }
 
 
 def embedding_near_dup_lsh(
@@ -978,34 +1037,9 @@ def embedding_near_dup_lsh(
     from mapreduce_paradigm_spark.functions import dot_product, l2_norm
 
     if nbits is None:
-        if bands is not None:
-            raise ValueError(
-                "bands without nbits is ambiguous: pass both (manual mode) "
-                "or neither (derived via lsh_params)"
-            )
-        if corpus_size is not None:
-            n_corpus = corpus_size
-        else:
-            # derived-default path is EAGER: one corpus count() runs NOW, at
-            # construction, and the derived (nbits, bands) change the emitted
-            # pair set vs the pre-r8 fixed default. One-time-per-process info
-            # log so default callers see both (round-8 advisor item); pass
-            # corpus_size= to stay lazy.
-            n_corpus = emb.count()
-            if not getattr(embedding_near_dup_lsh, "_eager_count_logged", False):
-                embedding_near_dup_lsh._eager_count_logged = True
-                logging.getLogger(__name__).info(
-                    "embedding_near_dup_lsh: nbits/bands not given — derived "
-                    "from an eager corpus count() at construction (n=%d). "
-                    "Pass corpus_size= to keep construction lazy; derived "
-                    "params supersede the pre-r8 fixed (nbits=4, bands=24) "
-                    "default and change the emitted pair set.",
-                    n_corpus,
-                )
-        prm = lsh_params(
-            n_corpus, threshold, target_recall=target_recall, max_bands=max_bands
+        nbits, bands = _derive_lsh_params(
+            emb, threshold, nbits, bands, target_recall, corpus_size, max_bands
         )
-        nbits, bands = prm["nbits"], prm["bands"]
     elif bands is None:
         # caller fixed nbits: derive the band count meeting target_recall at
         # that width — same validation and banding identity as lsh_params
@@ -1018,15 +1052,11 @@ def embedding_near_dup_lsh(
         want = _bands_for_recall(p, nbits, target_recall)
         if want > max_bands:
             achieved = 1.0 - (1.0 - p**nbits) ** max_bands
-            need = (
-                "is unreachable at any band count (p^nbits underflows to 0)"
-                if math.isinf(want)
-                else f"needs {want} bands"
-            )
             warnings.warn(
                 f"embedding_near_dup_lsh: target_recall={target_recall} "
-                f"{need} at nbits={nbits}; capping at {max_bands} — "
-                f"achieved recall at the threshold is ~{achieved:.4f}",
+                f"{_band_need_phrase(want)} at nbits={nbits}; capping at "
+                f"{max_bands} — achieved recall at the threshold is "
+                f"~{achieved:.4f}",
                 UserWarning,
                 stacklevel=2,
             )

@@ -54,12 +54,16 @@ def _driver_boundary_sort(pdf: pd.DataFrame) -> None:
         return
     try:
         pdf.sort_values(by=list(pdf.columns), kind="mergesort")
-    except TypeError as exc:
+    # multi-column sorts factorize (hash) → TypeError on list/dict/ndarray
+    # cells; a SINGLE-column sort skips factorize and instead raises
+    # ValueError ('truth value of an array is ambiguous') on ndarray cells
+    # — same boundary defect, different pandas path
+    except (TypeError, ValueError) as exc:
         raise TypeError(
             "driver-boundary check: output is not canonicalizable by the "
-            "driver's raw pandas sort (un-rendered ARRAY/MAP column at the "
-            "registry boundary? render with array_join / to_json per the "
-            f"house convention): {exc}"
+            "driver's raw pandas sort (un-rendered ARRAY/MAP/STRUCT column "
+            "at the registry boundary? render with array_join / to_json "
+            f"per the house convention): {exc}"
         ) from exc
 
 

@@ -25,7 +25,7 @@ Two layers enforce it:
 from __future__ import annotations
 
 import pytest
-from pyspark.sql.types import ArrayType, MapType
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from mapreduce_paradigm_spark.registry import all_specs
 
@@ -33,6 +33,8 @@ from .conftest import SF_SMOKE
 
 
 def test_no_toplevel_array_or_map_in_any_registered_output(spark):
+    # StructType included: Arrow collects struct cells as dicts, which are
+    # just as unhashable in the driver's factorizing sort as lists
     flagged = {}
     for name, spec in sorted(all_specs().items()):
         if name.startswith("streaming_"):
@@ -41,12 +43,12 @@ def test_no_toplevel_array_or_map_in_any_registered_output(spark):
         bad = [
             f.name
             for f in schema.fields
-            if isinstance(f.dataType, (ArrayType, MapType))
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
         ]
         if bad:
             flagged[name] = bad
     assert not flagged, (
-        "un-rendered ARRAY/MAP columns at the driver boundary "
+        "un-rendered ARRAY/MAP/STRUCT columns at the driver boundary "
         f"(array_join/to_json-render them): {flagged}"
     )
 

@@ -164,6 +164,15 @@ def test_lsh_params_warns_when_cap_forces_width_down():
         warnings.simplefilter("always")
         lsh_params(500, 0.42)
     assert not w
+    # BIG-corpus low threshold: also quiet — the ideal width would need
+    # tens of thousands of bands (>8x any sane budget), so 'raise
+    # max_bands' is not actionable advice there; that regime is the
+    # operator docstring's documented non-selective caveat, not a budget
+    # mistake (round-9 self-review finding)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lsh_params(1_000_000, 0.42)
+    assert not w
 
 
 def test_lsh_params_cap_warns_with_achieved_recall():

@@ -936,7 +936,12 @@ def _datetime_query(draw):
         elif tkind == "truncday":
             key = f"CAST(date_trunc('day', {ts}) AS DATE)"
         else:
-            key = f"date_trunc('hour', {ts})"
+            # rendered as STRING: PySpark's collect() converts raw TIMESTAMP
+            # through the OS-local zone (TimestampType.fromInternal uses
+            # fromtimestamp) while DuckDB returns naive values — a harness
+            # rendering difference, not an engine one; the string form is
+            # identical ('1992-01-02 00:00:00') on both sides everywhere
+            key = f"CAST(date_trunc('hour', {ts}) AS STRING)"
     # predicate
     pkind = draw(st.sampled_from(["between", "shifted_cmp", "month_eq", "none"]))
     if pkind == "between":
