@@ -1082,8 +1082,22 @@ def embedding_near_dup_lsh(
     d = emb.select(
         F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("e")
     ).withColumn("n", l2_norm("e"))
+    # merge hint: the candidates subtree (groupBy → explode → distinct) has
+    # no usable Catalyst size estimate, and the static planner was observed
+    # choosing BroadcastHashJoin BuildLeft on it — i.e. COLLECTING the
+    # corpus-derived Θ(n^(1+ρ))-row pair set to the driver (died on
+    # spark.driver.maxResultSize at 1M vectors; round-9 wall run). Candidates
+    # are never broadcast-able at scale: pin the rerank to shuffle joins on
+    # d1/d2 — the shape that spreads across executors at 100 TB — and let
+    # AQE demote to broadcast at runtime only when actual sizes allow.
+    candidates = candidates.hint("merge")
     return (
         candidates.join(d.alias("ea"), F.col("d1") == F.col("ea.id"))
+        # second hint: the first join consumes the first — without it the
+        # planner may again pick a broadcast build side from the estimate-
+        # blind candidate stream (it chose BuildRight-d at fixture scale,
+        # but the left stream is one estimate away from BuildLeft)
+        .hint("merge")
         .join(d.alias("eb"), F.col("d2") == F.col("eb.id"))
         .withColumn(
             "cosine", dot_product("ea.e", "eb.e") / (F.col("ea.n") * F.col("eb.n"))

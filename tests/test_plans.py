@@ -122,6 +122,21 @@ def test_ann_corpus_never_shuffles(spark):
     assert "row_number(), 5, Partial" in plan  # pre-shuffle top-k pruning
 
 
+def test_embedding_lsh_rerank_never_broadcasts_candidates(spark):
+    """The LSH rerank's candidate pair set (groupBy → explode → distinct)
+    has no usable Catalyst size estimate, and the static planner was
+    observed picking BroadcastHashJoin BuildLeft on it — collecting the
+    corpus-derived Θ(n^(1+ρ))-row pair stream to the driver (died on
+    spark.driver.maxResultSize at 1M vectors; round-9 wall run). The
+    operator pins the rerank to shuffle joins (merge hint); AQE may still
+    demote to broadcast at RUNTIME from actual sizes, which is the only
+    size signal that can be trusted here."""
+    for name in ("embedding_near_dup_lsh", "embedding_near_dup_lsh_t090"):
+        plan = formatted_plan(_df(spark, name))
+        assert "BroadcastHashJoin" not in plan, (name, plan)
+        assert count_occurrences(_df(spark, name), "SortMergeJoin") >= 2, name
+
+
 def test_runtime_bloom_filter_join_injection(spark):
     """Catalyst's runtime row-level filtering: a shuffle join whose build
     side carries a selective filter gets a bloom filter injected on the
