@@ -723,12 +723,17 @@ def lsh_params(
     t=0.90, ρ = 0.224, i.e. n^1.22. That is the classic LSH time
     exponent (Indyk–Motwani), the known-optimal curve for this family:
     mildly superlinear BY THEORY, versus n²/2^nbits (→ n² at fixed
-    nbits) and n² for all-pairs. The round-8 ladder measured the default
-    at e=1.19/decade on 50k→500k (58 s at 500k) — matching 1+ρ — while
-    fixed nbits=12 measured e=1.81 at 700 s, 12× the absolute cost
-    (.gates/sf1_zipf_3pt_r8.json; the round-7 "e=0.64" autoparams
-    receipt compared a 500k derived point against a 10× point measured
-    at different params and understated the true fixed-recall curve).
+    nbits) and n² for all-pairs. Current receipts (round 9, on the
+    shuffle-rerank plan): invariant candidate COUNTS fit e≈1.26/decade
+    uncapped over 500k→5M, and the fixed-plan WALL steps 500k→1M at
+    e=1.33, matching the counts (.gates/sf1_zipf_emb_stats_r9.json,
+    sf1_zipf_wall_1m_r9.json). Historical numbers superseded twice: the
+    round-7 "e=0.64" mixed differently-parameterized points, and the
+    round-8 wall ladder (e=1.19, 58 s at 500k; fixed nbits=12 e=1.81 at
+    700 s) was measured on a plan that BROADCAST the candidate set —
+    cheap-looking, but it collapses at 1M (BASELINE.md round 9). The
+    derived-vs-fixed direction stands: fixed width is the quadratic
+    footgun at any plan shape.
 
     If even the nbits floor (4) cannot reach ``target_recall`` within
     ``max_bands`` bands (very low threshold + very high target), the
@@ -999,8 +1004,9 @@ def embedding_near_dup_lsh(
     turns candidate generation quadratic once n ≫ 2^nbits (nbits=12 at
     threshold 0.90: linear to 50k vectors, exponent ≈1.8 on the 50k→500k
     decade as bucket width grew 12 → 122; the ``lsh_params`` derivation
-    restored the theory-optimal e=1.19 ≈ n^(1+ρ) at 12× less absolute
-    wall — .gates/sf1_zipf_3pt_r8.json). The DEFAULT is therefore the
+    restores the theory-optimal n^(1+ρ) curve — counts e≈1.26/decade,
+    fixed-plan wall e=1.33 on 500k→1M, .gates/*_r9.json). The DEFAULT
+    is therefore the
     derived setting (round-8; the SemDeDup ``nlist=None`` pattern):
     ``nbits=None, bands=None`` → ``lsh_params(n, threshold,
     target_recall)`` where ``n`` comes from one eager ``count()`` of the
@@ -1009,8 +1015,8 @@ def embedding_near_dup_lsh(
     ``corpus_size=n`` to stay lazy (ignored when nbits is explicit). The
     banding-analysis optimum lands at 2^nbits ≈ n, where total candidate
     work follows the LSH-optimal Θ(n^(1+ρ)) curve (ρ = 0.224 at t=0.90 —
-    see ``lsh_params``; measured e=1.19/decade vs 1.81 fixed-nbits at
-    12× the absolute cost) — the plan that survives 100×.
+    see ``lsh_params``; count receipts e≈1.26/decade and fixed-plan wall
+    e=1.33 vs e=1.81 fixed-nbits) — the plan that survives 100×.
     ``target_recall`` defaults
     to 0.99 so the EMPIRICAL recall on finite corpora has slack over the
     0.95 contract floor (the analytic guarantee is the expected candidate

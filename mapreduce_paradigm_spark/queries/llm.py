@@ -329,9 +329,11 @@ def _planted_twin_embeddings(spark, sf_dir):
     oracle=None,  # banded sign-LSH candidates → recall < 1 by construction
     description="PRODUCTION-regime banded sign-LSH near-dup: threshold "
     "0.90 with lsh_params-DERIVED (nbits, bands) — the selective regime "
-    "the 100x ladder measured at e=1.19/decade, matching the theoretical "
-    "n^(1+rho) LSH optimum (rho=0.224 at t=0.90; vs e=1.81 fixed-nbits, "
-    ".gates/sf1_zipf_3pt_r8.json), over fixture embeddings augmented with "
+    "whose ladder receipts match the theoretical n^(1+rho) LSH optimum "
+    "(rho=0.224 at t=0.90): invariant candidate counts e~1.26/decade "
+    "uncapped over 500k-5M and shuffle-rerank wall e=1.33 on 500k-1M, vs "
+    "e=1.81 fixed-nbits (.gates/sf1_zipf_emb_stats_r9.json, "
+    "sf1_zipf_wall_1m_r9.json), over fixture embeddings augmented with "
     "planted md5-deterministic twins (the raw fixture has no cosine>=0.9 "
     "pairs). Registered so the driver surface exercises the pruning "
     "regime, not only the t=0.42 everything-collides fixture regime; "
