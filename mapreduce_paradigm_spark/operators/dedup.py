@@ -1073,13 +1073,20 @@ def embedding_near_dup_lsh(
     # matmul — same per-band planes as ``similarity.hyperplane_buckets``
     # (RandomState(seed+b)), just batched. 24 JVM HOF-dot scans → 1 scan.
     sig = _sign_band_signatures(emb, nbits, bands, dim, seed, id_col, emb_col)
+    # NO pre-rerank distinct: at derived params a pair collides in ≥2 bands
+    # with probability ≈ bands·p_rand^(2·nbits) ≈ 0 (the r9 count ladder's
+    # dedup factor at 2M is ~1.00), so a distinct HERE removes almost no
+    # rows while costing a full candidate-scale shuffle+sort — the single
+    # biggest spill term at the 2M/5M wall points. Duplicates instead ride
+    # through the rerank (same deterministic cosine per copy) and are
+    # deduped AFTER the threshold filter, where cardinality is output-scale
+    # (round-9; removes 1 of 3 candidate-scale exchanges).
     candidates = (
         sig.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("id")).alias("ds"))
         .filter(F.size("ds") >= 2)
         .select(F.explode(F.expr(_COMBO_PAIR_EXPR)).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
-        .distinct()
     )
     # exact rerank: identical cosine + threshold as the all-pairs tier, so
     # output ⊆ exact and values bit-match where pairs survive (norms
@@ -1110,6 +1117,10 @@ def embedding_near_dup_lsh(
         )
         .filter(F.col("cosine") >= threshold)
         .select("d1", "d2", F.round("cosine", 4).alias("cosine"))
+        # output-scale dedup of multi-band collisions (see candidates note:
+        # the cosine is deterministic per pair, so distinct on all three
+        # columns yields exactly the pre-r9 pair set)
+        .distinct()
     )
 
 
