@@ -1088,28 +1088,124 @@ def embedding_near_dup_lsh(
         .select(F.explode(F.expr(_COMBO_PAIR_EXPR)).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
     )
-    # exact rerank: identical cosine + threshold as the all-pairs tier, so
-    # output ⊆ exact and values bit-match where pairs survive (norms
-    # precomputed per vector — one dot per pair, bit-identical; see
-    # embedding_near_dup_pairs)
-    d = emb.select(
-        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("e")
-    ).withColumn("n", l2_norm("e"))
-    # merge hint: the candidates subtree (groupBy → explode → distinct) has
-    # no usable Catalyst size estimate, and the static planner was observed
-    # choosing BroadcastHashJoin BuildLeft on it — i.e. COLLECTING the
-    # corpus-derived Θ(n^(1+ρ))-row pair set to the driver (died on
+    # Rerank, stage 1 — int8-quantized PRE-FILTER with a guaranteed-superset
+    # error bound. The naive rerank carries the full dim·8-byte vector through
+    # a candidate-scale exchange (the Θ(n^(1+ρ))-row intermediate of the
+    # second join): at 1M vectors that exchange is ~76 GB and the 2M wall
+    # point exceeds one box's spill disk entirely (round-9 ladder). Each
+    # vector is quantized once to dim int8 codes c_j = round(v_j/s·127)
+    # (s = max|v_j|, so |v_j − c_j·s/127| ≤ s/254 — symmetric scalar
+    # quantization), and candidates first join the ~dim-BYTE codes instead:
+    # a ~6× cut in the only payload that rides candidate-scale exchanges.
+    # The approximate dot  â = int_dot(c1,c2)·s1·s2/127²  (integer part
+    # exact) deviates from the true dot by at most
+    #   eps = (s1·√d/254)·‖v̂2‖ + (s2·√d/254)·‖v̂1‖ + s1·s2·d/254²
+    # (Cauchy-Schwarz on dot(v1,v2) = dot(v̂1+e1, v̂2+e2) with ‖e_i‖ ≤
+    # s_i·√d/254 and v̂ the dequantized vector), so keeping every pair with
+    # â + eps·1.01 + 1e-12 ≥ threshold·‖v1‖·‖v2‖ (exact norms; the 1% slack
+    # swallows the ~1e-16-relative FP error of evaluating â/eps/RHS in
+    # doubles) is a SUPERSET of the true answer set. Stage 2 then applies
+    # the UNCHANGED exact float64 cosine to the survivor set — which is
+    # output-scale on real corpora (on hash-random vectors eps ≈ 0.014 at
+    # threshold 0.90, ~7σ of the random-cosine spread) — so the emitted
+    # pair set and cosine values are bit-identical to the unquantized
+    # rerank (equality pinned in tests/test_dedup_similarity.py).
+    sqrt_d = math.sqrt(dim)
+    dq = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).cast("array<double>").alias("e"),
+        )
+        .select(
+            "id",
+            "e",
+            F.expr("array_max(transform(e, x -> abs(x)))").alias("s"),
+        )
+        .select(
+            "id",
+            l2_norm("e").alias("n"),
+            "s",
+            F.expr(
+                "transform(e, x -> CAST(round(x / (CASE WHEN s = 0D THEN 1D"
+                " ELSE s END) * 127D) AS TINYINT))"
+            ).alias("c"),
+        )
+        # ‖v̂‖ = s/127·√int_dot(c,c) — the dequantized norm the bound needs
+        .withColumn(
+            "nhat",
+            F.col("s")
+            / 127.0
+            * F.sqrt(
+                F.expr(
+                    "aggregate(c, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)"
+                ).cast("double")
+            ),
+        )
+    )
+    # merge hint: the candidates subtree (groupBy → explode) has no usable
+    # Catalyst size estimate, and the static planner was observed choosing
+    # BroadcastHashJoin BuildLeft on it — i.e. COLLECTING the corpus-derived
+    # Θ(n^(1+ρ))-row pair set to the driver (died on
     # spark.driver.maxResultSize at 1M vectors; round-9 wall run). Candidates
     # are never broadcast-able at scale: pin the rerank to shuffle joins on
     # d1/d2 — the shape that spreads across executors at 100 TB — and let
     # AQE demote to broadcast at runtime only when actual sizes allow.
-    candidates = candidates.hint("merge")
-    return (
-        candidates.join(d.alias("ea"), F.col("d1") == F.col("ea.id"))
+    q1 = dq.select(
+        F.col("id").alias("d1"),
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("c").alias("c1"),
+        F.col("nhat").alias("nhat1"),
+    )
+    q2 = dq.select(
+        F.col("id").alias("d2"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("c").alias("c2"),
+        F.col("nhat").alias("nhat2"),
+    )
+    survivors = (
+        candidates.hint("merge")
+        .join(q1, "d1")
         # second hint: the first join consumes the first — without it the
         # planner may again pick a broadcast build side from the estimate-
-        # blind candidate stream (it chose BuildRight-d at fixture scale,
+        # blind candidate stream (it chose BuildRight at fixture scale,
         # but the left stream is one estimate away from BuildLeft)
+        .hint("merge")
+        .join(q2, "d2")
+        .withColumn(
+            "adot",
+            F.expr(
+                "aggregate(zip_with(c1, c2, (x, y) -> CAST(x AS BIGINT) * y),"
+                " 0L, (a, v) -> a + v)"
+            ).cast("double")
+            * F.col("s1")
+            / 127.0
+            * F.col("s2")
+            / 127.0,
+        )
+        .withColumn(
+            "eps",
+            (F.col("s1") * F.lit(sqrt_d / 254.0)) * F.col("nhat2")
+            + (F.col("s2") * F.lit(sqrt_d / 254.0)) * F.col("nhat1")
+            + F.col("s1") * F.col("s2") * F.lit(dim / 64516.0),
+        )
+        .filter(
+            F.col("adot") + F.col("eps") * 1.01 + 1e-12
+            >= F.lit(threshold) * F.col("n1") * F.col("n2")
+        )
+        .select("d1", "d2")
+    )
+    # Rerank, stage 2 — EXACT cosine + threshold, identical expression to the
+    # all-pairs tier, over the (output-scale) survivor set: output ⊆ exact
+    # and values bit-match where pairs survive (norms precomputed per vector
+    # — one dot per pair, bit-identical; see embedding_near_dup_pairs)
+    d = emb.select(
+        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("e")
+    ).withColumn("n", l2_norm("e"))
+    return (
+        survivors.hint("merge")
+        .join(d.alias("ea"), F.col("d1") == F.col("ea.id"))
         .hint("merge")
         .join(d.alias("eb"), F.col("d2") == F.col("eb.id"))
         .withColumn(

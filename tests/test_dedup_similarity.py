@@ -372,6 +372,113 @@ def test_lsh_derived_params_recall_on_fixture(spark):
     assert recall >= 0.95, f"derived {prm}: recall {recall}"
 
 
+def test_lsh_quantized_prefilter_output_equality(spark):
+    """The int8-quantized pre-rerank (round 9) must be output-INVISIBLE:
+    its error bound keeps a superset of the true-answer candidates, and
+    stage 2 applies the unchanged exact float64 cosine — so the emitted
+    pair set and cosine values must equal what the unquantized rerank
+    (candidates → full-vector joins → cosine filter → distinct) produces.
+    Reconstructs the pre-quantization pipeline inline from the operator's
+    own candidate internals and compares sets at two thresholds."""
+    from mapreduce_paradigm_spark.functions import dot_product, l2_norm
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _COMBO_PAIR_EXPR,
+        _sign_band_signatures,
+        embedding_near_dup_lsh,
+        lsh_params,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    for threshold in (0.42, 0.90):
+        prm = lsh_params(n, threshold, target_recall=0.99)
+        sig = _sign_band_signatures(
+            emb, prm["nbits"], prm["bands"], 64, 7, "vec_id", "embedding"
+        )
+        cand = (
+            sig.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_set("id")).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(F.explode(F.expr(_COMBO_PAIR_EXPR)).alias("p"))
+            .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        )
+        d = emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        ).withColumn("nn", l2_norm("e"))
+        unquantized = {
+            (r["d1"], r["d2"], r["cosine"])
+            for r in (
+                cand.join(d.alias("ea"), F.col("d1") == F.col("ea.id"))
+                .join(d.alias("eb"), F.col("d2") == F.col("eb.id"))
+                .withColumn(
+                    "cosine",
+                    dot_product("ea.e", "eb.e")
+                    / (F.col("ea.nn") * F.col("eb.nn")),
+                )
+                .filter(F.col("cosine") >= threshold)
+                .select("d1", "d2", F.round("cosine", 4).alias("cosine"))
+                .distinct()
+                .collect()
+            )
+        }
+        got = {
+            (r["d1"], r["d2"], r["cosine"])
+            for r in embedding_near_dup_lsh(
+                emb, threshold=threshold, **prm
+            ).collect()
+        }
+        assert got == unquantized, (
+            threshold,
+            got ^ unquantized,
+        )
+
+
+def test_lsh_quantization_error_bound_numpy():
+    """The superset guarantee rests on |dot(v1,v2) − â| ≤ eps with
+    â = int_dot(c1,c2)·s1·s2/127² and eps the Cauchy-Schwarz bound the
+    operator evaluates per pair. Validate the inequality numerically on
+    deterministic pseudo-random vector pairs spanning scales/shapes —
+    including near-zero, constant, and one-hot vectors (extreme s/‖v‖
+    ratios where a sloppy bound would break)."""
+    import math
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    cases = [rng.uniform(-1, 1, dim) for _ in range(200)]
+    cases += [rng.normal(0, 100.0, dim) for _ in range(100)]
+    cases += [rng.normal(0, 1e-6, dim) for _ in range(50)]
+    cases += [np.full(dim, 3.7), np.zeros(dim)]
+    onehot = np.zeros(dim)
+    onehot[13] = -2.5
+    cases += [onehot]
+
+    def quant(v):
+        s = float(np.max(np.abs(v)))
+        c = np.round(v / (s if s else 1.0) * 127.0).astype(np.int64)
+        nhat = s / 127.0 * math.sqrt(float(np.dot(c, c)))
+        return s, c, nhat
+
+    sqrt_d = math.sqrt(dim)
+    worst = 0.0
+    for i in range(0, len(cases) - 1):
+        v1, v2 = cases[i], cases[i + 1]
+        s1, c1, nhat1 = quant(v1)
+        s2, c2, nhat2 = quant(v2)
+        adot = float(np.dot(c1, c2)) * s1 / 127.0 * s2 / 127.0
+        eps = (
+            (s1 * sqrt_d / 254.0) * nhat2
+            + (s2 * sqrt_d / 254.0) * nhat1
+            + s1 * s2 * dim / 64516.0
+        )
+        err = abs(float(np.dot(v1, v2)) - adot)
+        assert err <= eps * 1.01 + 1e-12, (i, err, eps)
+        if eps > 0:
+            worst = max(worst, err / eps)
+    # the bound should be conservative but not vacuous
+    assert worst <= 1.0
+
+
 def test_topk_cosine_against_numpy(spark):
     emb = load_table(spark, SF_CORRECT, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
