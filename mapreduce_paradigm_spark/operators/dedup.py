@@ -724,10 +724,13 @@ def lsh_params(
     exponent (Indyk–Motwani), the known-optimal curve for this family:
     mildly superlinear BY THEORY, versus n²/2^nbits (→ n² at fixed
     nbits) and n² for all-pairs. Current receipts (round 9, on the
-    shuffle-rerank plan): invariant candidate COUNTS fit e≈1.26/decade
-    uncapped over 500k→5M, and the fixed-plan WALL steps 500k→1M at
-    e=1.33, matching the counts (.gates/sf1_zipf_emb_stats_r9.json,
-    sf1_zipf_wall_1m_r9.json). Historical numbers superseded twice: the
+    quantized codes-broadcast rerank): invariant candidate COUNTS fit
+    e≈1.26/decade uncapped over 500k→5M, and the WALL steps 500k→1M→2M
+    at 57.75/115.09/314.22 s (e=0.99/1.45 around the count curve) —
+    the 2M point completes where every earlier plan died, and the 500k
+    speed matches the r8 cliff-edge plan without its cliff
+    (.gates/sf1_zipf_emb_stats_r9.json, sf1_zipf_wall_2m_r9.json).
+    Historical numbers superseded twice: the
     round-7 "e=0.64" mixed differently-parameterized points, and the
     round-8 wall ladder (e=1.19, 58 s at 500k; fixed nbits=12 e=1.81 at
     700 s) was measured on a plan that BROADCAST the candidate set —
@@ -820,15 +823,19 @@ def _derive_lsh_params(
     target_recall: float,
     corpus_size: int | None,
     max_bands: int,
-) -> tuple[int, int]:
+) -> tuple[int, int, int | None]:
     """The derived-default (nbits=None, bands=None) contract, SHARED by
     ``embedding_near_dup_lsh`` and ``embedding_lsh_stats`` so the two can
     never drift: bands-without-nbits is rejected, corpus size comes from
     ``corpus_size=`` or one eager count() (with the one-time info log),
     and ``lsh_params`` does the banding math. Explicit nbits passes
-    through untouched — the callers own their explicit-width paths."""
+    through untouched — the callers own their explicit-width paths.
+    Third return is the corpus size when this call learned it (given or
+    counted; None on the explicit-nbits pass-through without
+    corpus_size) — callers feed it to ``_quantized_exact_rerank``'s
+    join-strategy choice instead of re-counting."""
     if nbits is not None:
-        return nbits, bands
+        return nbits, bands, corpus_size
     if bands is not None:
         raise ValueError(
             "bands without nbits is ambiguous: pass both (manual mode) "
@@ -856,7 +863,7 @@ def _derive_lsh_params(
     prm = lsh_params(
         n_corpus, threshold, target_recall=target_recall, max_bands=max_bands
     )
-    return prm["nbits"], prm["bands"]
+    return prm["nbits"], prm["bands"], n_corpus
 
 
 def _sign_band_signatures(
@@ -946,7 +953,7 @@ def embedding_lsh_stats(
     the spill regime (round-9 self-review)."""
     if bands is None and nbits is not None:
         raise ValueError("stats helper needs explicit bands when nbits is explicit")
-    nbits, bands = _derive_lsh_params(
+    nbits, bands, _ = _derive_lsh_params(
         emb, threshold, nbits, bands, target_recall, corpus_size, max_bands
     )
     sig = _sign_band_signatures(emb, nbits, bands, dim, seed, id_col, emb_col)
@@ -974,6 +981,207 @@ def embedding_lsh_stats(
     }
 
 
+def _quantized_exact_rerank(
+    vec: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    dim: int,
+    n_corpus: int | None = None,
+) -> DataFrame:
+    """Exact cosine rerank of a candidate pair set, with an int8-quantized
+    superset pre-filter so candidate-scale exchanges never carry full
+    vectors. Shared by ``embedding_near_dup_lsh`` (banded-LSH candidates)
+    and ``semantic_cluster_near_dups`` (within-cluster candidates).
+
+    ``vec`` must expose ``(id BIGINT, e ARRAY<DOUBLE>, n DOUBLE)`` with
+    ``n = l2_norm(e)`` exact; ``candidates`` exposes ``(d1, d2)``. Returns
+    ``(d1, d2, cosine)`` with cosine rounded to 4 — NOT deduped (callers
+    whose candidate stream can repeat a pair add their own output-scale
+    ``distinct()``).
+
+    Why: the naive rerank joins candidates against full dim·8-byte vectors,
+    so the second join's input exchange carries |candidates| vectors —
+    ~76 GB at 1M vectors for the LSH tier's Θ(n^(1+ρ)) candidate stream,
+    and past one box's spill disk entirely at 2M (round-9 ladder). Stage 1
+    instead joins dim int8 codes (~6× smaller payload): each vector is
+    quantized once as c_j = round(v_j/s·127), s = max|v_j| — symmetric
+    scalar quantization with |v_j − c_j·s/127| ≤ s/254. The approximate
+    dot  â = int_dot(c1,c2)·s1·s2/127²  (integer part exact) deviates from
+    the true dot by at most
+
+        eps = (s1·√d/254)·‖v̂2‖ + (s2·√d/254)·‖v̂1‖ + s1·s2·d/254²
+
+    (Cauchy-Schwarz on dot(v1,v2) = dot(v̂1+e1, v̂2+e2) with ‖e_i‖ ≤
+    s_i·√d/254, v̂ the dequantized vector), so keeping every pair with
+    â + eps·1.01 + 1e-12 ≥ threshold·‖v1‖·‖v2‖ (exact norms; the 1% slack
+    swallows the ~1e-16-relative FP error of evaluating â/eps/RHS in
+    doubles) is a SUPERSET of the true answer set. Stage 2 applies the
+    UNCHANGED exact float64 cosine (same expression as
+    ``embedding_near_dup_pairs``) to the survivor set — output-scale plus
+    near-threshold noise (on hash-random 64-dim vectors eps ≈ 0.014, ~7σ
+    of the random-cosine spread) — so the emitted pair set and cosine
+    values are bit-identical to the unquantized rerank. Bound validity and
+    output equality are pinned in tests/test_dedup_similarity.py.
+
+    Join strategy and when quantization engages: candidate subtrees
+    (groupBy → explode, cluster self-join) have no usable Catalyst size
+    estimate, and the static planner was observed choosing
+    BroadcastHashJoin BuildLeft on one — i.e. COLLECTING the
+    corpus-derived candidate pair set to the driver (died on
+    spark.driver.maxResultSize at 1M vectors; round-9 wall run).
+    Candidates must NEVER be a broadcast build side, so the regime is
+    picked from REAL knowledge (``n_corpus``), not Catalyst estimates.
+    The quantized pre-filter exists to shrink EXCHANGES; where a plan has
+    none, it is pure overhead (~20% measured at 50k) — so it engages only
+    when full vectors stop fitting a broadcast:
+
+    1. n·(8·dim+48) ≤ 64 MB (≈115k vectors at dim 64 — the session
+       autoBroadcast bar): NO quantization — candidates probe broadcast
+       full vectors, exact cosine directly, zero exchanges. The plan a
+       well-estimated static planner would pick, made deterministic.
+    2. n·(dim+48) ≤ 256 MB (≈3M vectors — codes build a ~1.5 GB hash
+       table, safe on the 8 g session default): quantized pre-filter
+       probes broadcast int8 CODES (candidate stream still crosses ZERO
+       exchanges — the IVF-ADC deployment shape: compact codes ship to
+       every node, the superlinear pair stream never moves); survivors
+       rerank exact via merge-pinned corpus joins. Measured on the
+       SemDeDup tier at 500k vectors: 388 s in this regime vs 822 s
+       merge-pinned (two candidate-scale sort+shuffles a broadcast never
+       pays). The historical pre-hint unquantized run was 299 s — the
+       ~30% delta is the pre-filter arithmetic, the documented price of
+       an exchange-free shape whose broadcast stays dim-bytes-per-vector
+       instead of 8·dim (a 500k full-vector broadcast is ~275 MB per
+       executor and climbing linearly; the codes stay under the same
+       memory at 10× the corpus).
+    3. Above 256 MB of codes, or ``n_corpus=None`` (caller declined to
+       count): every join is pinned merge — shuffle on d1/d2, the shape
+       that spreads across executors at 100 TB (AQE may still demote at
+       runtime from actual sizes), with the quantized pre-filter keeping
+       full vectors out of the one candidate-scale exchange.
+
+    All three regimes emit bit-identical output (regime 1 IS the
+    unquantized rerank; 2/3 are superset-exact); every branch makes a
+    candidate-side broadcast build structurally impossible. Regime
+    equality is pinned in tests/test_dedup_similarity.py.
+    """
+    from mapreduce_paradigm_spark.functions import dot_product
+
+    bcast_codes = n_corpus is not None and n_corpus * (dim + 48) <= (256 << 20)
+    bcast_vec = n_corpus is not None and n_corpus * (8 * dim + 48) <= (64 << 20)
+    if bcast_vec:
+        # regime 1: the exchange-free direct plan — nothing to shrink
+        return (
+            candidates.join(
+                F.broadcast(vec.alias("ea")), F.col("d1") == F.col("ea.id")
+            )
+            .join(F.broadcast(vec.alias("eb")), F.col("d2") == F.col("eb.id"))
+            .withColumn(
+                "cosine",
+                dot_product("ea.e", "eb.e") / (F.col("ea.n") * F.col("eb.n")),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("d1", "d2", F.round("cosine", 4).alias("cosine"))
+        )
+    sqrt_d = math.sqrt(dim)
+    dq = (
+        vec.select(
+            "id",
+            "e",
+            "n",
+            F.expr("array_max(transform(e, x -> abs(x)))").alias("s"),
+        )
+        .select(
+            "id",
+            "n",
+            "s",
+            F.expr(
+                "transform(e, x -> CAST(round(x / (CASE WHEN s = 0D THEN 1D"
+                " ELSE s END) * 127D) AS TINYINT))"
+            ).alias("c"),
+        )
+        # ‖v̂‖ = s/127·√int_dot(c,c) — the dequantized norm the bound needs
+        .withColumn(
+            "nhat",
+            F.col("s")
+            / 127.0
+            * F.sqrt(
+                F.expr(
+                    "aggregate(c, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)"
+                ).cast("double")
+            ),
+        )
+    )
+    q1 = dq.select(
+        F.col("id").alias("d1"),
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("c").alias("c1"),
+        F.col("nhat").alias("nhat1"),
+    )
+    q2 = dq.select(
+        F.col("id").alias("d2"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("c").alias("c2"),
+        F.col("nhat").alias("nhat2"),
+    )
+    if bcast_codes:
+        q1, q2 = F.broadcast(q1), F.broadcast(q2)
+        lhs1 = candidates
+    else:
+        lhs1 = candidates.hint("merge")
+    survivors = lhs1.join(q1, "d1")
+    if not bcast_codes:
+        # second hint: the first join consumes the first — without it the
+        # planner may again pick a broadcast build side from the estimate-
+        # blind candidate stream (it chose BuildRight at fixture scale,
+        # but the left stream is one estimate away from BuildLeft)
+        survivors = survivors.hint("merge")
+    survivors = (
+        survivors.join(q2, "d2")
+        .withColumn(
+            "adot",
+            F.expr(
+                "aggregate(zip_with(c1, c2, (x, y) -> CAST(x AS BIGINT) * y),"
+                " 0L, (a, v) -> a + v)"
+            ).cast("double")
+            * F.col("s1")
+            / 127.0
+            * F.col("s2")
+            / 127.0,
+        )
+        .withColumn(
+            "eps",
+            (F.col("s1") * F.lit(sqrt_d / 254.0)) * F.col("nhat2")
+            + (F.col("s2") * F.lit(sqrt_d / 254.0)) * F.col("nhat1")
+            + F.col("s1") * F.col("s2") * F.lit(dim / 64516.0),
+        )
+        .filter(
+            F.col("adot") + F.col("eps") * 1.01 + 1e-12
+            >= F.lit(threshold) * F.col("n1") * F.col("n2")
+        )
+        .select("d1", "d2")
+    )
+    # stage 2 — exact cosine + threshold over the (output-scale) survivors:
+    # norms precomputed per vector, one dot per pair, bit-identical values
+    # (regimes 2/3 both reach here: survivors are small, but estimate-blind
+    # — merge pins keep them off the broadcast build side; the cost is two
+    # corpus sorts, not candidate-scale work)
+    out = (
+        survivors.hint("merge")
+        .join(vec.alias("ea"), F.col("d1") == F.col("ea.id"))
+        .hint("merge")
+    )
+    return (
+        out.join(vec.alias("eb"), F.col("d2") == F.col("eb.id"))
+        .withColumn(
+            "cosine", dot_product("ea.e", "eb.e") / (F.col("ea.n") * F.col("eb.n"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("d1", "d2", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def embedding_near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.42,
@@ -998,6 +1206,11 @@ def embedding_near_dup_lsh(
     all-pairs join. Candidates are then reranked with the SAME cosine +
     threshold as the exact tier, so precision is exact and only recall is
     approximate: P(candidate) = 1-(1-(1-θ/π)^nbits)^bands per pair angle θ.
+    The rerank runs through ``_quantized_exact_rerank`` (round 9): an
+    int8-quantized superset pre-filter keeps full vectors out of
+    candidate-scale exchanges, with the join regime (broadcast vectors /
+    broadcast codes / all-merge) picked from the known corpus size —
+    output bit-identical in every regime.
 
     Scale rule (MEASURED, `.gates/sf1_zipf_3pt.json`): ``nbits`` must grow
     with the corpus — expected bucket width is n/2^nbits, so FIXED nbits
@@ -1005,7 +1218,8 @@ def embedding_near_dup_lsh(
     threshold 0.90: linear to 50k vectors, exponent ≈1.8 on the 50k→500k
     decade as bucket width grew 12 → 122; the ``lsh_params`` derivation
     restores the theory-optimal n^(1+ρ) curve — counts e≈1.26/decade,
-    fixed-plan wall e=1.33 on 500k→1M, .gates/*_r9.json). The DEFAULT
+    quantized-rerank wall 57.75/115.09/314.22 s on 500k→1M→2M,
+    .gates/*_r9.json). The DEFAULT
     is therefore the
     derived setting (round-8; the SemDeDup ``nlist=None`` pattern):
     ``nbits=None, bands=None`` → ``lsh_params(n, threshold,
@@ -1015,8 +1229,9 @@ def embedding_near_dup_lsh(
     ``corpus_size=n`` to stay lazy (ignored when nbits is explicit). The
     banding-analysis optimum lands at 2^nbits ≈ n, where total candidate
     work follows the LSH-optimal Θ(n^(1+ρ)) curve (ρ = 0.224 at t=0.90 —
-    see ``lsh_params``; count receipts e≈1.26/decade and fixed-plan wall
-    e=1.33 vs e=1.81 fixed-nbits) — the plan that survives 100×.
+    see ``lsh_params``; count receipts e≈1.26/decade and a quantized
+    codes-broadcast rerank that completes 2M in 314 s, vs e=1.81
+    fixed-nbits) — the plan that survives 100×.
     ``target_recall`` defaults
     to 0.99 so the EMPIRICAL recall on finite corpora has slack over the
     0.95 contract floor (the analytic guarantee is the expected candidate
@@ -1040,10 +1255,10 @@ def embedding_near_dup_lsh(
     production semantic dedup at cosine ≥ 0.9 derives nbits ≈ log2(n)
     where the same plan prunes candidates 10-100×.
     """
-    from mapreduce_paradigm_spark.functions import dot_product, l2_norm
+    from mapreduce_paradigm_spark.functions import l2_norm
 
     if nbits is None:
-        nbits, bands = _derive_lsh_params(
+        nbits, bands, corpus_size = _derive_lsh_params(
             emb, threshold, nbits, bands, target_recall, corpus_size, max_bands
         )
     elif bands is None:
@@ -1088,131 +1303,13 @@ def embedding_near_dup_lsh(
         .select(F.explode(F.expr(_COMBO_PAIR_EXPR)).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
     )
-    # Rerank, stage 1 — int8-quantized PRE-FILTER with a guaranteed-superset
-    # error bound. The naive rerank carries the full dim·8-byte vector through
-    # a candidate-scale exchange (the Θ(n^(1+ρ))-row intermediate of the
-    # second join): at 1M vectors that exchange is ~76 GB and the 2M wall
-    # point exceeds one box's spill disk entirely (round-9 ladder). Each
-    # vector is quantized once to dim int8 codes c_j = round(v_j/s·127)
-    # (s = max|v_j|, so |v_j − c_j·s/127| ≤ s/254 — symmetric scalar
-    # quantization), and candidates first join the ~dim-BYTE codes instead:
-    # a ~6× cut in the only payload that rides candidate-scale exchanges.
-    # The approximate dot  â = int_dot(c1,c2)·s1·s2/127²  (integer part
-    # exact) deviates from the true dot by at most
-    #   eps = (s1·√d/254)·‖v̂2‖ + (s2·√d/254)·‖v̂1‖ + s1·s2·d/254²
-    # (Cauchy-Schwarz on dot(v1,v2) = dot(v̂1+e1, v̂2+e2) with ‖e_i‖ ≤
-    # s_i·√d/254 and v̂ the dequantized vector), so keeping every pair with
-    # â + eps·1.01 + 1e-12 ≥ threshold·‖v1‖·‖v2‖ (exact norms; the 1% slack
-    # swallows the ~1e-16-relative FP error of evaluating â/eps/RHS in
-    # doubles) is a SUPERSET of the true answer set. Stage 2 then applies
-    # the UNCHANGED exact float64 cosine to the survivor set — which is
-    # output-scale on real corpora (on hash-random vectors eps ≈ 0.014 at
-    # threshold 0.90, ~7σ of the random-cosine spread) — so the emitted
-    # pair set and cosine values are bit-identical to the unquantized
-    # rerank (equality pinned in tests/test_dedup_similarity.py).
-    sqrt_d = math.sqrt(dim)
-    dq = (
-        emb.select(
-            F.col(id_col).alias("id"),
-            F.col(emb_col).cast("array<double>").alias("e"),
-        )
-        .select(
-            "id",
-            "e",
-            F.expr("array_max(transform(e, x -> abs(x)))").alias("s"),
-        )
-        .select(
-            "id",
-            l2_norm("e").alias("n"),
-            "s",
-            F.expr(
-                "transform(e, x -> CAST(round(x / (CASE WHEN s = 0D THEN 1D"
-                " ELSE s END) * 127D) AS TINYINT))"
-            ).alias("c"),
-        )
-        # ‖v̂‖ = s/127·√int_dot(c,c) — the dequantized norm the bound needs
-        .withColumn(
-            "nhat",
-            F.col("s")
-            / 127.0
-            * F.sqrt(
-                F.expr(
-                    "aggregate(c, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)"
-                ).cast("double")
-            ),
-        )
-    )
-    # merge hint: the candidates subtree (groupBy → explode) has no usable
-    # Catalyst size estimate, and the static planner was observed choosing
-    # BroadcastHashJoin BuildLeft on it — i.e. COLLECTING the corpus-derived
-    # Θ(n^(1+ρ))-row pair set to the driver (died on
-    # spark.driver.maxResultSize at 1M vectors; round-9 wall run). Candidates
-    # are never broadcast-able at scale: pin the rerank to shuffle joins on
-    # d1/d2 — the shape that spreads across executors at 100 TB — and let
-    # AQE demote to broadcast at runtime only when actual sizes allow.
-    q1 = dq.select(
-        F.col("id").alias("d1"),
-        F.col("n").alias("n1"),
-        F.col("s").alias("s1"),
-        F.col("c").alias("c1"),
-        F.col("nhat").alias("nhat1"),
-    )
-    q2 = dq.select(
-        F.col("id").alias("d2"),
-        F.col("n").alias("n2"),
-        F.col("s").alias("s2"),
-        F.col("c").alias("c2"),
-        F.col("nhat").alias("nhat2"),
-    )
-    survivors = (
-        candidates.hint("merge")
-        .join(q1, "d1")
-        # second hint: the first join consumes the first — without it the
-        # planner may again pick a broadcast build side from the estimate-
-        # blind candidate stream (it chose BuildRight at fixture scale,
-        # but the left stream is one estimate away from BuildLeft)
-        .hint("merge")
-        .join(q2, "d2")
-        .withColumn(
-            "adot",
-            F.expr(
-                "aggregate(zip_with(c1, c2, (x, y) -> CAST(x AS BIGINT) * y),"
-                " 0L, (a, v) -> a + v)"
-            ).cast("double")
-            * F.col("s1")
-            / 127.0
-            * F.col("s2")
-            / 127.0,
-        )
-        .withColumn(
-            "eps",
-            (F.col("s1") * F.lit(sqrt_d / 254.0)) * F.col("nhat2")
-            + (F.col("s2") * F.lit(sqrt_d / 254.0)) * F.col("nhat1")
-            + F.col("s1") * F.col("s2") * F.lit(dim / 64516.0),
-        )
-        .filter(
-            F.col("adot") + F.col("eps") * 1.01 + 1e-12
-            >= F.lit(threshold) * F.col("n1") * F.col("n2")
-        )
-        .select("d1", "d2")
-    )
-    # Rerank, stage 2 — EXACT cosine + threshold, identical expression to the
-    # all-pairs tier, over the (output-scale) survivor set: output ⊆ exact
-    # and values bit-match where pairs survive (norms precomputed per vector
-    # — one dot per pair, bit-identical; see embedding_near_dup_pairs)
-    d = emb.select(
+    vec = emb.select(
         F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("e")
     ).withColumn("n", l2_norm("e"))
     return (
-        survivors.hint("merge")
-        .join(d.alias("ea"), F.col("d1") == F.col("ea.id"))
-        .hint("merge")
-        .join(d.alias("eb"), F.col("d2") == F.col("eb.id"))
-        .withColumn(
-            "cosine", dot_product("ea.e", "eb.e") / (F.col("ea.n") * F.col("eb.n"))
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("d1", "d2", F.round("cosine", 4).alias("cosine"))
+        # corpus_size is the caller's value, or the derived-path count —
+        # None on the fully-explicit path, which keeps the merge pin
+        _quantized_exact_rerank(vec, candidates, threshold, dim, corpus_size)
         # output-scale dedup of multi-band collisions (see candidates note:
         # the cosine is deterministic per pair, so distinct on all three
         # columns yields exactly the pre-r9 pair set)
@@ -1569,16 +1666,19 @@ def semantic_cluster_near_dups(
     split a dense cone (more centroids land inside it); fixed hyperplanes
     cannot. Rows-only driver check (k-means is not SQL-expressible).
 
-    The ``nlist=None`` derivation runs one eager ``count()`` Spark job at
-    operator-construction time (over already-checkpointed blocks, so it is
-    cheap — but the operator is no longer lazy). Callers that already know
-    the corpus size (e.g. an ingest pipeline that just counted it) can pass
-    ``corpus_size=n`` to keep the derived-nlist behavior without the extra
-    job; it is ignored when ``nlist`` is given explicitly.
+    The corpus size is resolved with one eager ``count()`` Spark job at
+    operator-construction time regardless of ``nlist`` (round 9; this
+    operator is ALREADY eager — ``base`` is an eager localCheckpoint — so
+    the count over materialized blocks costs ~nothing): it feeds the
+    ``nlist=None`` derivation and the verify tier's join-regime choice
+    (``_quantized_exact_rerank``: broadcast full vectors / broadcast int8
+    codes / all-merge quantized, picked from the real n). Callers that
+    already know the corpus size (e.g. an ingest pipeline that just
+    counted it) can pass ``corpus_size=n`` to skip the job.
     """
     import numpy as np
 
-    from mapreduce_paradigm_spark.functions import dot_product, l2_norm
+    from mapreduce_paradigm_spark.functions import l2_norm
     from mapreduce_paradigm_spark.operators.similarity import _lloyd_refine
 
     spark = emb.sparkSession
@@ -1601,12 +1701,16 @@ def semantic_cluster_near_dups(
         .withColumn("n", l2_norm("e"))
         .localCheckpoint(eager=True)
     )
+    # corpus size is resolved UNCONDITIONALLY (unlike the LSH tier): this
+    # operator is already eager — base is an eager localCheckpoint — so one
+    # count over materialized blocks costs ~nothing and never changes
+    # laziness; it feeds the derived nlist AND the rerank's join-regime
+    # choice (the explicit-nlist path would otherwise fall to the
+    # conservative all-merge regime even on a 6k-vector corpus).
+    corpus_size = corpus_size if corpus_size is not None else base.count()
     if nlist is None:
-        # scale-aware default (see docstring): one count over checkpointed
-        # blocks (skipped when the caller supplied corpus_size), no source
-        # rescan. ceil via negative floor-div.
-        n_corpus = corpus_size if corpus_size is not None else base.count()
-        nlist = max(8, -(-n_corpus // 600))
+        # scale-aware default (see docstring). ceil via negative floor-div.
+        nlist = max(8, -(-corpus_size // 600))
     inv = 1.0 / F.col("n")
     norm = base.select(
         "id", F.transform(F.col("e"), lambda x: x * inv).alias("emb_d")
@@ -1664,22 +1768,20 @@ def semantic_cluster_near_dups(
     # explode, ~1 GB of struct churn, vs the 16-byte candidate stream these
     # id-only joins shuffle. Keep the joins; they're also the shape that
     # lets AQE pick per-side strategies at scale.)
-    # per-vector norms precomputed scan-side (see embedding_near_dup_pairs:
-    # one dot per pair instead of three, bit-identical values); reads the
-    # checkpointed base, not the source — no parquet rescan per join side
-    raw = base
+    # Verify via the shared quantized rerank (round 9): at derived nlist the
+    # candidate stream is Σ|c|²/2 ≈ 300·n pairs, so the naive full-vector
+    # second join carries ~dim·8·300·n bytes through one exchange — the
+    # int8 pre-filter cuts that payload ~6× and the exact float64 cosine
+    # (identical to embedding_near_dup_pairs) runs only on survivors, so
+    # emitted pairs and values are bit-identical to the unquantized verify
+    # (see _quantized_exact_rerank; candidates already distinct — no output
+    # dedup needed). Reads the checkpointed base, not the source.
     return _scoped(
-        candidates.join(
-            raw.select(F.col("id").alias("d1"), F.col("e").alias("e1"), F.col("n").alias("n1")),
-            "d1",
+        # corpus_size is the caller's value, or the derived-nlist count —
+        # None with an explicit nlist and no corpus_size (merge pin)
+        _quantized_exact_rerank(
+            base, candidates, threshold, dim=cmat.shape[1], n_corpus=corpus_size
         )
-        .join(
-            raw.select(F.col("id").alias("d2"), F.col("e").alias("e2"), F.col("n").alias("n2")),
-            "d2",
-        )
-        .withColumn("cosine", dot_product("e1", "e2") / (F.col("n1") * F.col("n2")))
-        .filter(F.col("cosine") >= threshold)
-        .select("d1", "d2", F.round("cosine", 4).alias("cosine"))
     )
 
 

@@ -331,9 +331,10 @@ def _planted_twin_embeddings(spark, sf_dir):
     "0.90 with lsh_params-DERIVED (nbits, bands) — the selective regime "
     "whose ladder receipts match the theoretical n^(1+rho) LSH optimum "
     "(rho=0.224 at t=0.90): invariant candidate counts e~1.26/decade "
-    "uncapped over 500k-5M and shuffle-rerank wall e=1.33 on 500k-1M, vs "
-    "e=1.81 fixed-nbits (.gates/sf1_zipf_emb_stats_r9.json, "
-    "sf1_zipf_wall_1m_r9.json), over fixture embeddings augmented with "
+    "uncapped over 500k-5M and quantized codes-broadcast rerank wall "
+    "57.75/115.09/314.22 s on 500k-1M-2M, vs e=1.81 fixed-nbits "
+    "(.gates/sf1_zipf_emb_stats_r9.json, sf1_zipf_wall_2m_r9.json), "
+    "over fixture embeddings augmented with "
     "planted md5-deterministic twins (the raw fixture has no cosine>=0.9 "
     "pairs). Registered so the driver surface exercises the pruning "
     "regime, not only the t=0.42 everything-collides fixture regime; "

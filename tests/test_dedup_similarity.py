@@ -373,13 +373,17 @@ def test_lsh_derived_params_recall_on_fixture(spark):
 
 
 def test_lsh_quantized_prefilter_output_equality(spark):
-    """The int8-quantized pre-rerank (round 9) must be output-INVISIBLE:
-    its error bound keeps a superset of the true-answer candidates, and
-    stage 2 applies the unchanged exact float64 cosine — so the emitted
-    pair set and cosine values must equal what the unquantized rerank
-    (candidates → full-vector joins → cosine filter → distinct) produces.
+    """The rerank regimes (round 9) must be output-INVISIBLE: regime 1
+    (small corpus, broadcast full vectors, no quantization) IS the
+    unquantized rerank; regimes 2 (broadcast int8 codes + merge exact) and
+    3 (all-merge quantized) keep a guaranteed superset through the int8
+    error bound and apply the unchanged exact float64 cosine — so all
+    three must emit the same pair set and cosine values as the unquantized
+    rerank (candidates → full-vector joins → cosine filter → distinct).
     Reconstructs the pre-quantization pipeline inline from the operator's
-    own candidate internals and compares sets at two thresholds."""
+    own candidate internals and compares sets at two thresholds × three
+    regimes (regime forced via the corpus_size claim; candidates are
+    pinned identical by explicit nbits/bands)."""
     from mapreduce_paradigm_spark.functions import dot_product, l2_norm
     from mapreduce_paradigm_spark.operators.dedup import (
         _COMBO_PAIR_EXPR,
@@ -422,16 +426,18 @@ def test_lsh_quantized_prefilter_output_equality(spark):
                 .collect()
             )
         }
-        got = {
-            (r["d1"], r["d2"], r["cosine"])
-            for r in embedding_near_dup_lsh(
-                emb, threshold=threshold, **prm
-            ).collect()
-        }
-        assert got == unquantized, (
-            threshold,
-            got ^ unquantized,
-        )
+        for claim in (n, 500_000, None):  # regimes 1, 2, 3
+            got = {
+                (r["d1"], r["d2"], r["cosine"])
+                for r in embedding_near_dup_lsh(
+                    emb, threshold=threshold, corpus_size=claim, **prm
+                ).collect()
+            }
+            assert got == unquantized, (
+                threshold,
+                claim,
+                got ^ unquantized,
+            )
 
 
 def test_lsh_quantization_error_bound_numpy():

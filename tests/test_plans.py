@@ -128,13 +128,47 @@ def test_embedding_lsh_rerank_never_broadcasts_candidates(spark):
     observed picking BroadcastHashJoin BuildLeft on it — collecting the
     corpus-derived Θ(n^(1+ρ))-row pair stream to the driver (died on
     spark.driver.maxResultSize at 1M vectors; round-9 wall run). The
-    operator pins the rerank to shuffle joins (merge hint); AQE may still
-    demote to broadcast at RUNTIME from actual sizes, which is the only
-    size signal that can be trusted here."""
+    rerank's join strategy is pinned from REAL corpus knowledge, not
+    Catalyst estimates (see _quantized_exact_rerank): small known corpus →
+    explicit broadcast hints on the VECTOR/code sides (candidates are
+    probe-side only, crossing zero exchanges); large or unknown corpus →
+    merge pins (AQE may demote at RUNTIME from actual sizes). Both
+    branches make a candidate-side broadcast build structurally
+    impossible; this test pins each branch's static shape."""
+    from mapreduce_paradigm_spark.operators.dedup import embedding_near_dup_lsh
+    from mapreduce_paradigm_spark.sources.tables import load_table
+
+    # registered queries run the derived path at fixture scale: the corpus
+    # is known-small, so the vector sides broadcast — every BroadcastHashJoin
+    # build must be a BroadcastExchange fed by the corpus scan, and the plan
+    # has no SortMergeJoin at all (the candidate stream never shuffles)
     for name in ("embedding_near_dup_lsh", "embedding_near_dup_lsh_t090"):
         plan = formatted_plan(_df(spark, name))
-        assert "BroadcastHashJoin" not in plan, (name, plan)
-        assert count_occurrences(_df(spark, name), "SortMergeJoin") >= 2, name
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+    # the SCALE branch: a large claimed corpus (the 100 TB posture) must pin
+    # every rerank join to shuffle joins — a broadcast anywhere would mean
+    # either candidates or a 10M-vector table headed for the driver
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    plan = formatted_plan(
+        embedding_near_dup_lsh(emb, threshold=0.90, corpus_size=10_000_000)
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert (
+        count_occurrences(
+            embedding_near_dup_lsh(emb, threshold=0.90, corpus_size=10_000_000),
+            "SortMergeJoin",
+        )
+        >= 4
+    )
+    # the MIXED branch (500k claimed): int8 codes still fit a broadcast
+    # (stage 1 = BroadcastHashJoin, candidate stream crosses zero
+    # exchanges) while full float64 vectors do not (stage 2 = merge pins)
+    mixed = formatted_plan(
+        embedding_near_dup_lsh(emb, threshold=0.90, corpus_size=500_000)
+    )
+    assert "BroadcastHashJoin" in mixed, mixed
+    assert "SortMergeJoin" in mixed, mixed
 
 
 def test_runtime_bloom_filter_join_injection(spark):
