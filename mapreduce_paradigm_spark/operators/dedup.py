@@ -1069,12 +1069,13 @@ def _quantized_exact_rerank(
     bcast_codes = n_corpus is not None and n_corpus * (dim + 48) <= (256 << 20)
     bcast_vec = n_corpus is not None and n_corpus * (8 * dim + 48) <= (64 << 20)
     if bcast_vec:
-        # regime 1: the exchange-free direct plan — nothing to shrink
+        # regime 1: the exchange-free direct plan — nothing to shrink. One
+        # broadcast subtree probed twice (alias above the hint), so AQE's
+        # stage cache materializes the corpus broadcast once for both joins
+        bv = F.broadcast(vec)
         return (
-            candidates.join(
-                F.broadcast(vec.alias("ea")), F.col("d1") == F.col("ea.id")
-            )
-            .join(F.broadcast(vec.alias("eb")), F.col("d2") == F.col("eb.id"))
+            candidates.join(bv.alias("ea"), F.col("d1") == F.col("ea.id"))
+            .join(bv.alias("eb"), F.col("d2") == F.col("eb.id"))
             .withColumn(
                 "cosine",
                 dot_product("ea.e", "eb.e") / (F.col("ea.n") * F.col("eb.n")),
@@ -1111,26 +1112,16 @@ def _quantized_exact_rerank(
             ),
         )
     )
-    q1 = dq.select(
-        F.col("id").alias("d1"),
-        F.col("n").alias("n1"),
-        F.col("s").alias("s1"),
-        F.col("c").alias("c1"),
-        F.col("nhat").alias("nhat1"),
-    )
-    q2 = dq.select(
-        F.col("id").alias("d2"),
-        F.col("n").alias("n2"),
-        F.col("s").alias("s2"),
-        F.col("c").alias("c2"),
-        F.col("nhat").alias("nhat2"),
-    )
-    if bcast_codes:
-        q1, q2 = F.broadcast(q1), F.broadcast(q2)
-        lhs1 = candidates
-    else:
-        lhs1 = candidates.hint("merge")
-    survivors = lhs1.join(q1, "d1")
+    # BOTH sides of the pre-filter probe the SAME dq subtree (aliased above
+    # the broadcast hint, not re-projected below it): per-side rename
+    # projections made the two broadcast subtrees canonically DIFFERENT, so
+    # nothing could ever deduplicate them; with identical subtrees AQE's
+    # stage cache materializes the broadcast once and reuses it for the
+    # second join — at 2M vectors that is a 224 MB broadcast built and
+    # shipped once, not twice
+    bq = F.broadcast(dq) if bcast_codes else dq
+    lhs1 = candidates if bcast_codes else candidates.hint("merge")
+    survivors = lhs1.join(bq.alias("qa"), F.col("d1") == F.col("qa.id"))
     if not bcast_codes:
         # second hint: the first join consumes the first — without it the
         # planner may again pick a broadcast build side from the estimate-
@@ -1138,27 +1129,27 @@ def _quantized_exact_rerank(
         # but the left stream is one estimate away from BuildLeft)
         survivors = survivors.hint("merge")
     survivors = (
-        survivors.join(q2, "d2")
+        survivors.join(bq.alias("qb"), F.col("d2") == F.col("qb.id"))
         .withColumn(
             "adot",
             F.expr(
-                "aggregate(zip_with(c1, c2, (x, y) -> CAST(x AS BIGINT) * y),"
-                " 0L, (a, v) -> a + v)"
+                "aggregate(zip_with(qa.c, qb.c, (x, y) -> CAST(x AS BIGINT)"
+                " * y), 0L, (a, v) -> a + v)"
             ).cast("double")
-            * F.col("s1")
+            * F.col("qa.s")
             / 127.0
-            * F.col("s2")
+            * F.col("qb.s")
             / 127.0,
         )
         .withColumn(
             "eps",
-            (F.col("s1") * F.lit(sqrt_d / 254.0)) * F.col("nhat2")
-            + (F.col("s2") * F.lit(sqrt_d / 254.0)) * F.col("nhat1")
-            + F.col("s1") * F.col("s2") * F.lit(dim / 64516.0),
+            (F.col("qa.s") * F.lit(sqrt_d / 254.0)) * F.col("qb.nhat")
+            + (F.col("qb.s") * F.lit(sqrt_d / 254.0)) * F.col("qa.nhat")
+            + F.col("qa.s") * F.col("qb.s") * F.lit(dim / 64516.0),
         )
         .filter(
             F.col("adot") + F.col("eps") * 1.01 + 1e-12
-            >= F.lit(threshold) * F.col("n1") * F.col("n2")
+            >= F.lit(threshold) * F.col("qa.n") * F.col("qb.n")
         )
         .select("d1", "d2")
     )
