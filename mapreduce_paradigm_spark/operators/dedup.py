@@ -1035,11 +1035,16 @@ def _quantized_exact_rerank(
     none, it is pure overhead (~20% measured at 50k) — so it engages only
     when full vectors stop fitting a broadcast:
 
-    1. n·(8·dim+48) ≤ 64 MB (≈115k vectors at dim 64 — the session
-       autoBroadcast bar): NO quantization — candidates probe broadcast
-       full vectors, exact cosine directly, zero exchanges. The plan a
-       well-estimated static planner would pick, made deterministic.
-    2. n·(dim+48) ≤ 256 MB (≈3M vectors — codes build a ~1.5 GB hash
+    1. n·(8·dim+48) ≤ 8 MB (≈15k vectors at dim 64): NO quantization —
+       candidates probe broadcast full vectors, exact cosine directly,
+       zero exchanges. The bar is CACHE residency, not broadcast
+       feasibility: at fixture scale the full-vector relation is
+       L2-resident and beats the quantized shape 0.96 s vs 1.44 s (A/B
+       on identical candidates), but by 50k vectors the ~150 MB hashed
+       relation thrashes cache under tens of millions of random probes
+       and the same shape measured a bimodal 55–110 s where the codes
+       relation (10× smaller) held a stable 56 s.
+    2. n·(dim+48) ≤ 256 MB (≈2.4M vectors at dim 64 — codes build a ~1.5 GB hash
        table, safe on the 8 g session default): quantized pre-filter
        probes broadcast int8 CODES (candidate stream still crosses ZERO
        exchanges — the IVF-ADC deployment shape: compact codes ship to
@@ -1067,7 +1072,7 @@ def _quantized_exact_rerank(
     from mapreduce_paradigm_spark.functions import dot_product
 
     bcast_codes = n_corpus is not None and n_corpus * (dim + 48) <= (256 << 20)
-    bcast_vec = n_corpus is not None and n_corpus * (8 * dim + 48) <= (64 << 20)
+    bcast_vec = n_corpus is not None and n_corpus * (8 * dim + 48) <= (8 << 20)
     if bcast_vec:
         # regime 1: the exchange-free direct plan — nothing to shrink. One
         # broadcast subtree probed twice (alias above the hint), so AQE's
