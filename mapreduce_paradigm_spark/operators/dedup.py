@@ -906,7 +906,13 @@ def _sign_band_signatures(
             )
             yield pd.DataFrame({"id": out_id, "band": out_band, "bucket": out_bucket})
 
-    base = emb.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e_raw"))
+    # NULL vectors can never emit a pair (the exact tier's cosine is NULL →
+    # filtered), so drop them BEFORE the matmul instead of letting np.vstack
+    # crash on a None row — keeps the signature pass total on dirty corpora
+    # with identical output semantics (round-9 robustness pass)
+    base = emb.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e_raw")).filter(
+        F.col("e_raw").isNotNull()
+    )
     return base.mapInPandas(sign_buckets, schema="id BIGINT, band INT, bucket BIGINT")
 
 
@@ -1100,9 +1106,15 @@ def _quantized_exact_rerank(
             "id",
             "n",
             "s",
+            # try_cast, not CAST: a NaN/Inf component (or NULL element)
+            # must not crash the ANSI cast — it yields NULL codes, and the
+            # NULL-keeps-pair filter below routes the pair to the exact
+            # stage, which reproduces the unquantized tier's NaN/NULL
+            # semantics exactly (Spark orders NaN above every double, so
+            # the exact filter EMITS NaN-cosine pairs; NULL cosines drop)
             F.expr(
-                "transform(e, x -> CAST(round(x / (CASE WHEN s = 0D THEN 1D"
-                " ELSE s END) * 127D) AS TINYINT))"
+                "transform(e, x -> try_cast(round(x / (CASE WHEN s = 0D THEN"
+                " 1D ELSE s END) * 127D) AS TINYINT))"
             ).alias("c"),
         )
         # ‖v̂‖ = s/127·√int_dot(c,c) — the dequantized norm the bound needs
@@ -1153,8 +1165,14 @@ def _quantized_exact_rerank(
             + F.col("qa.s") * F.col("qb.s") * F.lit(dim / 64516.0),
         )
         .filter(
-            F.col("adot") + F.col("eps") * 1.01 + 1e-12
-            >= F.lit(threshold) * F.col("qa.n") * F.col("qb.n")
+            # NULL predicate (NaN/Inf/NULL anywhere in either vector) KEEPS
+            # the pair — the exact stage owns pathological-value semantics,
+            # so the superset property holds on any input
+            F.coalesce(
+                F.col("adot") + F.col("eps") * 1.01 + 1e-12
+                >= F.lit(threshold) * F.col("qa.n") * F.col("qb.n"),
+                F.lit(True),
+            )
         )
         .select("d1", "d2")
     )
@@ -1694,6 +1712,10 @@ def semantic_cluster_near_dups(
             F.col(id_col).alias("id"),
             F.col(emb_col).cast("array<double>").alias("e"),
         )
+        # NULL vectors can never emit a pair (exact-tier cosine is NULL →
+        # filtered) and would crash the numpy assignment pass — drop them
+        # scan-side (same guard as _sign_band_signatures, round 9)
+        .filter(F.col("e").isNotNull())
         .withColumn("n", l2_norm("e"))
         .localCheckpoint(eager=True)
     )

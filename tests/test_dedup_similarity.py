@@ -440,6 +440,41 @@ def test_lsh_quantized_prefilter_output_equality(spark):
             )
 
 
+def test_lsh_rerank_regimes_agree_on_pathological_vectors(spark):
+    """NaN/Inf components and NULL vectors must not crash the quantized
+    regimes (ANSI would throw on CAST(NaN AS TINYINT) — hence try_cast)
+    and must not change output vs regime 1: NULL codes make the pre-filter
+    predicate NULL, which KEEPS the pair, and the exact stage owns the
+    pathological semantics (Spark orders NaN above every double, so
+    NaN-cosine pairs are EMITTED by the exact filter; NULL cosines drop) —
+    identical to the unquantized tier."""
+    from mapreduce_paradigm_spark.operators.dedup import embedding_near_dup_lsh
+
+    emb = spark.range(1, 6).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "CASE WHEN id = 3 THEN transform(sequence(1,64), j -> CAST('NaN' AS DOUBLE)) "
+            "WHEN id = 4 THEN transform(sequence(1,64), j -> CAST(CASE WHEN j = 1 "
+            "  THEN double('Infinity') ELSE CAST(j AS DOUBLE)/64 END AS DOUBLE)) "
+            "WHEN id = 5 THEN CAST(NULL AS ARRAY<DOUBLE>) "
+            "ELSE transform(sequence(1,64), j -> CAST(j AS DOUBLE)/64) END"
+        ).alias("embedding"),
+    )
+    results = {}
+    for claim in (5, 500_000, None):  # regimes 1, 2, 3
+        rows = embedding_near_dup_lsh(
+            emb, threshold=0.9, nbits=2, bands=4, corpus_size=claim
+        ).collect()
+        results[claim] = sorted(
+            (r["d1"], r["d2"], str(r["cosine"])) for r in rows
+        )
+    assert results[5] == results[500_000] == results[None], results
+    # the identical finite twin pair (1,2) must be present; the NaN vector
+    # pairs with others at NaN cosine (NaN >= t is TRUE in Spark ordering)
+    emitted = {(d1, d2) for d1, d2, _ in results[5]}
+    assert (1, 2) in emitted, results[5]
+
+
 def test_lsh_quantization_error_bound_numpy():
     """The superset guarantee rests on |dot(v1,v2) − â| ≤ eps with
     â = int_dot(c1,c2)·s1·s2/127² and eps the Cauchy-Schwarz bound the
