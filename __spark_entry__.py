@@ -80,11 +80,10 @@ def _gate_priority() -> dict[str, tuple[int, int]]:
 # Round 8: the round-7 pin (nation_balance_bh_fdr) landed its green row in
 # CORRECTNESS_r07 and is dropped — back to pure staleness-first ordering.
 #
-# Round 9: embedding_pca_project's ONLY row is the r8 harness crash (the
-# raw-array boundary bug, fixed this round) — the crash row stamps
-# last_seen_round=8, which would sort the fix's verification ~8 rounds
-# out. Pinned until its first GREEN row lands; drop the pin after.
-_GATE_BACKLOG: tuple[str, ...] = ("embedding_pca_project",)
+# Round 10: the round-9 pin (embedding_pca_project) landed its clean
+# rows-only row in CORRECTNESS_r09 and is dropped — back to pure
+# staleness-first ordering.
+_GATE_BACKLOG: tuple[str, ...] = ()
 
 
 def _registration_age() -> dict[str, int]:

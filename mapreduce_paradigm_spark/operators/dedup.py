@@ -33,6 +33,30 @@ _COMBO_PAIR_EXPR = (
     "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
 )
 
+# ``_quantized_exact_rerank`` join-regime thresholds, in bytes of the
+# per-vector relation that would be broadcast (n · bytes/row estimates,
+# row overhead ~48 B). Both are MEASURED for this container's 8 g
+# local[32] session and are deployment knobs, not physics:
+#
+# - VEC bar (full float64 vectors): a CACHE-residency bar, not a broadcast
+#   feasibility bar — Spark's own ``spark.sql.autoBroadcastJoinThreshold``
+#   default is 10 MB for the same reason. At ≤8 MB the hashed relation is
+#   L2-resident and the direct unquantized probe wins (0.96 s vs 1.44 s at
+#   fixture scale); by ~150 MB it thrashes cache under tens of millions of
+#   random probes (measured bimodal 55–110 s where the 10× smaller codes
+#   relation held 56 s). Tuning executor memory does NOT move this bar.
+# - CODES bar (int8 codes): a MEMORY bar — the broadcast hash relation
+#   costs ~6× its payload built as a JVM hash table (256 MB of codes →
+#   ~1.5 GB per executor), so it should scale with executor heap the same
+#   way users scale ``autoBroadcastJoinThreshold``: ~1/32 of an 8 g heap
+#   here; a 64 g-executor deployment can raise it ~8× and keep the
+#   exchange-free codes-broadcast regime to ~20M vectors at dim 64.
+#
+# tests/test_plans.py parameterizes the regime-boundary pins over these
+# constants, so retuning them for a deployment re-derives the tests.
+_RERANK_VEC_BCAST_BYTES = 8 << 20
+_RERANK_CODES_BCAST_BYTES = 256 << 20
+
 
 def _bands_for_recall(p: float, nbits: int, target_recall: float) -> float:
     """Band count meeting P(candidate) = 1−(1−p^nbits)^bands ≥ target_recall
@@ -1041,7 +1065,8 @@ def _quantized_exact_rerank(
     none, it is pure overhead (~20% measured at 50k) — so it engages only
     when full vectors stop fitting a broadcast:
 
-    1. n·(8·dim+48) ≤ 8 MB (≈15k vectors at dim 64): NO quantization —
+    1. n·(8·dim+48) ≤ ``_RERANK_VEC_BCAST_BYTES`` (8 MB here; ≈15k
+       vectors at dim 64): NO quantization —
        candidates probe broadcast full vectors, exact cosine directly,
        zero exchanges. The bar is CACHE residency, not broadcast
        feasibility: at fixture scale the full-vector relation is
@@ -1050,7 +1075,8 @@ def _quantized_exact_rerank(
        relation thrashes cache under tens of millions of random probes
        and the same shape measured a bimodal 55–110 s where the codes
        relation (10× smaller) held a stable 56 s.
-    2. n·(dim+48) ≤ 256 MB (≈2.4M vectors at dim 64 — codes build a ~1.5 GB hash
+    2. n·(dim+48) ≤ ``_RERANK_CODES_BCAST_BYTES`` (256 MB here; ≈2.4M
+       vectors at dim 64 — codes build a ~1.5 GB hash
        table, safe on the 8 g session default): quantized pre-filter
        probes broadcast int8 CODES (candidate stream still crosses ZERO
        exchanges — the IVF-ADC deployment shape: compact codes ship to
@@ -1064,7 +1090,7 @@ def _quantized_exact_rerank(
        instead of 8·dim (a 500k full-vector broadcast is ~275 MB per
        executor and climbing linearly; the codes stay under the same
        memory at 10× the corpus).
-    3. Above 256 MB of codes, or ``n_corpus=None`` (caller declined to
+    3. Above the codes bar, or ``n_corpus=None`` (caller declined to
        count): every join is pinned merge — shuffle on d1/d2, the shape
        that spreads across executors at 100 TB (AQE may still demote at
        runtime from actual sizes), with the quantized pre-filter keeping
@@ -1077,8 +1103,14 @@ def _quantized_exact_rerank(
     """
     from mapreduce_paradigm_spark.functions import dot_product
 
-    bcast_codes = n_corpus is not None and n_corpus * (dim + 48) <= (256 << 20)
-    bcast_vec = n_corpus is not None and n_corpus * (8 * dim + 48) <= (8 << 20)
+    bcast_codes = (
+        n_corpus is not None
+        and n_corpus * (dim + 48) <= _RERANK_CODES_BCAST_BYTES
+    )
+    bcast_vec = (
+        n_corpus is not None
+        and n_corpus * (8 * dim + 48) <= _RERANK_VEC_BCAST_BYTES
+    )
     if bcast_vec:
         # regime 1: the exchange-free direct plan — nothing to shrink. One
         # broadcast subtree probed twice (alias above the hint), so AQE's
@@ -1240,7 +1272,13 @@ def embedding_near_dup_lsh(
     target_recall)`` where ``n`` comes from one eager ``count()`` of the
     input at operator-construction time — cheap, but the operator is no
     longer lazy; callers that already know the corpus size pass
-    ``corpus_size=n`` to stay lazy (ignored when nbits is explicit). The
+    ``corpus_size=n`` to stay lazy. With an explicit ``nbits`` the value
+    no longer feeds the banding derivation, but it STILL selects the
+    rerank's join regime (broadcast full vectors / broadcast int8 codes /
+    all-merge — see ``_quantized_exact_rerank``), so it must be accurate,
+    not approximate-low: an understated claim on a large corpus flips the
+    plan toward a broadcast the executors cannot hold. Omitting it on the
+    explicit-nbits path keeps the conservative all-merge pin. The
     banding-analysis optimum lands at 2^nbits ≈ n, where total candidate
     work follows the LSH-optimal Θ(n^(1+ρ)) curve (ρ = 0.224 at t=0.90 —
     see ``lsh_params``; count receipts e≈1.26/decade and a quantized
@@ -1688,7 +1726,10 @@ def semantic_cluster_near_dups(
     (``_quantized_exact_rerank``: broadcast full vectors / broadcast int8
     codes / all-merge quantized, picked from the real n). Callers that
     already know the corpus size (e.g. an ingest pipeline that just
-    counted it) can pass ``corpus_size=n`` to skip the job.
+    counted it) can pass ``corpus_size=n`` to skip the job — the claim
+    must be accurate, not approximate-low: it drives the rerank's
+    broadcast-regime choice, and understating n on a large corpus flips
+    the plan toward a broadcast the executors cannot hold.
     """
     import numpy as np
 
@@ -1795,8 +1836,9 @@ def semantic_cluster_near_dups(
     # (see _quantized_exact_rerank; candidates already distinct — no output
     # dedup needed). Reads the checkpointed base, not the source.
     return _scoped(
-        # corpus_size is the caller's value, or the derived-nlist count —
-        # None with an explicit nlist and no corpus_size (merge pin)
+        # corpus_size is always known here — the caller's value, or the
+        # count over the checkpointed NULL-filtered base resolved above —
+        # so the rerank's join regime is always picked from the real n
         _quantized_exact_rerank(
             base, candidates, threshold, dim=cmat.shape[1], n_corpus=corpus_size
         )

@@ -17,7 +17,7 @@ from mapreduce_paradigm_spark.operators.dedup import (
 from mapreduce_paradigm_spark.operators.similarity import lsh_topk_cosine, topk_cosine
 from mapreduce_paradigm_spark.sources.tables import load_table
 
-from .conftest import SF_CORRECT
+from .conftest import SF_CORRECT, rerank_regime_claims
 
 
 def test_exact_dedup_groups_planted(spark):
@@ -426,7 +426,10 @@ def test_lsh_quantized_prefilter_output_equality(spark):
                 .collect()
             )
         }
-        for claim in (n, 500_000, None):  # regimes 1, 2, 3
+        # regime-2 claim derived from the module constants (just past the
+        # vec-broadcast bar); None exercises regime 3's merge-pin path
+        codes_claim, _ = rerank_regime_claims(dim=64)
+        for claim in (n, codes_claim, None):  # regimes 1, 2, 3
             got = {
                 (r["d1"], r["d2"], r["cosine"])
                 for r in embedding_near_dup_lsh(
@@ -460,15 +463,16 @@ def test_lsh_rerank_regimes_agree_on_pathological_vectors(spark):
             "ELSE transform(sequence(1,64), j -> CAST(j AS DOUBLE)/64) END"
         ).alias("embedding"),
     )
+    codes_claim, _ = rerank_regime_claims(dim=64)
     results = {}
-    for claim in (5, 500_000, None):  # regimes 1, 2, 3
+    for claim in (5, codes_claim, None):  # regimes 1, 2, 3
         rows = embedding_near_dup_lsh(
             emb, threshold=0.9, nbits=2, bands=4, corpus_size=claim
         ).collect()
         results[claim] = sorted(
             (r["d1"], r["d2"], str(r["cosine"])) for r in rows
         )
-    assert results[5] == results[500_000] == results[None], results
+    assert results[5] == results[codes_claim] == results[None], results
     # the identical finite twin pair (1,2) must be present; the NaN vector
     # pairs with others at NaN cosine (NaN >= t is TRUE in Spark ordering)
     emitted = {(d1, d2) for d1, d2, _ in results[5]}

@@ -142,30 +142,37 @@ def test_embedding_lsh_rerank_never_broadcasts_candidates(spark):
     # is known-small, so the vector sides broadcast — every BroadcastHashJoin
     # build must be a BroadcastExchange fed by the corpus scan, and the plan
     # has no SortMergeJoin at all (the candidate stream never shuffles)
+    from .conftest import rerank_regime_claims
+
     for name in ("embedding_near_dup_lsh", "embedding_near_dup_lsh_t090"):
         plan = formatted_plan(_df(spark, name))
         assert "BroadcastHashJoin" in plan, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
-    # the SCALE branch: a large claimed corpus (the 100 TB posture) must pin
-    # every rerank join to shuffle joins — a broadcast anywhere would mean
-    # either candidates or a 10M-vector table headed for the driver
+    # claims derived from the regime constants (round-10: retuning the
+    # bars for a deployment re-derives the pins): the smallest n past the
+    # vec-broadcast bar (regime 2) and past the codes bar (regime 3)
+    codes_claim, merge_claim = rerank_regime_claims(dim=64)
+    # the SCALE branch: a past-the-codes-bar claimed corpus (the 100 TB
+    # posture) must pin every rerank join to shuffle joins — a broadcast
+    # anywhere would mean either candidates or a multi-million-vector
+    # table headed for the driver
     emb = load_table(spark, SF_CORRECT, "embeddings")
     plan = formatted_plan(
-        embedding_near_dup_lsh(emb, threshold=0.90, corpus_size=10_000_000)
+        embedding_near_dup_lsh(emb, threshold=0.90, corpus_size=merge_claim)
     )
     assert "BroadcastHashJoin" not in plan, plan
     assert (
         count_occurrences(
-            embedding_near_dup_lsh(emb, threshold=0.90, corpus_size=10_000_000),
+            embedding_near_dup_lsh(emb, threshold=0.90, corpus_size=merge_claim),
             "SortMergeJoin",
         )
         >= 4
     )
-    # the MIXED branch (500k claimed): int8 codes still fit a broadcast
-    # (stage 1 = BroadcastHashJoin, candidate stream crosses zero
+    # the MIXED branch (just past the vec bar): int8 codes still fit a
+    # broadcast (stage 1 = BroadcastHashJoin, candidate stream crosses zero
     # exchanges) while full float64 vectors do not (stage 2 = merge pins)
     mixed = formatted_plan(
-        embedding_near_dup_lsh(emb, threshold=0.90, corpus_size=500_000)
+        embedding_near_dup_lsh(emb, threshold=0.90, corpus_size=codes_claim)
     )
     assert "BroadcastHashJoin" in mixed, mixed
     assert "SortMergeJoin" in mixed, mixed
