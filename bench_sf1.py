@@ -178,6 +178,7 @@ def main() -> None:
         minhash_lsh_stats,
         release_caches,
         semantic_cluster_near_dups,
+        semdedup_stats,
         simhash_near_pairs,
     )
     from mapreduce_paradigm_spark.registry import all_specs
@@ -228,12 +229,13 @@ def main() -> None:
         return ops is None or name in ops
 
     need_docs = ops is None or any(
-        not o.startswith(("embedding_", "semantic_", "dedup_clusters"))
+        not o.startswith(("embedding_", "semantic_", "semdedup_", "dedup_clusters"))
         for o in (ops or set())
     )
     need_dup = want("dedup_clusters_star_dup5")
     need_emb = ops is None or any(
-        o.startswith(("embedding_", "semantic_")) for o in (ops or set())
+        o.startswith(("embedding_", "semantic_", "semdedup_"))
+        for o in (ops or set())
     )
     for tag, n in sizes.items():
         if need_docs or need_dup:
@@ -345,9 +347,9 @@ def main() -> None:
             notes.setdefault("embedding_near_dup_lsh_t090_default", {})[
                 f"{tag}_params"
             ] = sorted(
-                lsh_params(
-                    sizes[tag], 0.90, target_recall=0.99, max_bands=128
-                ).items()
+                # auto budget (max_bands=None) — mirrors the operator's
+                # default exactly (round 10)
+                lsh_params(sizes[tag], 0.90, target_recall=0.99).items()
             )
         if sizes[tag] <= 50_000 and want("embedding_near_dup_lsh_t090_fixed12"):
             # counterfactual: superlinear by design
@@ -387,6 +389,22 @@ def main() -> None:
         if want("semantic_cluster_dedup_default"):
             run("semantic_cluster_dedup_default", tag,
                 lambda: semantic_cluster_near_dups(emb, threshold=0.42))
+        if want("semdedup_cluster_stats"):
+            # invariant cost drivers WITHOUT the candidate shuffle (the
+            # embedding-LSH counts pattern, round 10): one
+            # groupBy(cluster_id) aggregate over the operator's OWN shared
+            # assignment pipeline — runs at sizes whose wall point cannot
+            # fit this box's spill disk, so SemDeDup's 4th decade is
+            # attributable by counts (Σ C(w,2) vs the ≈linear prediction
+            # of nlist ∝ n with ~600 vectors/cluster) even where seconds
+            # are spill-regime-polluted. Threshold does not enter: these
+            # are cluster-geometry counts, upstream of the verify tier.
+            sd_stats = semdedup_stats(emb, corpus_size=sizes[tag])
+            notes.setdefault("semdedup_cluster_stats", {}).update(
+                {f"{tag}_{k}": v for k, v in sd_stats.items()}
+            )
+            print(f"{'semdedup_cluster_stats':40s} {tag:>4s}: {sd_stats}",
+                  flush=True)
         if sizes[tag] <= 50_000 and want("semantic_cluster_dedup_nlist8_forced"):
             # counterfactual: superlinear by design
             run("semantic_cluster_dedup_nlist8_forced", tag,

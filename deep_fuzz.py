@@ -1,4 +1,5 @@
-"""Opt-in deep differential fuzz: N examples per axis, Spark vs DuckDB.
+"""Opt-in deep differential fuzz: N examples per axis (twelve axes),
+Spark vs DuckDB.
 
 The committed hypothesis tests in tests/test_properties.py run small
 DERANDOMIZED budgets (15-25 examples/axis) so the suite stays fast and
@@ -26,6 +27,7 @@ from tests.test_properties import (
     _datetime_query,
     _distinct_filter_query,
     _grouping_query,
+    _hof_query,
     _join_query,
     _orderby_limit_query,
     _predicate,
@@ -66,8 +68,12 @@ def norm(rows):
 
 def check(axis, sql):
     counts[axis] = counts.get(axis, 0) + 1
-    got = norm(spark.sql(sql).collect())
-    want = norm(con.execute(sql).fetchall())
+    # the hof axis renders a semantically-identical (spark_sql, duck_sql)
+    # PAIR (zip_with/aggregate have no same-name DuckDB twin); every other
+    # axis runs one shared-ANSI string on both engines
+    spark_sql, duck_sql = sql if isinstance(sql, tuple) else (sql, sql)
+    got = norm(spark.sql(spark_sql).collect())
+    want = norm(con.execute(duck_sql).fetchall())
     if axis == "grouping" and not got and want:
         # the PINNED empty-input divergence (ANSI () grouping set on empty
         # input: DuckDB one zero-row super-aggregate, Spark none) — same
@@ -107,6 +113,7 @@ AXES = [
     ("scalar_expr", _scalar_expr_query(), lambda s: s),
     ("string_pred", _string_pred_query(), lambda s: s),
     ("datetime", _datetime_query(), lambda s: s),
+    ("hof", _hof_query(), lambda s: s),
 ]
 only = os.environ.get("FUZZ_AXES")
 if only:

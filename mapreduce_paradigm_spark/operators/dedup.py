@@ -57,6 +57,22 @@ _COMBO_PAIR_EXPR = (
 _RERANK_VEC_BCAST_BYTES = 8 << 20
 _RERANK_CODES_BCAST_BYTES = 256 << 20
 
+# ``lsh_params`` auto-scaled band budget (max_bands=None, the default,
+# round 10): the budget floor, and the saturation factor bounding how far
+# past it the auto mode will raise the budget when the floor would pin
+# nbits below ceil(log2 n) on a hot corpus (bands are linear signature
+# cost, width is quadratic candidate cost — "spend bands, never width").
+# The 8× factor is the same boundary the round-9 warning used for
+# actionability: at high thresholds the ideal width's band requirement
+# grows only as n^ρ (161 bands at 5M/t=0.90 — 8×128 covers the
+# ideal-width curve to ~19B vectors), while the low-threshold
+# non-selective regime would need tens of thousands — there the budget
+# SATURATES at 8×floor (buying the widest nbits that budget affords,
+# monotone in n) and the regime stays the operator docstring's
+# documented caveat, not a budget mistake.
+_DEFAULT_BAND_BUDGET = 128
+_AUTO_BAND_FACTOR = 8
+
 
 def _bands_for_recall(p: float, nbits: int, target_recall: float) -> float:
     """Band count meeting P(candidate) = 1−(1−p^nbits)^bands ≥ target_recall
@@ -699,7 +715,7 @@ def lsh_params(
     n: int,
     threshold: float,
     target_recall: float = 0.95,
-    max_bands: int = 64,
+    max_bands: int | None = None,
 ) -> dict:
     """Derive scale-correct ``(nbits, bands)`` for ``embedding_near_dup_lsh``.
 
@@ -726,19 +742,30 @@ def lsh_params(
     there (the operator docstring's long-standing caveat); the helper
     makes that regime explicit instead of silently quadratic.
 
-    VALIDITY DOMAIN (round 9, measured by invariant counts): the band
-    budget also binds at HIGH thresholds once n is large enough that the
-    ideal width's band requirement exceeds ``max_bands`` — at t=0.90,
-    recall=0.99, max_bands=128 that happens at n ≈ 4.2M (nbits pinned at
-    21 where ideal is 23), and the candidate-count ladder measured the
-    2M→5M step at e=2.0 (counts 375M → 2.34B) vs e≈1.37 on the uncapped
-    500k→2M steps; re-derived with max_bands=256 (nbits=23, bands=161 at
-    5M) the counts return to the theory curve
-    (.gates/sf1_zipf_emb_stats_r9.json / _b256_r9.json). The helper now
-    WARNS when the cap forces width below ceil(log2 n) with load factor
-    ≥ 2 at n ≥ 50k — raise ``max_bands`` for corpora past the domain
-    edge: bands are linear signature cost, width is quadratic candidate
-    cost.
+    BAND BUDGET (round 10 — auto-scaled by default): ``max_bands=None``
+    derives the budget from n instead of pinning it. The failure mode a
+    fixed budget has at HIGH thresholds was MEASURED by invariant counts
+    in round 9: at t=0.90, recall=0.99 a 128-band budget pins nbits at 21
+    where ceil(log2 n) is 23 from n ≈ 4.2M, and the candidate-count
+    ladder measured the 2M→5M step at e=2.0 (counts 375M → 2.34B) vs
+    e≈1.37 on the uncapped 500k→2M steps; re-derived with 256 bands
+    (nbits=23, bands=161 at 5M) the counts return to the theory curve
+    (.gates/sf1_zipf_emb_stats_r9.json / _b256_r9.json). The fix is
+    mechanical — bands are linear signature cost, width is quadratic
+    candidate cost — so the auto mode RAISES the budget from the
+    ``_DEFAULT_BAND_BUDGET`` floor (128) to the ideal width's band
+    requirement whenever the floor would pin nbits below ceil(log2 n)
+    with expected bucket load ≥ 2 at n ≥ 50k, SATURATING at
+    ``_AUTO_BAND_FACTOR``× the floor (a saturating budget is
+    non-decreasing in n, so the derived width is monotone; at t=0.90
+    the un-saturated curve covers to ~19B vectors, while the
+    low-threshold non-selective regime saturates and keeps the widest
+    nbits the 8×-floor budget affords — still that regime's documented
+    caveat, just not needlessly narrow). The recall target is always
+    MET in auto mode: bands are derived AT the chosen width, never
+    capped below its requirement. An EXPLICIT ``max_bands`` is
+    respected exactly as before: never raised, with a loud warning when
+    it forces width below ceil(log2 n) where raising it is actionable.
 
     What the derivation buys — and its honest asymptote: at 2^nbits ≈ n,
     per-band random-pair candidates are Θ(n), but holding the recall
@@ -773,59 +800,81 @@ def lsh_params(
         raise ValueError("target_recall must be in (0, 1)")
     p = 1.0 - math.acos(threshold) / math.pi
 
+    auto = max_bands is None
+    budget = _DEFAULT_BAND_BUDGET if auto else max_bands
     nbits_ideal = max(4, math.ceil(math.log2(max(2, n))))
     nbits = nbits_ideal
-    while nbits > 4 and _bands_for_recall(p, nbits, target_recall) > max_bands:
+    while nbits > 4 and _bands_for_recall(p, nbits, target_recall) > budget:
         nbits -= 1
     # The band budget bounds the derivation's VALIDITY DOMAIN: when meeting
     # target_recall at the ideal width ceil(log2 n) would need more than
-    # max_bands bands, width is reduced instead — and expected per-band
-    # random collisions grow as n²/2^nbits, leaving the Θ(n^(1+ρ)) curve.
-    # MEASURED at t=0.90/recall=0.99/max_bands=128: the cap pins nbits=21
-    # from n≈4.2M, and the 2M→5M candidate-count step jumps to e=2.0 vs
-    # e≈1.37 on the uncapped 500k→2M steps; max_bands=256 (nbits=23,
-    # bands=161 at 5M) returns the counts to the theory curve
-    # (.gates/sf1_zipf_emb_stats_r9.json / _b256_r9.json). Warn when the
-    # reduction bites where it costs real work AND the fix is actionable:
-    # load factor ≥ 2 at corpus sizes the ladder measures (≥50k), and the
-    # ideal width's band requirement within 8× the current budget —
-    # "raise max_bands" is then real advice. The low-threshold regime
-    # (t≈0.42 needs tens of thousands of ideal-width bands at 1M vectors;
-    # no practical budget helps) stays quiet: it is the operator
-    # docstring's documented inherently-non-selective caveat, not a
-    # budget mistake.
+    # the budget, width is reduced instead — and expected per-band random
+    # collisions grow as n²/2^nbits, leaving the Θ(n^(1+ρ)) curve
+    # (MEASURED at t=0.90/recall=0.99/128 bands: nbits pinned at 21 from
+    # n≈4.2M, 2M→5M candidate-count step e=2.0 vs e≈1.37 uncapped;
+    # .gates/sf1_zipf_emb_stats_r9.json / _b256_r9.json). The reduction
+    # MATTERS where it costs real work and the fix is actionable: load
+    # factor ≥ 2 at corpus sizes the ladder measures (≥50k), and the
+    # ideal width's band requirement within _AUTO_BAND_FACTOR× the budget
+    # — bands are linear signature cost, width is quadratic candidate
+    # cost. In auto mode (max_bands=None, round 10) the budget is RAISED
+    # to the requirement there; an explicit cap instead warns that
+    # raising it (or passing None) is real advice. The low-threshold
+    # regime (t≈0.42 needs tens of thousands of ideal-width bands at 1M
+    # vectors; no practical budget helps) neither raises nor warns: it is
+    # the operator docstring's documented inherently-non-selective
+    # caveat, not a budget mistake.
     want_ideal = _bands_for_recall(p, nbits_ideal, target_recall)
-    if (
-        nbits < nbits_ideal
-        and n >= 50_000
-        and n / (1 << nbits) >= 2.0
-        and want_ideal <= 8 * max_bands
-    ):
+    pinned_hot = (
+        nbits < nbits_ideal and n >= 50_000 and n / (1 << nbits) >= 2.0
+    )
+    if pinned_hot and auto:
+        # raise the budget to the ideal width's requirement, SATURATING at
+        # _AUTO_BAND_FACTOR × the floor rather than collapsing back to it:
+        # a window condition ("raise only while want_ideal ≤ 8× floor")
+        # would make the derived nbits NON-MONOTONE in n — wider at 500k
+        # than at 5M for mid thresholds — whereas a saturating budget is
+        # non-decreasing in n, so the derived width is too. In the
+        # saturated (low-threshold, non-selective) regime the ceiling
+        # still buys the widest nbits 8× the floor affords — candidates
+        # shrink ∝ 2^nbits while bands grow ∝ 1/p^nbits, the right trade
+        # wherever the quadratic term dominates — and the target recall
+        # is still MET (bands are capped only below the requirement at
+        # the chosen width, never at the ideal one).
+        raised = _AUTO_BAND_FACTOR * budget
+        if not math.isinf(want_ideal):
+            raised = min(int(want_ideal), raised)
+        budget = max(budget, raised)
+        nbits = nbits_ideal
+        while nbits > 4 and _bands_for_recall(p, nbits, target_recall) > budget:
+            nbits -= 1
+    elif pinned_hot and want_ideal <= _AUTO_BAND_FACTOR * budget:
         warnings.warn(
-            f"lsh_params: max_bands={max_bands} forces nbits "
+            f"lsh_params: max_bands={budget} forces nbits "
             f"{nbits_ideal}->{nbits} at n={n} (meeting "
             f"target_recall={target_recall} at the ideal width needs "
             f"{want_ideal} bands); "
             f"expected bucket load rises to ~{n / (1 << nbits):.1f} and "
             f"candidate growth leaves the n^(1+rho) optimum toward "
-            f"n^2/2^{nbits} — raise max_bands to stay on the theory curve "
+            f"n^2/2^{nbits} — raise max_bands (or pass max_bands=None to "
+            f"auto-scale the budget) to stay on the theory curve "
             f"(bands are linear signature cost; width is quadratic "
             f"candidate cost)",
             UserWarning,
             stacklevel=2,
         )
     want = _bands_for_recall(p, nbits, target_recall)
-    if want > max_bands:
-        achieved = 1.0 - (1.0 - p**nbits) ** max_bands
+    if want > budget:
+        achieved = 1.0 - (1.0 - p**nbits) ** budget
         warnings.warn(
             f"lsh_params: target_recall={target_recall} "
             f"{_band_need_phrase(want)} at the "
-            f"nbits floor ({nbits}) but max_bands={max_bands}; capping — "
+            f"nbits floor ({nbits}) but max_bands={budget}; capping — "
             f"achieved recall at the threshold is ~{achieved:.4f}",
             UserWarning,
             stacklevel=2,
         )
-    return {"nbits": nbits, "bands": int(min(max_bands, want))}
+    return {"nbits": nbits, "bands": int(min(budget, want))}
 
 
 def _band_need_phrase(want: float) -> str:
@@ -846,7 +895,7 @@ def _derive_lsh_params(
     bands: int | None,
     target_recall: float,
     corpus_size: int | None,
-    max_bands: int,
+    max_bands: int | None,
 ) -> tuple[int, int, int | None]:
     """The derived-default (nbits=None, bands=None) contract, SHARED by
     ``embedding_near_dup_lsh`` and ``embedding_lsh_stats`` so the two can
@@ -951,7 +1000,7 @@ def embedding_lsh_stats(
     emb_col: str = "embedding",
     target_recall: float = 0.99,
     corpus_size: int | None = None,
-    max_bands: int = 128,
+    max_bands: int | None = None,
 ) -> dict:
     """Invariant cost drivers of ``embedding_near_dup_lsh`` as plain counts
     — the ``minhash_lsh_stats`` pattern applied to the embedding tier:
@@ -1239,7 +1288,7 @@ def embedding_near_dup_lsh(
     emb_col: str = "embedding",
     target_recall: float = 0.99,
     corpus_size: int | None = None,
-    max_bands: int = 128,
+    max_bands: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded sign-LSH candidates + exact rerank
     — the 100 TB shape of ``embedding_near_dup_pairs`` (whose docstring
@@ -1288,18 +1337,24 @@ def embedding_near_dup_lsh(
     to 0.99 so the EMPIRICAL recall on finite corpora has slack over the
     0.95 contract floor (the analytic guarantee is the expected candidate
     probability at the threshold angle; a finite pair set draws
-    binomially around it). ``max_bands`` defaults to 128, above
-    lsh_params' 64: the 0.99 target at the log2(n) nbits optimum needs
-    ~86 bands at t=0.90 — capping at 64 forces nbits down 19→17 and
-    MEASURED e=1.33 on the 50k→500k decade (bucket width 4× wider),
-    while the band budget itself only grows the signature table
-    linearly (n·bands rows). Candidates dominate bands at scale; spend
-    bands, never bucket width.
+    binomially around it). ``max_bands`` defaults to None — the
+    ``lsh_params`` AUTO-SCALED budget (round 10): a 128-band floor,
+    raised to the ideal width's band requirement when the floor would
+    pin nbits below ceil(log2 n) on a hot corpus (at 5M/t=0.90 the auto
+    budget lands on nbits=23, bands=161 — the r9 receipt's
+    counts-back-on-theory setting — where the old fixed 128 pinned 21
+    and measured e=2.0 on the 2M→5M count step). The budget-pinning
+    history is measured twice over: capping at 64 forces nbits down
+    19→17 at 500k and MEASURED e=1.33 on the 50k→500k decade, while the
+    band budget itself only grows the signature table linearly
+    (n·bands rows). Candidates dominate bands at scale; spend bands,
+    never bucket width.
 
     Explicit-parameter callers: ``nbits`` given with ``bands=None``
     derives the band count that meets ``target_recall`` at that nbits
-    (capped at ``max_bands`` with a ``lsh_params``-style warning); both
-    given is the
+    (capped at ``max_bands`` — the 128 floor when None; auto-scaling is
+    meaningless at a fixed width — with a ``lsh_params``-style warning);
+    both given is the
     fully-manual legacy mode (the pre-round-8 default (4, 24) lives on in
     fixture tests); ``bands`` without ``nbits`` is ambiguous → ValueError.
     At low thresholds (0.42 ≈ 65°, barely above random) sign-LSH is
@@ -1322,18 +1377,19 @@ def embedding_near_dup_lsh(
         if not 0.0 < target_recall < 1.0:
             raise ValueError("target_recall must be in (0, 1)")
         p = 1.0 - math.acos(threshold) / math.pi
+        budget = _DEFAULT_BAND_BUDGET if max_bands is None else max_bands
         want = _bands_for_recall(p, nbits, target_recall)
-        if want > max_bands:
-            achieved = 1.0 - (1.0 - p**nbits) ** max_bands
+        if want > budget:
+            achieved = 1.0 - (1.0 - p**nbits) ** budget
             warnings.warn(
                 f"embedding_near_dup_lsh: target_recall={target_recall} "
                 f"{_band_need_phrase(want)} at nbits={nbits}; capping at "
-                f"{max_bands} — achieved recall at the threshold is "
+                f"{budget} — achieved recall at the threshold is "
                 f"~{achieved:.4f}",
                 UserWarning,
                 stacklevel=2,
             )
-        bands = int(min(max_bands, want))
+        bands = int(min(budget, want))
 
     # All bands' signatures in ONE corpus pass: the (bands·nbits, dim) plane
     # matrix is broadcast and each Arrow batch is signed with a single numpy
@@ -1667,70 +1723,26 @@ def simhash_near_pairs(
     )
 
 
-def semantic_cluster_near_dups(
+def _semantic_cluster_assignments(
     emb: DataFrame,
-    threshold: float = 0.42,
-    nlist: int | None = None,
-    nassign: int = 2,
-    lloyd_iters: int = 2,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-    corpus_size: int | None = None,
-) -> DataFrame:
-    """SemDeDup-style semantic near-dup pairs: cluster the corpus with a
-    spherical-k-means coarse quantizer, then run the EXACT cosine verify
-    tier only WITHIN each cluster — pairs in different clusters are never
-    scored. (Abbas et al. 2023, "SemDeDup": near-dups are overwhelmingly
-    co-located in embedding-space clusters, so the all-pairs O(n²)
-    semantic dedup becomes Σ|cluster|², with cluster counts you choose.)
-    Each vector is assigned to its ``nassign`` nearest clusters
-    (multi-assignment — the IVF multi-probe trick on the build side), so
-    pairs straddling one boundary still co-occur somewhere; candidate
-    pairs are deduped before scoring.
-
-    Deterministic by construction: centroid seeds are the lowest
-    ``xxhash64(id)`` corpus rows (seedless, rerun-stable) refined by
-    ``similarity._lloyd_refine`` (distributed passes, sorted driver
-    reduce), assignment is one ``mapInPandas`` matmul pass, and the
-    in-cluster scorer is literally ``embedding_near_dup_pairs``'s
-    cosine + threshold — so precision equals the exact tier and only
-    recall (pairs co-located in NO shared cluster) is approximate; both
-    are pinned in pytest. 100 TB shape: the cluster equi-join shuffles
-    by cluster_id; cap per-cluster width by raising ``nlist`` — cluster
-    count scales with corpus, Σ|c|² stays bounded. ``nlist=None``
-    (the default) DERIVES the cluster count from one cheap count of the
-    already-checkpointed base — ``max(8, ceil(n / 600))`` — because the
-    round-5 10× harness measured the fixed-nlist footgun directly:
-    nlist pinned at 8 scales as Σ|c|² ≈ n²/nlist (observed exponent
-    1.83, 3.3 s → 221 s), while nlist grown with the corpus restored
-    ≈linear (e = 0.82, 10.3× cheaper at the same scale). Callers who
-    pass an explicit nlist own that curve. ~600 vectors/cluster is the
-    skew-gate recall sweet spot; at every repo fixture scale (≤ 4800
-    vectors) the derived value equals the old default 8, so recall and
-    determinism pins are unchanged by construction. The round-5
-    adversarial gate MEASURED it (30% of vectors in one direction cone:
-    3.3× over exact at nlist=8 with 0.997 recall, a further 2.7× at
-    nlist=32 at 0.75 recall — .gates/skew.json ``embedding_hot_cluster``).
-    Do NOT sub-shard a hot cluster with the hyperplane-LSH tier: on
-    direction-clustered data every hot vector shares a sign pattern, the
-    buckets collapse, and the same gate measured ``embedding_near_dup_lsh``
-    DEGRADING to 0.6× of the exact all-pairs tier — k-means centroids
-    split a dense cone (more centroids land inside it); fixed hyperplanes
-    cannot. Rows-only driver check (k-means is not SQL-expressible).
-
-    The corpus size is resolved with one eager ``count()`` Spark job at
-    operator-construction time regardless of ``nlist`` (round 9; this
-    operator is ALREADY eager — ``base`` is an eager localCheckpoint — so
-    the count over materialized blocks costs ~nothing): it feeds the
-    ``nlist=None`` derivation and the verify tier's join-regime choice
-    (``_quantized_exact_rerank``: broadcast full vectors / broadcast int8
-    codes / all-merge quantized, picked from the real n). Callers that
-    already know the corpus size (e.g. an ingest pipeline that just
-    counted it) can pass ``corpus_size=n`` to skip the job — the claim
-    must be accurate, not approximate-low: it drives the rerank's
-    broadcast-regime choice, and understating n on a large corpus flips
-    the plan toward a broadcast the executors cannot hold.
-    """
+    nlist: int | None,
+    nassign: int,
+    lloyd_iters: int,
+    id_col: str,
+    emb_col: str,
+    corpus_size: int | None,
+) -> tuple[DataFrame, DataFrame, int, int, int]:
+    """The SemDeDup coarse-quantizer pipeline — checkpointed base frame,
+    corpus-size resolution, derived-nlist default, deterministic seed pick,
+    Lloyd refinement, and the multi-assignment Arrow pass — SHARED by
+    ``semantic_cluster_near_dups`` (pair generation + verify) and
+    ``semdedup_stats`` (invariant counts), so the certification receipts
+    can never drift from what the operator actually runs (the
+    ``_sign_band_signatures`` pattern, round 10). Returns
+    ``(base, assigned, corpus_size, nlist, dim)`` where ``base`` is the
+    eager-checkpointed ``(id, e, n)`` frame and ``assigned`` the
+    eager-checkpointed ``(id, cluster_id)`` multi-assignment table
+    (n·nassign rows)."""
     import numpy as np
 
     from mapreduce_paradigm_spark.functions import l2_norm
@@ -1803,13 +1815,155 @@ def semantic_cluster_near_dups(
             )
 
     # materialize the (tiny: n·nassign rows) assignment table ONCE — the
-    # cluster self-join below consumes it on BOTH sides, and without the
+    # cluster self-join consumes it on BOTH sides, and without the
     # checkpoint each side re-runs the Arrow assignment pass twice.
     # localCheckpoint blocks are reaped by the ContextCleaner on GC, so no
     # cache-scope bookkeeping is needed.
     assigned = (
         norm.mapInPandas(assign, schema="id BIGINT, cluster_id INT")
         .localCheckpoint(eager=True)
+    )
+    return base, assigned, corpus_size, nlist, int(cmat.shape[1])
+
+
+def semdedup_stats(
+    emb: DataFrame,
+    nlist: int | None = None,
+    nassign: int = 2,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    corpus_size: int | None = None,
+) -> dict:
+    """Invariant cost drivers of ``semantic_cluster_near_dups`` as plain
+    counts — the ``embedding_lsh_stats`` pattern applied to the SemDeDup
+    tier: assignment rows (= n·nassign, the cluster shuffle's input),
+    ≥2-member clusters, the PRE-distinct candidate stream Σ C(w,2) over
+    cluster widths w (exactly what the in-cluster self-join explodes,
+    before its output-scale ``distinct``), and the top-2 cluster masses
+    (the skew signal: one runaway cluster is the Σ|c|² failure mode).
+
+    Purpose (round 10, closing round-9 verdict Next #1): the derived
+    default's 4th scaling decade cannot be WALL-measured on one box — the
+    within-cluster candidate stream at 2M/5M vectors needs more spill disk
+    than the container has — but these counts need NO pair materialization:
+    one groupBy(cluster_id) aggregate whose output is one row per cluster.
+    With nlist = ceil(n/600), Σ|c|² with balanced clusters predicts
+    candidate counts ≈ 600·n·nassign²/2 — LINEAR per decade (e ≈ 1.0). If
+    the measured Σ C(w,2) tracks that curve across the 4th decade, any
+    wall-time blowup there is single-JVM spill regime, not algorithmic
+    growth — the same counts-not-seconds attribution that closed the
+    MinHash and embedding-LSH 4th decades (`.gates/sf1_zipf_1000x_r8.json`,
+    `.gates/sf1_zipf_emb_stats_r9.json`).
+
+    Parameters mirror ``semantic_cluster_near_dups`` exactly (including the
+    derived-nlist default and ``corpus_size=`` pass-through) and the whole
+    quantizer pipeline — seed pick, Lloyd refinement, multi-assignment —
+    is SHARED via ``_semantic_cluster_assignments``, so these counts are
+    the operator's own cluster geometry, not a reimplementation's.
+
+    Two jobs over the eagerly-checkpointed assignment table (n·nassign
+    rows → ≤nlist groups): the conditional aggregate over cluster widths
+    (Σw recovers the assignment-row count exactly since every row lands in
+    exactly one cluster), plus a top-2 sort-limit over the same ≤nlist-row
+    width frame — never collected corpus-scale state, never a pair."""
+    _, assigned, n_corpus, nlist, _ = _semantic_cluster_assignments(
+        emb, nlist, nassign, lloyd_iters, id_col, emb_col, corpus_size
+    )
+    widths = assigned.groupBy("cluster_id").agg(F.count("*").alias("w"))
+    ge2 = F.col("w") >= 2
+    agg = widths.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("n_assign"),
+        F.count_if(ge2).alias("n_clusters"),
+        F.coalesce(
+            F.sum(F.when(ge2, F.col("w") * (F.col("w") - 1) / 2)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_pairs_raw"),
+    ).collect()[0]
+    top2 = [
+        int(r["w"])
+        for r in widths.orderBy(F.desc("w"), F.asc("cluster_id"))
+        .limit(2)
+        .collect()
+    ]
+    return {
+        "nlist": int(nlist),
+        "nassign": int(nassign),
+        "n_vectors": int(n_corpus),
+        "n_assignment_rows": int(agg["n_assign"]),
+        "n_clusters_ge2": int(agg["n_clusters"]),
+        "n_candidate_pairs_raw": int(agg["n_pairs_raw"]),
+        "top2_cluster_widths": top2,
+    }
+
+
+def semantic_cluster_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    nlist: int | None = None,
+    nassign: int = 2,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cluster the corpus with a
+    spherical-k-means coarse quantizer, then run the EXACT cosine verify
+    tier only WITHIN each cluster — pairs in different clusters are never
+    scored. (Abbas et al. 2023, "SemDeDup": near-dups are overwhelmingly
+    co-located in embedding-space clusters, so the all-pairs O(n²)
+    semantic dedup becomes Σ|cluster|², with cluster counts you choose.)
+    Each vector is assigned to its ``nassign`` nearest clusters
+    (multi-assignment — the IVF multi-probe trick on the build side), so
+    pairs straddling one boundary still co-occur somewhere; candidate
+    pairs are deduped before scoring.
+
+    Deterministic by construction: centroid seeds are the lowest
+    ``xxhash64(id)`` corpus rows (seedless, rerun-stable) refined by
+    ``similarity._lloyd_refine`` (distributed passes, sorted driver
+    reduce), assignment is one ``mapInPandas`` matmul pass, and the
+    in-cluster scorer is literally ``embedding_near_dup_pairs``'s
+    cosine + threshold — so precision equals the exact tier and only
+    recall (pairs co-located in NO shared cluster) is approximate; both
+    are pinned in pytest. 100 TB shape: the cluster equi-join shuffles
+    by cluster_id; cap per-cluster width by raising ``nlist`` — cluster
+    count scales with corpus, Σ|c|² stays bounded. ``nlist=None``
+    (the default) DERIVES the cluster count from one cheap count of the
+    already-checkpointed base — ``max(8, ceil(n / 600))`` — because the
+    round-5 10× harness measured the fixed-nlist footgun directly:
+    nlist pinned at 8 scales as Σ|c|² ≈ n²/nlist (observed exponent
+    1.83, 3.3 s → 221 s), while nlist grown with the corpus restored
+    ≈linear (e = 0.82, 10.3× cheaper at the same scale). Callers who
+    pass an explicit nlist own that curve. ~600 vectors/cluster is the
+    skew-gate recall sweet spot; at every repo fixture scale (≤ 4800
+    vectors) the derived value equals the old default 8, so recall and
+    determinism pins are unchanged by construction. The round-5
+    adversarial gate MEASURED it (30% of vectors in one direction cone:
+    3.3× over exact at nlist=8 with 0.997 recall, a further 2.7× at
+    nlist=32 at 0.75 recall — .gates/skew.json ``embedding_hot_cluster``).
+    Do NOT sub-shard a hot cluster with the hyperplane-LSH tier: on
+    direction-clustered data every hot vector shares a sign pattern, the
+    buckets collapse, and the same gate measured ``embedding_near_dup_lsh``
+    DEGRADING to 0.6× of the exact all-pairs tier — k-means centroids
+    split a dense cone (more centroids land inside it); fixed hyperplanes
+    cannot. Rows-only driver check (k-means is not SQL-expressible).
+
+    The corpus size is resolved with one eager ``count()`` Spark job at
+    operator-construction time regardless of ``nlist`` (round 9; this
+    operator is ALREADY eager — ``base`` is an eager localCheckpoint — so
+    the count over materialized blocks costs ~nothing): it feeds the
+    ``nlist=None`` derivation and the verify tier's join-regime choice
+    (``_quantized_exact_rerank``: broadcast full vectors / broadcast int8
+    codes / all-merge quantized, picked from the real n). Callers that
+    already know the corpus size (e.g. an ingest pipeline that just
+    counted it) can pass ``corpus_size=n`` to skip the job — the claim
+    must be accurate, not approximate-low: it drives the rerank's
+    broadcast-regime choice, and understating n on a large corpus flips
+    the plan toward a broadcast the executors cannot hold.
+    """
+    base, assigned, corpus_size, nlist, dim = _semantic_cluster_assignments(
+        emb, nlist, nassign, lloyd_iters, id_col, emb_col, corpus_size
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     candidates = (
@@ -1840,7 +1994,7 @@ def semantic_cluster_near_dups(
         # count over the checkpointed NULL-filtered base resolved above —
         # so the rerank's join regime is always picked from the real n
         _quantized_exact_rerank(
-            base, candidates, threshold, dim=cmat.shape[1], n_corpus=corpus_size
+            base, candidates, threshold, dim=dim, n_corpus=corpus_size
         )
     )
 

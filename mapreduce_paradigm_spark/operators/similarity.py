@@ -117,13 +117,30 @@ def topk_cosine(
 
 def _lloyd_refine(c_norm: DataFrame, cmat: "np.ndarray", iters: int) -> "np.ndarray":
     """Spherical k-means refinement of IVF centroids: per iteration, ONE
-    distributed corpus pass emits tiny per-(partition-batch, list) partial
-    sums (``nlist × npartitions`` rows — the same driver-reduces-scalars
+    distributed corpus pass emits per-(partition, list) partial sums
+    (``nlist × npartitions`` rows — the same driver-reduces-scalars
     contract as the components convergence loop); the driver reduces them
     in sorted order (deterministic regardless of task completion order) and
     renormalizes. Empty lists keep their previous centroid. This is how
     Spark's own KMeans trains: broadcast centers out, aggregate partials
-    back — never a per-row driver loop."""
+    back — never a per-row driver loop.
+
+    Partials are accumulated ACROSS Arrow batches within each partition
+    and emitted once at partition end (round 10): yielding one frame per
+    10k-row batch made the collect Θ(nlist · n/batch) ≈ n²/6e6 rows at
+    the SemDeDup derived nlist ∝ n — measured: the 5M-vector counts
+    ladder died on spark.driver.maxResultSize (1 GB) collecting ~2.9M
+    partial rows, while per-partition accumulation collects
+    nlist × npartitions (267k rows at 5M/32 partitions). Batch order
+    within a partition is deterministic, so the accumulated partials —
+    and everything downstream — stay rerun-stable; partitions small
+    enough for one batch (every repo fixture) emit bit-identical
+    partials to the per-batch form. At deployment scale (10k+ partitions,
+    nlist ≥ 100k) the collect is Θ(nlist · npartitions) — coalesce the
+    corpus pass or tree-reduce the partials before the driver if that
+    product outgrows the driver; the driver-side SORTED reduce is what
+    buys FP determinism, so a distributed double-sum (task-order
+    dependent) is not a drop-in replacement."""
     import pandas as pd
 
     if iters <= 0:
@@ -135,19 +152,28 @@ def _lloyd_refine(c_norm: DataFrame, cmat: "np.ndarray", iters: int) -> "np.ndar
 
         def partials(batches):
             C = bc.value
+            acc_n = np.zeros(C.shape[0], dtype=np.int64)
+            acc_sum = np.zeros_like(C)
+            seen = False
             for pdf in batches:
                 if pdf.empty:
                     continue
+                seen = True
                 X = np.vstack(pdf["emb_d"].to_numpy())
                 assign = np.argmax(X @ C.T, axis=1)
-                lids = np.unique(assign)
-                yield pd.DataFrame(
-                    {
-                        "list_id": lids.astype("int32"),
-                        "n": [int((assign == l).sum()) for l in lids],
-                        "vec_sum": [X[assign == l].sum(axis=0).tolist() for l in lids],
-                    }
-                )
+                for l in np.unique(assign):
+                    acc_n[l] += int((assign == l).sum())
+                    acc_sum[l] += X[assign == l].sum(axis=0)
+            if not seen:
+                return
+            lids = np.nonzero(acc_n)[0]
+            yield pd.DataFrame(
+                {
+                    "list_id": lids.astype("int32"),
+                    "n": [int(acc_n[l]) for l in lids],
+                    "vec_sum": [acc_sum[l].tolist() for l in lids],
+                }
+            )
 
         rows = c_norm.mapInPandas(
             partials, schema="list_id INT, n BIGINT, vec_sum ARRAY<DOUBLE>"

@@ -121,14 +121,20 @@ def test_lsh_params_scale_rule_and_recall_guarantee():
             assert got >= recall - 1e-12, (t, n, prm, got)
     # high threshold, big n: optimum is 2^nbits ≈ n
     assert lsh_params(500_000, 0.9)["nbits"] == 19
-    # low threshold: the max_bands cap binds and nbits stops growing —
-    # the same params come back at any corpus size (non-selective regime)
+    # low threshold: the auto budget SATURATES (at 8x the 128 floor) and
+    # nbits stops growing — the same params come back at any corpus size
+    # (non-selective regime; round 10: the saturated budget buys the
+    # widest nbits 1024 bands afford, rather than collapsing to the floor)
     lo1, lo2 = lsh_params(50_000, 0.42), lsh_params(500_000_000, 0.42)
-    assert lo1 == lo2 and lo1["nbits"] <= 8
-    # recall guarantee still holds in the capped regime
+    assert lo1 == lo2 and lo1["nbits"] <= 12 and lo1["bands"] <= 1024
+    # an explicit cap keeps the old floor behavior exactly
+    lo_cap = lsh_params(500_000_000, 0.42, max_bands=128)
+    assert lo_cap["nbits"] <= 8 and lo_cap["bands"] <= 128
+    # recall guarantee still holds in both capped regimes
     p42 = 1.0 - math.acos(0.42) / math.pi
-    got = 1.0 - (1.0 - p42 ** lo1["nbits"]) ** lo1["bands"]
-    assert got >= 0.95
+    for lo in (lo1, lo_cap):
+        got = 1.0 - (1.0 - p42 ** lo["nbits"]) ** lo["bands"]
+        assert got >= 0.95
 
 
 def test_lsh_params_warns_when_cap_forces_width_down():
@@ -142,7 +148,8 @@ def test_lsh_params_warns_when_cap_forces_width_down():
 
     from mapreduce_paradigm_spark.operators.dedup import lsh_params
 
-    # past the domain edge: reduced width, load >= 2, big n → warns
+    # past the domain edge with an EXPLICIT cap: reduced width, load >= 2,
+    # big n → warns (explicit budgets are respected, never auto-raised)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         prm = lsh_params(5_000_000, 0.9, target_recall=0.99, max_bands=128)
@@ -154,6 +161,15 @@ def test_lsh_params_warns_when_cap_forces_width_down():
         warnings.simplefilter("always")
         prm = lsh_params(5_000_000, 0.9, target_recall=0.99, max_bands=256)
     assert prm["nbits"] == 23 and not w
+    # the AUTO budget (max_bands=None, the round-10 default) derives the
+    # same ideal-width setting with NO warning: the 128 floor would pin
+    # nbits at 21 (load 2.4), so the budget is raised to the ideal
+    # width's requirement — exactly the (23, 161) the r9 counts receipt
+    # measured back on the theory curve (_b256_r9.json)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        prm = lsh_params(5_000_000, 0.9, target_recall=0.99)
+    assert prm == {"nbits": 23, "bands": 161} and not w
     # inside the domain: no reduction, no warning
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
@@ -186,7 +202,7 @@ def test_lsh_params_cap_warns_with_achieved_recall():
 
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        prm = lsh_params(1_000, 0.05, target_recall=0.999)
+        prm = lsh_params(1_000, 0.05, target_recall=0.999, max_bands=64)
     assert prm == {"nbits": 4, "bands": 64}
     assert len(w) == 1 and issubclass(w[0].category, UserWarning)
     msg = str(w[0].message)
@@ -194,6 +210,14 @@ def test_lsh_params_cap_warns_with_achieved_recall():
     p = 1.0 - math.acos(0.05) / math.pi
     achieved = 1.0 - (1.0 - p**4) ** 64
     assert f"{achieved:.4f}" in msg
+    # the same target under the AUTO default's 128 floor is REACHABLE
+    # (needs 95 bands at the nbits floor) — met exactly, no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        prm = lsh_params(1_000, 0.05, target_recall=0.999)
+    assert prm["nbits"] == 4 and 64 < prm["bands"] <= 128 and not w
+    got = 1.0 - (1.0 - p**4) ** prm["bands"]
+    assert got >= 0.999
     # a reachable target warns nothing
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
@@ -339,6 +363,48 @@ def test_embedding_lsh_stats_counts(spark):
         emb, threshold=0.90, corpus_size=n
     ).count()
     assert emitted <= distinct
+
+
+def test_semdedup_stats_counts(spark):
+    """The SemDeDup stats helper mirrors the operator's SHARED quantizer
+    pipeline (``_semantic_cluster_assignments``): assignment rows are
+    exactly n·nassign (every non-NULL vector lands in nassign distinct
+    clusters), Σ C(w,2) over cluster widths equals an independent
+    pre-distinct recount of the operator's own in-cluster self-join (the
+    pipeline is deterministic by construction, so two derivations agree
+    exactly), the top-2 widths are consistent, and every emitted pair is
+    a candidate."""
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _semantic_cluster_assignments,
+        semantic_cluster_near_dups,
+        semdedup_stats,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    st = semdedup_stats(emb)
+    assert st["n_vectors"] == n
+    assert st["nlist"] == max(8, -(-n // 600))
+    assert st["n_assignment_rows"] == n * st["nassign"]
+    assert st["top2_cluster_widths"] == sorted(
+        st["top2_cluster_widths"], reverse=True
+    )
+    assert sum(st["top2_cluster_widths"]) <= st["n_assignment_rows"]
+    # independent pre-distinct recount through the operator's own
+    # assignment pipeline at this tiny n (the stats helper deliberately
+    # never materializes pairs at scale)
+    _, assigned, _, _, _ = _semantic_cluster_assignments(
+        emb, None, 2, 2, "vec_id", "embedding", None
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).count()
+    assert raw == st["n_candidate_pairs_raw"]
+    emitted = semantic_cluster_near_dups(emb).count()
+    assert emitted <= st["n_candidate_pairs_raw"]
 
 
 def test_lsh_derived_params_recall_on_fixture(spark):

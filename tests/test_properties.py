@@ -996,6 +996,177 @@ def test_random_datetime_matches_duckdb(spark, sql):
     assert got == want, f"{sql}: {len(got)} vs {len(want)} rows"
 
 
+_HOF_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@st.composite
+def _hof_scalar(draw, var_s, var_d, depth=0):
+    """Random double-valued scalar expression over one lambda variable,
+    rendered for BOTH engines (``var_s`` / ``var_d`` are the variable's
+    per-dialect spelling — identical for plain lambdas, ``x`` vs
+    ``struct_extract(s, 1)`` inside the zip_with emulation). Construct
+    set: + / scaled-add / abs / greatest / least / CASE WHEN (both
+    engines SKIP NULLs in greatest/least — probed). Division is excluded
+    (x/0 is a by-design dialect difference: Spark non-ANSI NULL vs
+    DuckDB inf)."""
+    if depth >= 2 or draw(st.booleans()):
+        if draw(st.booleans()):
+            return var_s, var_d
+        lit = str(draw(st.integers(min_value=-9, max_value=9)))
+        return lit, lit
+    kind = draw(
+        st.sampled_from(["add", "scaled", "abs", "greatest", "least", "case"])
+    )
+    a_s, a_d = draw(_hof_scalar(var_s, var_d, depth + 1))
+    b_s, b_d = draw(_hof_scalar(var_s, var_d, depth + 1))
+    if kind == "add":
+        return f"({a_s} + {b_s})", f"({a_d} + {b_d})"
+    if kind == "scaled":
+        m = draw(st.integers(min_value=1, max_value=4))
+        return f"({a_s} + {m} * {b_s})", f"({a_d} + {m} * {b_d})"
+    if kind == "abs":
+        return f"abs({a_s} - {b_s})", f"abs({a_d} - {b_d})"
+    if kind in ("greatest", "least"):
+        return f"{kind}({a_s}, {b_s})", f"{kind}({a_d}, {b_d})"
+    c = draw(st.integers(min_value=0, max_value=9))
+    return (
+        f"(CASE WHEN {var_s} > {c} THEN {a_s} ELSE {b_s} END)",
+        f"(CASE WHEN {var_d} > {c} THEN {a_d} ELSE {b_d} END)",
+    )
+
+
+@st.composite
+def _hof_array(draw, depth=0):
+    """Random array-valued expression pair (spark_sql, duck_sql): leaves
+    are arrays of lineitem double columns (``array(...)`` vs ``[...]``,
+    with an occasional nullif-injected NULL element), composed through
+    transform/list_transform, filter (same name both engines), and
+    zip_with vs its DuckDB emulation list_transform(list_zip(...),
+    struct_extract). filter changes length data-dependently, so zip_with
+    also exercises unequal-length NULL padding (identical semantics —
+    probed: both pad the shorter side with NULL)."""
+    if depth >= 2 or draw(st.booleans()):
+        cols = draw(
+            st.lists(
+                st.sampled_from(list(_HOF_COLS)),
+                min_size=2,
+                max_size=4,
+                unique=True,
+            )
+        )
+        elems = list(cols)
+        if draw(st.booleans()):
+            # real data-dependent NULLs: quantities are integral doubles
+            # 1..50, so nullif hits a real subset of rows (nullif is
+            # shared-ANSI; NULL-element propagation through every HOF
+            # construct here is engine-identical — probed)
+            q = draw(st.integers(min_value=1, max_value=50))
+            elems[0] = f"nullif({elems[0]}, {q}.0)"
+        s = "array(" + ", ".join(elems) + ")"
+        d = "[" + ", ".join(elems) + "]"
+        return s, d
+    kind = draw(st.sampled_from(["transform", "filter", "zip"]))
+    a_s, a_d = draw(_hof_array(depth + 1))
+    if kind == "transform":
+        e_s, e_d = draw(_hof_scalar("x", "x"))
+        return (
+            f"transform({a_s}, x -> {e_s})",
+            f"list_transform({a_d}, x -> {e_d})",
+        )
+    if kind == "filter":
+        c = draw(st.integers(min_value=0, max_value=100))
+        op = draw(st.sampled_from([">", "<=", "<>"]))
+        return (
+            f"filter({a_s}, x -> x {op} {c})",
+            f"filter({a_d}, x -> x {op} {c})",
+        )
+    b_s, b_d = draw(_hof_array(depth + 1))
+    # two-var zip lambda: one random scalar over each variable, combined
+    # with + so both zip inputs always matter
+    ee_s, ee_d = draw(_hof_scalar("y", "struct_extract(s, 2)"))
+    e_s2, e_d2 = draw(_hof_scalar("x", "struct_extract(s, 1)"))
+    return (
+        f"zip_with({a_s}, {b_s}, (x, y) -> ({e_s2} + {ee_s}))",
+        f"list_transform(list_zip({a_d}, {b_d}), s -> ({e_d2} + {ee_d}))",
+    )
+
+
+@st.composite
+def _hof_query(draw):
+    """Random two-column HOF query PAIR (spark_sql, duck_sql): each value
+    column folds a composed array expression to a scalar via
+    aggregate(init, fold) — emulated on DuckDB as
+    list_reduce(list_prepend(init, A), fold), the exact fold-left with
+    the same accumulator-first convention and init-on-empty semantics
+    (probed) — or via size vs length."""
+    vals = []
+    for _ in range(2):
+        a_s, a_d = draw(_hof_array())
+        if draw(st.booleans()):
+            init = draw(st.integers(min_value=-5, max_value=5))
+            op = draw(st.sampled_from(["+", "-"]))
+            e_s, e_d = draw(_hof_scalar("x", "x"))
+            vals.append(
+                (
+                    f"aggregate({a_s}, CAST({init} AS DOUBLE), "
+                    f"(a, x) -> (a {op} {e_s}))",
+                    f"list_reduce(list_prepend(CAST({init} AS DOUBLE), "
+                    f"{a_d}), (a, x) -> (a {op} {e_d}))",
+                )
+            )
+        else:
+            vals.append((f"size({a_s})", f"length({a_d})"))
+    (s1, d1), (s2, d2) = vals
+    return (
+        f"SELECT l_orderkey, l_linenumber, CAST({s1} AS DOUBLE) AS v1, "
+        f"CAST({s2} AS DOUBLE) AS v2 FROM lineitem",
+        f"SELECT l_orderkey, l_linenumber, CAST({d1} AS DOUBLE) AS v1, "
+        f"CAST({d2} AS DOUBLE) AS v2 FROM lineitem",
+    )
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(_hof_query())
+def test_random_hof_matches_duckdb(spark, sql_pair):
+    """Twelfth differential axis (round 10): array higher-order functions
+    — transform / filter / zip_with composition folded by aggregate — vs
+    DuckDB's list_* HOFs. The engine's hottest code shape (the quantized
+    rerank is built from aggregate/zip_with/transform) and the one
+    committed-template family the other eleven axes never generate. The
+    two dialects spell the constructs differently (zip_with has no DuckDB
+    twin; aggregate's init needs the list_prepend emulation), so this
+    axis — uniquely — renders a semantically-identical SQL PAIR rather
+    than one shared string; every construct mapping was probed
+    individually, including NULL-element propagation, unequal-length zip
+    padding, and empty-list fold-to-init."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    spark_sql, duck_sql = sql_pair
+
+    def norm(rows):
+        return sorted(
+            tuple(
+                (
+                    v is None,
+                    round(v, 9) if isinstance(v, float) else (0 if v is None else v),
+                )
+                for v in r
+            )
+            for r in rows
+        )
+
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    spark.read.parquet(path).createOrReplaceTempView("lineitem")
+    got = norm(spark.sql(spark_sql).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}')")
+    want = norm(con.execute(duck_sql).fetchall())
+    con.close()
+    assert got == want, f"{spark_sql} vs {duck_sql}: {len(got)} vs {len(want)}"
+
+
 @settings(max_examples=15, deadline=None, derandomize=True)
 @given(_setop_query())
 def test_random_setop_matches_duckdb(spark, sql):
