@@ -1949,6 +1949,19 @@ def semantic_cluster_near_dups(
     split a dense cone (more centroids land inside it); fixed hyperplanes
     cannot. Rows-only driver check (k-means is not SQL-expressible).
 
+    HONEST ASYMPTOTE of the derived default (round 10, measured via the
+    counts ladder): nlist ∝ n keeps the VERIFY tier linear (Σ|c|² ≈
+    1200·n — certified by invariant counts through 5M vectors), but the
+    ASSIGNMENT matmul is Θ(n·nlist·dim) = Θ(n²·dim/600) FLOPs, which
+    overtakes verify arithmetic at n ≈ 720k (600²·nassign²/2) — at 5M the
+    quantizer, not the pair work, dominates the wall. The deployment path
+    past ~10M vectors is a two-level coarse quantizer (IVF-style: √nlist
+    super-clusters, assignment probes the top super-clusters' children —
+    Θ(n·√nlist·dim)), which changes cluster geometry and is therefore a
+    caller choice, not a silent default swap; flat assignment stays the
+    default because it is the shape whose recall/determinism pins and
+    skew-gate measurements exist.
+
     The corpus size is resolved with one eager ``count()`` Spark job at
     operator-construction time regardless of ``nlist`` (round 9; this
     operator is ALREADY eager — ``base`` is an eager localCheckpoint — so
