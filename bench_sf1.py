@@ -405,6 +405,22 @@ def main() -> None:
             )
             print(f"{'semdedup_cluster_stats':40s} {tag:>4s}: {sd_stats}",
                   flush=True)
+        if want("semdedup_cluster_stats_2l"):
+            # the TWO-LEVEL quantizer's counts (round 10): assignment is
+            # Θ(n·√nlist·dim) instead of Θ(n·nlist·dim), which is what
+            # makes counts runs PAST the flat quantizer's FLOP wall
+            # feasible (flat 5M already spends its wall in assignment;
+            # 10M would be ~4x that) — same derived nlist, same verify
+            # geometry counts, approximate child choice (recall-vs-flat
+            # pinned at fixture scale in pytest)
+            sd2 = semdedup_stats(
+                emb, corpus_size=sizes[tag], two_level=True
+            )
+            notes.setdefault("semdedup_cluster_stats_2l", {}).update(
+                {f"{tag}_{k}": v for k, v in sd2.items()}
+            )
+            print(f"{'semdedup_cluster_stats_2l':40s} {tag:>4s}: {sd2}",
+                  flush=True)
         if sizes[tag] <= 50_000 and want("semantic_cluster_dedup_nlist8_forced"):
             # counterfactual: superlinear by design
             run("semantic_cluster_dedup_nlist8_forced", tag,

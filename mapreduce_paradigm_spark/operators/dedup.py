@@ -1723,6 +1723,37 @@ def simhash_near_pairs(
     )
 
 
+def _super_cluster(cmat, nprobe_super: int):
+    """Driver-side spherical k-means over the CHILD centroids — the
+    two-level quantizer's top level. Deterministic: seeds are the child
+    centroids at evenly-spaced indices (centroid order is itself
+    deterministic — seedless hash pick + sorted-reduce Lloyd), 4 fixed
+    numpy iterations, empty supers keep their seed. Returns
+    ``(smat (ns, dim) unit rows, children)`` where ``children[s]`` is the
+    int array of child-centroid indices owned by super ``s``. Cost is
+    Θ(nlist·√nlist·dim) driver FLOPs — trivial next to the corpus pass
+    it saves."""
+    import numpy as np
+
+    nlist = cmat.shape[0]
+    ns = max(2, math.ceil(math.sqrt(nlist)))
+    ns = min(ns, nlist)
+    seed_idx = np.linspace(0, nlist - 1, ns).round().astype(np.int64)
+    smat = cmat[seed_idx].copy()
+    for _ in range(4):
+        owner = np.argmax(cmat @ smat.T, axis=1)  # (nlist,)
+        for s in range(ns):
+            members = cmat[owner == s]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    smat[s] = v / nv
+    owner = np.argmax(cmat @ smat.T, axis=1)
+    children = [np.nonzero(owner == s)[0] for s in range(ns)]
+    return smat, children
+
+
 def _semantic_cluster_assignments(
     emb: DataFrame,
     nlist: int | None,
@@ -1731,6 +1762,8 @@ def _semantic_cluster_assignments(
     id_col: str,
     emb_col: str,
     corpus_size: int | None,
+    two_level: bool = False,
+    nprobe_super: int = 4,
 ) -> tuple[DataFrame, DataFrame, int, int, int]:
     """The SemDeDup coarse-quantizer pipeline — checkpointed base frame,
     corpus-size resolution, derived-nlist default, deterministic seed pick,
@@ -1742,7 +1775,15 @@ def _semantic_cluster_assignments(
     ``(base, assigned, corpus_size, nlist, dim)`` where ``base`` is the
     eager-checkpointed ``(id, e, n)`` frame and ``assigned`` the
     eager-checkpointed ``(id, cluster_id)`` multi-assignment table
-    (n·nassign rows)."""
+    (n·nassign rows; ≤ with ``two_level`` when a row's probed supers own
+    fewer than nassign children).
+
+    ``two_level=True`` is the Θ(n·√nlist·dim) assignment shape (see
+    ``semantic_cluster_near_dups``): each vector scores the ~√nlist super
+    centroids, probes the top ``nprobe_super`` supers, and scores only
+    their children — same emitted schema, approximate child choice
+    (a true nearest child in an unprobed super is missed; recall vs the
+    flat operator is pinned in pytest at fixture scale)."""
     import numpy as np
 
     from mapreduce_paradigm_spark.functions import l2_norm
@@ -1795,24 +1836,77 @@ def _semantic_cluster_assignments(
     )
     cmat = np.array([r[0] for r in cs], dtype=np.float64)
     cmat = _lloyd_refine(norm.select("emb_d"), cmat, lloyd_iters)
-    bc = spark.sparkContext.broadcast((cmat, nassign))
+    if two_level:
+        smat, children = _super_cluster(cmat, nprobe_super)
+        bc = spark.sparkContext.broadcast(
+            (cmat, nassign, smat, children, nprobe_super)
+        )
 
-    def assign(batches):
-        import pandas as pd
+        def assign(batches):
+            import pandas as pd
 
-        C, na = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.vstack(pdf["emb_d"].to_numpy())
-            ids = pdf["id"].to_numpy()
-            near = np.argsort(-(X @ C.T), axis=1)[:, :na]  # (B, na)
-            yield pd.DataFrame(
-                {
-                    "id": np.repeat(ids, na),
-                    "cluster_id": near.ravel().astype("int32"),
-                }
-            )
+            C, na, S, kids, q = bc.value
+            ns = S.shape[0]
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.vstack(pdf["emb_d"].to_numpy())
+                ids = pdf["id"].to_numpy()
+                nb = len(ids)
+                sup = np.argsort(-(X @ S.T), axis=1)[:, : min(q, ns)]
+                best_sc = np.full((nb, na), -np.inf)
+                best_id = np.zeros((nb, na), dtype=np.int64)
+                # iterate supers in ASCENDING index order (deterministic
+                # merge order; ties resolve to the lower super's child)
+                for s in range(ns):
+                    if not kids[s].size:
+                        continue
+                    rows = np.nonzero((sup == s).any(axis=1))[0]
+                    if not rows.size:
+                        continue
+                    sc = X[rows] @ C[kids[s]].T  # (r, |kids[s]|)
+                    cat_sc = np.concatenate([best_sc[rows], sc], axis=1)
+                    cat_id = np.concatenate(
+                        [
+                            best_id[rows],
+                            np.broadcast_to(
+                                kids[s], (rows.size, kids[s].size)
+                            ),
+                        ],
+                        axis=1,
+                    )
+                    order = np.argsort(-cat_sc, kind="stable", axis=1)[:, :na]
+                    best_sc[rows] = np.take_along_axis(cat_sc, order, axis=1)
+                    best_id[rows] = np.take_along_axis(cat_id, order, axis=1)
+                # a row whose probed supers own < na children has -inf
+                # placeholders — emit only the real assignments
+                valid = np.isfinite(best_sc)
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(ids, valid.sum(axis=1)),
+                        "cluster_id": best_id[valid].astype("int32"),
+                    }
+                )
+
+    else:
+        bc = spark.sparkContext.broadcast((cmat, nassign))
+
+        def assign(batches):
+            import pandas as pd
+
+            C, na = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.vstack(pdf["emb_d"].to_numpy())
+                ids = pdf["id"].to_numpy()
+                near = np.argsort(-(X @ C.T), axis=1)[:, :na]  # (B, na)
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(ids, na),
+                        "cluster_id": near.ravel().astype("int32"),
+                    }
+                )
 
     # materialize the (tiny: n·nassign rows) assignment table ONCE — the
     # cluster self-join consumes it on BOTH sides, and without the
@@ -1834,6 +1928,8 @@ def semdedup_stats(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     corpus_size: int | None = None,
+    two_level: bool = False,
+    nprobe_super: int = 4,
 ) -> dict:
     """Invariant cost drivers of ``semantic_cluster_near_dups`` as plain
     counts — the ``embedding_lsh_stats`` pattern applied to the SemDeDup
@@ -1868,7 +1964,8 @@ def semdedup_stats(
     exactly one cluster), plus a top-2 sort-limit over the same ≤nlist-row
     width frame — never collected corpus-scale state, never a pair."""
     _, assigned, n_corpus, nlist, _ = _semantic_cluster_assignments(
-        emb, nlist, nassign, lloyd_iters, id_col, emb_col, corpus_size
+        emb, nlist, nassign, lloyd_iters, id_col, emb_col, corpus_size,
+        two_level=two_level, nprobe_super=nprobe_super,
     )
     widths = assigned.groupBy("cluster_id").agg(F.count("*").alias("w"))
     ge2 = F.col("w") >= 2
@@ -1907,6 +2004,8 @@ def semantic_cluster_near_dups(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     corpus_size: int | None = None,
+    two_level: bool = False,
+    nprobe_super: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: cluster the corpus with a
     spherical-k-means coarse quantizer, then run the EXACT cosine verify
@@ -1954,13 +2053,28 @@ def semantic_cluster_near_dups(
     1200·n — certified by invariant counts through 5M vectors), but the
     ASSIGNMENT matmul is Θ(n·nlist·dim) = Θ(n²·dim/600) FLOPs, which
     overtakes verify arithmetic at n ≈ 720k (600²·nassign²/2) — at 5M the
-    quantizer, not the pair work, dominates the wall. The deployment path
-    past ~10M vectors is a two-level coarse quantizer (IVF-style: √nlist
-    super-clusters, assignment probes the top super-clusters' children —
-    Θ(n·√nlist·dim)), which changes cluster geometry and is therefore a
-    caller choice, not a silent default swap; flat assignment stays the
-    default because it is the shape whose recall/determinism pins and
-    skew-gate measurements exist.
+    quantizer, not the pair work, dominates the wall. ``two_level=True``
+    IS the deployment path past ~10M vectors (round 10): a driver-side
+    spherical k-means groups the child centroids into ~√nlist supers
+    (``_super_cluster``, deterministic), and each vector scores the
+    supers, probes its top ``nprobe_super`` (default 4), and scores only
+    their children — Θ(n·√nlist·dim) assignment, same emitted schema and
+    the same exact verify tier, but the CHILD CHOICE is approximate (a
+    true nearest child inside an unprobed super is missed), so cluster
+    geometry — and therefore the emitted pair set — can differ from flat
+    assignment. It is an explicit caller choice, never a silent default
+    swap: flat assignment stays the default because it is the shape whose
+    recall/determinism pins and skew-gate measurements exist; the
+    two-level mode carries its own fixture-scale recall-vs-flat pin and a
+    10M-vector counts receipt (tests/test_dedup_similarity.py,
+    .gates/sf1_zipf_semdedup_counts_2l_r10.json). Honest remainder:
+    LLOYD TRAINING still scores all nlist children per vector
+    (Θ(n·nlist·dim·iters), iters fixed at 2) — two_level removes the
+    assignment wall, not the training one; the standard deployment fix
+    is training the quantizer on a subsample (pass the sample through
+    ``lloyd_iters`` refinement yourself, or set ``lloyd_iters=0`` and
+    accept hash-seeded centroids), which changes geometry and is again a
+    caller choice.
 
     The corpus size is resolved with one eager ``count()`` Spark job at
     operator-construction time regardless of ``nlist`` (round 9; this
@@ -1976,7 +2090,8 @@ def semantic_cluster_near_dups(
     the plan toward a broadcast the executors cannot hold.
     """
     base, assigned, corpus_size, nlist, dim = _semantic_cluster_assignments(
-        emb, nlist, nassign, lloyd_iters, id_col, emb_col, corpus_size
+        emb, nlist, nassign, lloyd_iters, id_col, emb_col, corpus_size,
+        two_level=two_level, nprobe_super=nprobe_super,
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     candidates = (

@@ -407,6 +407,67 @@ def test_semdedup_stats_counts(spark):
     assert emitted <= st["n_candidate_pairs_raw"]
 
 
+def test_semdedup_two_level_quantizer(spark):
+    """The Θ(n·√nlist·dim) two-level assignment (round 10 — the
+    deployment shape past the flat quantizer's n≈720k FLOP crossover)
+    keeps the tier's contracts: emitted pairs are a SUBSET of the exact
+    tier (precision exact — same verify), reruns are deterministic, and
+    with PARTIAL super probing (nlist=64 → 8 supers, 4 probed) recall
+    stays within 10% of flat assignment at the same nlist. With few
+    supers (fixture-derived nlist=8 → 3 supers ≤ nprobe_super) probing
+    is exhaustive and the output matches flat exactly. Stats helper
+    consistency holds in two-level mode too."""
+    from mapreduce_paradigm_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_cluster_near_dups,
+        semdedup_stats,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    exact = {
+        (r["d1"], r["d2"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.42).collect()
+    }
+    # exhaustive-probe regime: identical to flat
+    flat = {
+        (r["d1"], r["d2"]) for r in semantic_cluster_near_dups(emb).collect()
+    }
+    tl = {
+        (r["d1"], r["d2"])
+        for r in semantic_cluster_near_dups(emb, two_level=True).collect()
+    }
+    assert tl == flat
+    # partial-probe regime: subset of exact, deterministic, recall within
+    # 10% of flat at the same nlist
+    flat64 = {
+        (r["d1"], r["d2"])
+        for r in semantic_cluster_near_dups(emb, nlist=64).collect()
+    }
+    tl64 = {
+        (r["d1"], r["d2"])
+        for r in semantic_cluster_near_dups(
+            emb, nlist=64, two_level=True
+        ).collect()
+    }
+    tl64b = {
+        (r["d1"], r["d2"])
+        for r in semantic_cluster_near_dups(
+            emb, nlist=64, two_level=True
+        ).collect()
+    }
+    assert tl64 <= exact
+    assert tl64 == tl64b
+    r_flat = len(flat64 & exact) / len(exact)
+    r_tl = len(tl64 & exact) / len(exact)
+    assert r_tl >= 0.9 * r_flat, (r_tl, r_flat)
+    # stats mirror: assignment rows ≤ n·nassign (probed supers can own
+    # fewer than nassign children), candidates bound emitted pairs
+    st = semdedup_stats(emb, nlist=64, two_level=True)
+    n = emb.count()
+    assert st["n_assignment_rows"] <= n * st["nassign"]
+    assert len(tl64) <= st["n_candidate_pairs_raw"]
+
+
 def test_lsh_derived_params_recall_on_fixture(spark):
     """End-to-end: embedding_near_dup_lsh under lsh_params-derived
     (nbits, bands) keeps the subset-of-exact contract and the recall
