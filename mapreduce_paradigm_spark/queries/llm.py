@@ -350,6 +350,88 @@ def q_embedding_near_dup_lsh_t090(spark, sf_dir):
     )
 
 
+def _stats_frame(spark, stats: dict):
+    """One-row DataFrame from an invariant-counts stats dict, with a
+    DETERMINISTIC surface: columns in sorted-name order, list values
+    space-joined, booleans stringified — so the driver's rows-only row
+    (and its recorded schema) is rerun-stable. These registered readouts
+    make the scale-certification counts driver-executed artifacts, not
+    only `.gates` JSON (round-11 verdict ask #5); the helpers SHARE the
+    operators' own pipelines, so the counts cannot drift from what the
+    operators run."""
+    row = {}
+    for k in sorted(stats):
+        v = stats[k]
+        if isinstance(v, list):
+            v = " ".join(str(x) for x in v)
+        elif isinstance(v, bool):
+            v = str(v).lower()
+        row[k] = v
+    df = spark.createDataFrame([tuple(row[k] for k in sorted(row))],
+                               schema=sorted(row))
+    return df
+
+
+@register(
+    "minhash_lsh_stats",
+    oracle=None,  # invariant-counts readout of a probabilistic pipeline
+    description="Invariant cost drivers of minhash_lsh_pairs as one "
+    "counts row (signature rows, >=2-doc band buckets, raw + distinct "
+    "candidates) — the receipts that certified the MinHash tier's 4th "
+    "scaling decade (.gates/sf1_zipf_1000x_r8.json), driver-executed.",
+    tags=("dedup", "llm", "stats"),
+)
+def q_minhash_lsh_stats(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import minhash_lsh_stats
+
+    return _stats_frame(
+        spark,
+        minhash_lsh_stats(
+            load_table(spark, sf_dir, "documents"), k=3, num_hashes=32, bands=8
+        ),
+    )
+
+
+@register(
+    "embedding_lsh_stats",
+    oracle=None,  # invariant-counts readout of a probabilistic pipeline
+    description="Invariant cost drivers of embedding_near_dup_lsh at the "
+    "production t=0.90 regime as one counts row (derived nbits/bands, "
+    "signature rows, >=2-vector buckets, raw candidate stream) — the "
+    "receipts behind the embedding-LSH decade certifications "
+    "(.gates/sf1_zipf_emb_stats_*.json), driver-executed.",
+    tags=("dedup", "similarity", "llm", "stats"),
+)
+def q_embedding_lsh_stats(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import embedding_lsh_stats
+
+    return _stats_frame(
+        spark,
+        embedding_lsh_stats(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.90
+        ),
+    )
+
+
+@register(
+    "semdedup_stats",
+    oracle=None,  # invariant-counts readout of a k-means pipeline
+    description="Invariant cost drivers of semantic_cluster_near_dups as "
+    "one counts row (counted n_vectors, derived nlist, assignment rows, "
+    ">=2-member clusters, raw candidate stream Sum C(w,2), top-2 widths, "
+    "resolved two_level) — the receipts that certified SemDeDup's "
+    "4th/5th decades (.gates/sf1_zipf_semdedup_counts*_r10.json), "
+    "driver-executed.",
+    tags=("dedup", "similarity", "llm", "stats"),
+)
+def q_semdedup_stats(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import semdedup_stats
+
+    return _stats_frame(
+        spark, semdedup_stats(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
 @register(
     "nfc_fingerprints",
     oracle="""
