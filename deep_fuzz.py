@@ -1,4 +1,4 @@
-"""Opt-in deep differential fuzz: N examples per axis (twelve axes),
+"""Opt-in deep differential fuzz: N examples per axis (thirteen axes),
 Spark vs DuckDB.
 
 The committed hypothesis tests in tests/test_properties.py run small
@@ -28,6 +28,7 @@ from tests.test_properties import (
     _distinct_filter_query,
     _grouping_query,
     _hof_query,
+    _map_query,
     _join_query,
     _orderby_limit_query,
     _predicate,
@@ -114,6 +115,7 @@ AXES = [
     ("string_pred", _string_pred_query(), lambda s: s),
     ("datetime", _datetime_query(), lambda s: s),
     ("hof", _hof_query(), lambda s: s),
+    ("map_hof", _map_query(), lambda s: s),
 ]
 only = os.environ.get("FUZZ_AXES")
 if only:

@@ -1167,6 +1167,164 @@ def test_random_hof_matches_duckdb(spark, sql_pair):
     assert got == want, f"{spark_sql} vs {duck_sql}: {len(got)} vs {len(want)}"
 
 
+@st.composite
+def _map_values(draw, p):
+    """p value expressions over lineitem double columns, one optionally
+    nullif-injected (real data-dependent NULL values — map KEYS stay
+    literal distinct ints, Spark maps reject NULL keys)."""
+    elems = [draw(st.sampled_from(list(_HOF_COLS))) for _ in range(p)]
+    if draw(st.booleans()):
+        q = draw(st.integers(min_value=1, max_value=50))
+        elems[0] = f"nullif({elems[0]}, {q}.0)"
+    return elems
+
+
+@st.composite
+def _map_expr(draw):
+    """Random map-valued expression pair as (spark_map_expr, duck_keys,
+    duck_values): the DuckDB side mirrors the map as PARALLEL LISTS (its
+    map type has no transform/filter/zip HOFs), rebuilding (K, V) after
+    every op via list_zip + struct_extract — entry order is identical by
+    construction on both sides (map_from_arrays preserves array order;
+    map_zip_with over equal key sets keeps m1's order; transform_values /
+    map_filter preserve relative order — all probed), so order-sensitive
+    readouts are exact. Construction: map_from_arrays over distinct int
+    keys, optional map_zip_with against a same-key second map (three-var
+    lambda; NULL values propagate identically), then 0-2 of
+    transform_values (lambda may use the key) / map_filter (predicate on
+    key or value; NULL predicate drops the entry in both engines —
+    probed)."""
+    p = draw(st.integers(min_value=2, max_value=4))
+    keys = ", ".join(str(k) for k in range(1, p + 1))
+    kd = f"[{keys}]"
+    v1 = draw(_map_values(p))
+    ms = f"map_from_arrays(array({keys}), array({', '.join(v1)}))"
+    vd = "[" + ", ".join(v1) + "]"
+    if draw(st.booleans()):
+        v2 = draw(_map_values(p))
+        ms2 = f"map_from_arrays(array({keys}), array({', '.join(v2)}))"
+        vd2 = "[" + ", ".join(v2) + "]"
+        e1_s, e1_d = draw(_hof_scalar("v1", "struct_extract(s, 2)"))
+        e2_s, e2_d = draw(_hof_scalar("v2", "struct_extract(s, 3)"))
+        ms = f"map_zip_with({ms}, {ms2}, (k, v1, v2) -> ({e1_s} + {e2_s}))"
+        vd = (
+            f"list_transform(list_zip({kd}, {vd}, {vd2}), "
+            f"s -> ({e1_d} + {e2_d}))"
+        )
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        if draw(st.booleans()):
+            e_s, e_d = draw(_hof_scalar("v", "struct_extract(s, 2)"))
+            if draw(st.booleans()):
+                # key participates in the value lambda
+                ms = f"transform_values({ms}, (k, v) -> ({e_s} + k))"
+                vd = (
+                    f"list_transform(list_zip({kd}, {vd}), "
+                    f"s -> ({e_d} + struct_extract(s, 1)))"
+                )
+            else:
+                ms = f"transform_values({ms}, (k, v) -> {e_s})"
+                vd = f"list_transform(list_zip({kd}, {vd}), s -> {e_d})"
+        else:
+            c = draw(st.integers(min_value=0, max_value=100))
+            op = draw(st.sampled_from([">", "<=", "<>"]))
+            if draw(st.booleans()):
+                pred_s = f"k {op} {c}"
+                pred_d = f"struct_extract(s, 1) {op} {c}"
+            else:
+                pred_s = f"v {op} {c}"
+                pred_d = f"struct_extract(s, 2) {op} {c}"
+            ms = f"map_filter({ms}, (k, v) -> {pred_s})"
+            pairs = f"list_filter(list_zip({kd}, {vd}), s -> {pred_d})"
+            kd = f"list_transform({pairs}, s -> struct_extract(s, 1))"
+            vd = f"list_transform({pairs}, s -> struct_extract(s, 2))"
+    return ms, kd, vd
+
+
+@st.composite
+def _map_query(draw):
+    """Random two-column map-HOF query PAIR (spark_sql, duck_sql): each
+    value column reads a composed map expression out to a scalar via
+    size, an order-sensitive aggregate fold over map_values (list_reduce
+    + list_prepend emulation, init-on-empty — probed), or
+    try_element_at at a sometimes-absent key (NULL on missing in both
+    emulations — probed)."""
+    vals = []
+    for _ in range(2):
+        ms, kd, vd = draw(_map_expr())
+        readout = draw(st.sampled_from(["size", "fold", "at"]))
+        if readout == "size":
+            vals.append((f"size({ms})", f"length({kd})"))
+        elif readout == "fold":
+            init = draw(st.integers(min_value=-5, max_value=5))
+            op = draw(st.sampled_from(["+", "-"]))
+            vals.append(
+                (
+                    f"aggregate(map_values({ms}), CAST({init} AS DOUBLE), "
+                    f"(a, x) -> (a {op} x))",
+                    f"list_reduce(list_prepend(CAST({init} AS DOUBLE), "
+                    f"{vd}), (a, x) -> (a {op} x))",
+                )
+            )
+        else:
+            key = draw(st.integers(min_value=1, max_value=5))
+            vals.append(
+                (
+                    f"try_element_at({ms}, {key})",
+                    f"(list_transform(list_filter(list_zip({kd}, {vd}), "
+                    f"s -> struct_extract(s, 1) = {key}), "
+                    f"s -> struct_extract(s, 2)))[1]",
+                )
+            )
+    (s1, d1), (s2, d2) = vals
+    return (
+        f"SELECT l_orderkey, l_linenumber, CAST({s1} AS DOUBLE) AS v1, "
+        f"CAST({s2} AS DOUBLE) AS v2 FROM lineitem",
+        f"SELECT l_orderkey, l_linenumber, CAST({d1} AS DOUBLE) AS v1, "
+        f"CAST({d2} AS DOUBLE) AS v2 FROM lineitem",
+    )
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(_map_query())
+def test_random_map_hof_matches_duckdb(spark, sql_pair):
+    """Thirteenth differential axis (round 11): MAP higher-order functions
+    — map_from_arrays construction, map_zip_with, transform_values,
+    map_filter, and the size / fold / try_element_at readouts — vs DuckDB
+    mirroring the map as parallel key/value lists (its map type has no
+    HOFs). Closes the one committed-template family without a generator
+    (the registered customer_priority_map_funcs /
+    customer_status_map_merge queries); every construct mapping was
+    probed individually, including NULL-value propagation through
+    three-var zip lambdas, NULL-predicate entry dropping in map_filter,
+    fold-to-init on emptied maps, and missing-key NULL in element_at."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    spark_sql, duck_sql = sql_pair
+
+    def norm(rows):
+        return sorted(
+            tuple(
+                (
+                    v is None,
+                    round(v, 9) if isinstance(v, float) else (0 if v is None else v),
+                )
+                for v in r
+            )
+            for r in rows
+        )
+
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    spark.read.parquet(path).createOrReplaceTempView("lineitem")
+    got = norm(spark.sql(spark_sql).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}')")
+    want = norm(con.execute(duck_sql).fetchall())
+    con.close()
+    assert got == want, f"{spark_sql} vs {duck_sql}: {len(got)} vs {len(want)}"
+
+
 @settings(max_examples=15, deadline=None, derandomize=True)
 @given(_setop_query())
 def test_random_setop_matches_duckdb(spark, sql):
