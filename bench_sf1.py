@@ -399,7 +399,16 @@ def main() -> None:
             # of nlist ∝ n with ~600 vectors/cluster) even where seconds
             # are spill-regime-polluted. Threshold does not enter: these
             # are cluster-geometry counts, upstream of the verify tier.
-            sd_stats = semdedup_stats(emb, corpus_size=sizes[tag])
+            # two_level=False pins the FLAT counterfactual explicitly:
+            # since round 11 the operator's default DERIVES two-level at
+            # nlist >= 1200 (n >= 720k), which would silently change what
+            # this op measures at ladder sizes. Wall is recorded so
+            # assignment-cost regressions show up next to the counts.
+            t0 = time.perf_counter()
+            sd_stats = semdedup_stats(
+                emb, corpus_size=sizes[tag], two_level=False
+            )
+            sd_stats["wall_s"] = round(time.perf_counter() - t0, 2)
             notes.setdefault("semdedup_cluster_stats", {}).update(
                 {f"{tag}_{k}": v for k, v in sd_stats.items()}
             )
@@ -413,13 +422,36 @@ def main() -> None:
             # 10M would be ~4x that) — same derived nlist, same verify
             # geometry counts, approximate child choice (recall-vs-flat
             # pinned at fixture scale in pytest)
+            t0 = time.perf_counter()
             sd2 = semdedup_stats(
                 emb, corpus_size=sizes[tag], two_level=True
             )
+            sd2["wall_s"] = round(time.perf_counter() - t0, 2)
             notes.setdefault("semdedup_cluster_stats_2l", {}).update(
                 {f"{tag}_{k}": v for k, v in sd2.items()}
             )
             print(f"{'semdedup_cluster_stats_2l':40s} {tag:>4s}: {sd2}",
+                  flush=True)
+        if want("semdedup_cluster_stats_2l_sub"):
+            # round 11: SUBSAMPLE Lloyd training under two-level assignment
+            # — training on the deterministic 500k-row hash-slice makes
+            # training cost Θ(sample·nlist·dim·iters) = LINEAR in n (nlist
+            # ∝ n, sample fixed), while full-training cost is
+            # Θ(n·nlist·dim·iters) = quadratic. The wall delta vs
+            # semdedup_cluster_stats_2l at the same n IS the receipt that
+            # the 10M two-level run no longer spends its wall in training;
+            # the counts alongside show the subsampled geometry stays on
+            # the ≈1200·n balanced-cluster curve.
+            t0 = time.perf_counter()
+            sd3 = semdedup_stats(
+                emb, corpus_size=sizes[tag], two_level=True,
+                train_sample_size=500_000,
+            )
+            sd3["wall_s"] = round(time.perf_counter() - t0, 2)
+            notes.setdefault("semdedup_cluster_stats_2l_sub", {}).update(
+                {f"{tag}_{k}": v for k, v in sd3.items()}
+            )
+            print(f"{'semdedup_cluster_stats_2l_sub':40s} {tag:>4s}: {sd3}",
                   flush=True)
         if sizes[tag] <= 50_000 and want("semantic_cluster_dedup_nlist8_forced"):
             # counterfactual: superlinear by design
