@@ -57,6 +57,14 @@ _COMBO_PAIR_EXPR = (
 _RERANK_VEC_BCAST_BYTES = 8 << 20
 _RERANK_CODES_BCAST_BYTES = 256 << 20
 
+# Centroid-block width for the FLAT assignment pass — the same
+# Θ(batch·nlist) per-worker transient hazard as Lloyd scoring
+# (similarity._LLOYD_SCORE_BLOCK has the measured 10M OOM receipt);
+# ≤2048-wide score slices merge into a running top-nassign via the
+# shared lexsort tie-break. Single-block (nlist ≤ 2048 — every repo
+# fixture) is exactly the unblocked stable argsort.
+_ASSIGN_SCORE_BLOCK = 2048
+
 # SemDeDup two-level quantizer auto-enable bar (round 11): with the derived
 # nlist = ceil(n/600) and nassign=2, flat assignment costs n·nlist·dim FLOPs
 # vs the verify tier's ≈600·n·nassign²/2 — they cross at nlist ≈
@@ -2067,16 +2075,41 @@ def _semantic_cluster_assignments(
                     continue
                 X = np.vstack(pdf["emb_d"].to_numpy())
                 ids = pdf["id"].to_numpy()
-                # stable sort over the ascending-index score matrix =
-                # (score DESC, cluster index ASC) — the shared tie-break
-                # contract with the two-level merge (see docstring)
-                near = np.argsort(-(X @ C.T), kind="stable", axis=1)[
-                    :, :na
-                ]  # (B, na)
+                nb = len(ids)
+                # blocked top-na (round 11; similarity._LLOYD_SCORE_BLOCK
+                # rationale): scoring all nlist centroids at once builds a
+                # Θ(batch·nlist) float64 matrix per python worker — the
+                # measured 10M OOM hazard — so score ≤block-wide slices
+                # and merge each into the running (best_sc, best_id) with
+                # the shared (score DESC, cluster index ASC) lexsort
+                # tie-break. At nlist ≤ block (every repo fixture) the
+                # single-block lexsort IS the old stable argsort, element
+                # for element; blocks iterate in ascending centroid order
+                # so the global tie-break contract is preserved.
+                best_sc = np.full((nb, na), -np.inf)
+                best_id = np.zeros((nb, na), dtype=np.int64)
+                for lo in range(0, C.shape[0], _ASSIGN_SCORE_BLOCK):
+                    blk = C[lo : lo + _ASSIGN_SCORE_BLOCK]
+                    sc = X @ blk.T
+                    cat_sc = np.concatenate([best_sc, sc], axis=1)
+                    cat_id = np.concatenate(
+                        [
+                            best_id,
+                            np.broadcast_to(
+                                np.arange(lo, lo + blk.shape[0]),
+                                (nb, blk.shape[0]),
+                            ),
+                        ],
+                        axis=1,
+                    )
+                    order = np.lexsort((cat_id, -cat_sc), axis=1)[:, :na]
+                    best_sc = np.take_along_axis(cat_sc, order, axis=1)
+                    best_id = np.take_along_axis(cat_id, order, axis=1)
+                valid = np.isfinite(best_sc)
                 yield pd.DataFrame(
                     {
-                        "id": np.repeat(ids, na),
-                        "cluster_id": near.ravel().astype("int32"),
+                        "id": np.repeat(ids, valid.sum(axis=1)),
+                        "cluster_id": best_id[valid].astype("int32"),
                     }
                 )
 

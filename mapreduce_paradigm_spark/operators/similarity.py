@@ -21,6 +21,23 @@ from pyspark.sql.window import Window
 
 from mapreduce_paradigm_spark.functions import dot_product
 
+# Centroid-block width for the Lloyd scoring pass (round 11): scoring a
+# 10k-row Arrow batch against all nlist centroids at once materializes a
+# Θ(batch·nlist) float64 score matrix PER PYTHON WORKER — ~1.3 GB at the
+# SemDeDup-derived nlist=16,667 (n=10M), ×32 workers ≈ 43 GB of transient
+# peaks beside the JVM heap. MEASURED: a fresh 10M phase probe reproducibly
+# OOM-killed all 32 workers in the second Lloyd pass (the round-11 ladder
+# run survived the same computation only marginally). Chunking the matmul
+# over ≤2048-centroid blocks with a running (max, argmax) caps the
+# transient at Θ(batch·block) ≈ 160 MB/worker at ANY nlist — same FLOPs,
+# and the result is exactly np.argmax(X @ C.T, axis=1): within a block
+# argmax takes the first max, and the strict > update keeps the
+# earlier block on cross-block ties, so the global first-max (lowest
+# centroid index) wins — the same tie rule as the unblocked call. At
+# nlist ≤ 2048 (every repo fixture) the single block IS the unblocked
+# computation, bit for bit.
+_LLOYD_SCORE_BLOCK = 2048
+
 
 def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn("emb_d", F.col(col).cast("array<double>"))
@@ -160,7 +177,23 @@ def _lloyd_refine(c_norm: DataFrame, cmat: "np.ndarray", iters: int) -> "np.ndar
                     continue
                 seen = True
                 X = np.vstack(pdf["emb_d"].to_numpy())
-                assign = np.argmax(X @ C.T, axis=1)
+                # blocked scoring (see _LLOYD_SCORE_BLOCK): running
+                # (max, argmax) over ≤block-wide score slices — result
+                # identical to np.argmax(X @ C.T, axis=1) on finite
+                # scores (all-NaN rows only arise from NaN-component
+                # vectors, which poison the centroid sums identically
+                # either way), transient memory Θ(batch·block) instead
+                # of Θ(batch·nlist)
+                nrows = X.shape[0]
+                best = np.full(nrows, -np.inf)
+                assign = np.zeros(nrows, dtype=np.int64)
+                for lo in range(0, C.shape[0], _LLOYD_SCORE_BLOCK):
+                    sc = X @ C[lo : lo + _LLOYD_SCORE_BLOCK].T
+                    am = np.argmax(sc, axis=1)
+                    m = sc[np.arange(nrows), am]
+                    upd = m > best
+                    best[upd] = m[upd]
+                    assign[upd] = am[upd] + lo
                 for l in np.unique(assign):
                     acc_n[l] += int((assign == l).sum())
                     acc_sum[l] += X[assign == l].sum(axis=0)

@@ -468,6 +468,49 @@ def test_semdedup_two_level_quantizer(spark):
     assert len(tl64) <= st["n_candidate_pairs_raw"]
 
 
+def test_semdedup_blocked_scoring_matches_unblocked(spark, monkeypatch):
+    """Round-11 continuation: the 10M phase probe OOM-killed all 32
+    python workers in Lloyd's scoring pass — X @ C.T at derived
+    nlist=16,667 materializes a Θ(batch·nlist) ≈ 1.3 GB float64 matrix
+    PER WORKER. Both scoring passes now chunk over ≤2048-centroid blocks
+    (running argmax for Lloyd, running lexsort-top-na for flat
+    assignment). At fixture nlist the default block is a single slice —
+    literally the old computation — so this pin FORCES tiny blocks (5
+    and 7, prime vs nlist=64 so block boundaries land mid-tie) and
+    requires the emitted pair set to match the single-block baseline
+    exactly, on the hash fixture AND on an all-ties one-hot corpus
+    (integer-exact scores — block boundaries between tied centroids are
+    the adversarial case for the cross-block merge's tie rule)."""
+    import mapreduce_paradigm_spark.operators.dedup as dd
+    import mapreduce_paradigm_spark.operators.similarity as sim
+    from mapreduce_paradigm_spark.operators.dedup import (
+        semantic_cluster_near_dups,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    dim = 8
+    ties = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            f"j -> CAST(CASE WHEN j = id % 4 THEN 1 ELSE 0 END AS DOUBLE))"
+        ).alias("embedding"),
+    )
+
+    def pairs(df, **kw):
+        return {
+            (r["d1"], r["d2"])
+            for r in semantic_cluster_near_dups(df, **kw).collect()
+        }
+
+    base_fix = pairs(emb, nlist=64)
+    base_tie = pairs(ties, threshold=0.9, nlist=8, lloyd_iters=0)
+    monkeypatch.setattr(dd, "_ASSIGN_SCORE_BLOCK", 7)
+    monkeypatch.setattr(sim, "_LLOYD_SCORE_BLOCK", 5)
+    assert pairs(emb, nlist=64) == base_fix
+    assert pairs(ties, threshold=0.9, nlist=8, lloyd_iters=0) == base_tie
+
+
 def test_semdedup_tie_break_exact_under_tied_scores(spark):
     """Round-11 advisor item: the exhaustive-probe ``two_level == flat``
     equality must hold even when child cosine scores TIE exactly — both
