@@ -358,18 +358,43 @@ def _stats_frame(spark, stats: dict):
     make the scale-certification counts driver-executed artifacts, not
     only `.gates` JSON (round-11 verdict ask #5); the helpers SHARE the
     operators' own pipelines, so the counts cannot drift from what the
-    operators run."""
-    row = {}
+    operators run.
+
+    The schema is EXPLICIT per value type (round 12, advisor item —
+    bare-name schemas made Spark infer types from the single row, so a
+    None value errored and an int-vs-float drift between runs changed
+    the recorded schema silently): ints → LongType, floats → DoubleType,
+    everything else — lists, bools, strings, None — → StringType, with
+    None kept as SQL NULL. A stats key that changes PYTHON type between
+    runs still drifts, but every stats helper int()/bool()-coerces its
+    values at source, so per-key types are structurally stable."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    fields, vals = [], []
     for k in sorted(stats):
         v = stats[k]
-        if isinstance(v, list):
-            v = " ".join(str(x) for x in v)
-        elif isinstance(v, bool):
-            v = str(v).lower()
-        row[k] = v
-    df = spark.createDataFrame([tuple(row[k] for k in sorted(row))],
-                               schema=sorted(row))
-    return df
+        if isinstance(v, bool):
+            fields.append(StructField(k, StringType(), False))
+            vals.append(str(v).lower())
+        elif isinstance(v, list):
+            fields.append(StructField(k, StringType(), False))
+            vals.append(" ".join(str(x) for x in v))
+        elif isinstance(v, int):
+            fields.append(StructField(k, LongType(), False))
+            vals.append(int(v))
+        elif isinstance(v, float):
+            fields.append(StructField(k, DoubleType(), False))
+            vals.append(float(v))
+        else:
+            fields.append(StructField(k, StringType(), True))
+            vals.append(None if v is None else str(v))
+    return spark.createDataFrame([tuple(vals)], schema=StructType(fields))
 
 
 @register(

@@ -393,7 +393,7 @@ def test_semdedup_stats_counts(spark):
     # independent pre-distinct recount through the operator's own
     # assignment pipeline at this tiny n (the stats helper deliberately
     # never materializes pairs at scale)
-    _, assigned, _, _, _, _ = _semantic_cluster_assignments(
+    _, assigned, _, _, _, _, _ = _semantic_cluster_assignments(
         emb, None, 2, 2, "vec_id", "embedding", None
     )
     a, b = assigned.alias("a"), assigned.alias("b")
@@ -686,6 +686,197 @@ def test_semdedup_train_sample_size(spark):
     assert len(sub) <= st["n_candidate_pairs_raw"]
     with pytest.raises(ValueError, match="train_sample_size"):
         semantic_cluster_near_dups(emb, nlist=16, train_sample_size=8)
+
+
+def test_semdedup_train_sample_auto_derivation(spark, monkeypatch):
+    """``train_sample_size=None`` DERIVES the Lloyd training slice past
+    the ``_TWO_LEVEL_AUTO_NLIST`` crossover (round 12 — the tier's last
+    caller-opt-in knob): max(floor, per_centroid·nlist) capped at the
+    corpus, with a loud UserWarning. Pins: (a) the constants reproduce
+    the round-11 receipt value at 2M — derived == the explicit 500k the
+    committed counts ladder trained on; (b) fixture-scale defaults stay
+    full-corpus-trained and QUIET; (c) with the crossover forced down,
+    the derived pair set is IDENTICAL to the same value passed
+    explicitly; (d) recall vs full-corpus training holds the 0.8× floor;
+    (e) the stats receipt reports the resolved slice."""
+    import warnings as _w
+
+    import mapreduce_paradigm_spark.operators.dedup as dd
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _TRAIN_SAMPLE_FLOOR,
+        _TRAIN_SAMPLE_PER_CENTROID,
+        embedding_near_dup_pairs,
+        semantic_cluster_near_dups,
+        semdedup_stats,
+    )
+
+    # (a) derived == explicit at the committed 2M receipt point: nlist =
+    # ceil(2e6/600) = 3334, per-centroid term 39·3334 = 130k < the 500k
+    # floor — so the derivation lands exactly on the value the r11
+    # ladder trained on (.gates/sf1_zipf_semdedup_counts_2l_sub_r11.json)
+    assert _TRAIN_SAMPLE_FLOOR == 500_000
+    assert _TRAIN_SAMPLE_PER_CENTROID == 39
+    nlist_2m = max(8, -(-2_000_000 // 600))
+    assert (
+        max(_TRAIN_SAMPLE_FLOOR, _TRAIN_SAMPLE_PER_CENTROID * nlist_2m)
+        == 500_000
+    )
+
+    def _derive_warns(w):
+        return [
+            x
+            for x in w
+            if "auto-deriving Lloyd train_sample_size" in str(x.message)
+        ]
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    # (b) fixture scale: below the crossover — full-corpus training, quiet
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        st = semdedup_stats(emb)
+    assert st["train_sample_size"] == st["n_vectors"]
+    assert not _derive_warns(w)
+
+    def pairs(**kw):
+        return {
+            (r["d1"], r["d2"])
+            for r in semantic_cluster_near_dups(
+                emb, nlist=16, two_level=False, **kw
+            ).collect()
+        }
+
+    # full-corpus baseline BEFORE forcing the crossover down
+    full = pairs()
+    # (c) force the crossover below the fixture: floor 250 at nlist 16 is
+    # the existing explicit-knob test's measured healthy regime (250/16 ≈
+    # 15×nlist holds a 0.93 recall ratio)
+    monkeypatch.setattr(dd, "_TWO_LEVEL_AUTO_NLIST", 8)
+    monkeypatch.setattr(dd, "_TRAIN_SAMPLE_FLOOR", 250)
+    monkeypatch.setattr(dd, "_TRAIN_SAMPLE_PER_CENTROID", 1)
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        derived = pairs()
+    assert _derive_warns(w)
+    explicit = pairs(train_sample_size=250)
+    assert derived == explicit
+    # explicit >= corpus pins full-corpus training even past the crossover
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        pinned_full = pairs(train_sample_size=10 * n)
+    assert pinned_full == full and not _derive_warns(w)
+    # (d) recall floor vs full training (the explicit-knob convention)
+    exact = {
+        (r["d1"], r["d2"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.42).collect()
+    }
+    r_full = len(full & exact) / len(exact)
+    r_derived = len(derived & exact) / len(exact)
+    assert r_derived >= 0.8 * r_full, (r_derived, r_full)
+    # (e) the stats receipt records the resolved slice
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        st2 = semdedup_stats(emb, nlist=16, two_level=False)
+    assert st2["train_sample_size"] == 250 and _derive_warns(w)
+
+
+def test_lsh_derived_params_claim_verified(spark):
+    """Round-12 advisor item: on the DERIVED path (nbits=None) a caller
+    ``corpus_size`` is probe-verified BEFORE it feeds the nbits/bands
+    derivation — an understated claim used to derive nbits too small and
+    grow candidates as n²/2^nbits with no signal. Understated ⇒ warn +
+    derive from a full count (params equal the no-claim derivation);
+    accurate ⇒ quiet, params equal the no-claim derivation; OVERSTATED ⇒
+    kept as the caller's conservative posture (more selective nbits, the
+    regime-boundary pins in test_plans.py force the 100 TB merge shape
+    exactly this way)."""
+    import warnings as _w
+
+    from mapreduce_paradigm_spark.operators.dedup import embedding_lsh_stats
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    honest = embedding_lsh_stats(emb, threshold=0.90)
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        lied = embedding_lsh_stats(emb, threshold=0.90, corpus_size=n // 10)
+    assert any("understates the actual corpus" in str(x.message) for x in w)
+    assert (lied["nbits"], lied["bands"]) == (honest["nbits"], honest["bands"])
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        claimed = embedding_lsh_stats(emb, threshold=0.90, corpus_size=n)
+    assert not any(
+        "understates the actual corpus" in str(x.message) for x in w
+    )
+    assert (claimed["nbits"], claimed["bands"]) == (
+        honest["nbits"],
+        honest["bands"],
+    )
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        over = embedding_lsh_stats(emb, threshold=0.90, corpus_size=100 * n)
+    assert not any(
+        "understates the actual corpus" in str(x.message) for x in w
+    )
+    assert over["nbits"] >= honest["nbits"]
+
+
+def test_semdedup_nonfinite_vectors_warned_and_excluded(spark):
+    """Round-12 advisor item: vectors with a non-finite L2 norm (NaN/Inf
+    component), an all-zero norm, or a NULL array element score NaN/NULL
+    against every centroid since the round-11 strict-finite merge —
+    under the old silence they emitted ZERO assignment rows and broke
+    the n_assignment_rows == n·nassign receipt invariant invisibly. Now
+    they are counted, warned about loudly, and excluded: every derived
+    knob and receipt keys on the finite corpus, and the emitted pairs
+    cover exactly the finite rows."""
+    import warnings as _w
+
+    from mapreduce_paradigm_spark.operators.dedup import (
+        semantic_cluster_near_dups,
+        semdedup_stats,
+    )
+
+    dim = 8
+    good = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            f"j -> CAST(CASE WHEN j = id % 4 THEN 1 ELSE 0 END AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    bad = spark.range(3).select(
+        (F.col("id") + 1000).alias("vec_id"),
+        F.expr(
+            f"CASE id "
+            f"WHEN 0 THEN transform(sequence(0, {dim - 1}), "
+            f"  j -> CAST('NaN' AS DOUBLE)) "
+            f"WHEN 1 THEN transform(sequence(0, {dim - 1}), "
+            f"  j -> CAST(0.0 AS DOUBLE)) "
+            f"ELSE transform(sequence(0, {dim - 1}), "
+            f"  j -> CAST(NULL AS DOUBLE)) END"
+        ).alias("embedding"),
+    )
+    emb = good.unionAll(bad)
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        st = semdedup_stats(emb, nlist=8, lloyd_iters=0)
+    msgs = [x for x in w if "non-finite or zero L2 norm" in str(x.message)]
+    assert msgs and "3 vector(s)" in str(msgs[0].message)
+    assert st["n_vectors"] == 40
+    assert st["n_assignment_rows"] == 40 * st["nassign"]
+    got = semantic_cluster_near_dups(
+        emb, threshold=0.9, nlist=8, lloyd_iters=0
+    ).collect()
+    ids = {r["d1"] for r in got} | {r["d2"] for r in got}
+    assert ids and ids <= set(range(40))
+    # an all-finite corpus stays quiet
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        semdedup_stats(good, nlist=8, lloyd_iters=0)
+    assert not [
+        x for x in w if "non-finite or zero L2 norm" in str(x.message)
+    ]
 
 
 def test_semdedup_corpus_claim_cross_checked(spark):
