@@ -125,6 +125,34 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
     )
 
 
+def binary_duplicate_groups(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups over opaque BINARY payloads —
+    ``dedup.exact_duplicate_groups``' keep-min policy applied to media
+    bytes (round 12: the multimodal tier's full-oracle dedup row). No
+    normalization: payloads are opaque, two images/audio clips are
+    duplicates iff byte-identical, so the key is ``md5(payload)``
+    computed scan-side and the one shuffle carries only (hash, id) —
+    never the payloads. At 100 TB this is the embarrassingly-scalable
+    shape: column pruning skips the payload bytes entirely when the
+    hash is precomputed at ingest, and the group-by output is one row
+    per distinct blob. (The reference's merge phase, src/main.cpp:
+    104-142, unions per-word doc lists; this is the same
+    key-group-reduce applied to content-hash keys.)"""
+    return (
+        media.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.col(payload_col)).alias("payload_md5"),
+        )
+        .groupBy("payload_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Real resize path — requires PIL, absent in this container by design."""
     if not _HAS_PIL:

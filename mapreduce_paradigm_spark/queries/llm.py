@@ -937,6 +937,32 @@ def q_multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_binary_dedup",
+    oracle="""
+SELECT md5(text) AS payload_md5,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    description="Exact dedup over opaque BINARY payloads: md5-of-bytes "
+    "group-by with the keep-min survivor policy (dedup_exact's policy on "
+    "bytes, no normalization — blobs are duplicates iff byte-identical). "
+    "The multimodal tier's full-oracle dedup row (round 12): the payload "
+    "column is the UTF-8 bytes of text (with_binary_payload), so the "
+    "DuckDB oracle hashes the same bytes via md5(text).",
+    tags=("multimodal", "dedup", "llm"),
+)
+def q_multimodal_binary_dedup(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.multimodal import (
+        binary_duplicate_groups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return binary_duplicate_groups(with_binary_payload(docs))
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
 WITH f AS (

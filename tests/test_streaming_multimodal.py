@@ -69,6 +69,40 @@ def test_decode_image_stubbed():
         decode_image(b"\x89PNG\r\n")
 
 
+def test_binary_duplicate_groups(spark):
+    """md5-of-payload exact dedup over opaque binary columns (round 12):
+    byte-identical payloads group with the keep-min policy; near-identical
+    bytes (one bit off) do NOT group — no normalization on opaque blobs.
+    Σ n_copies recovers the corpus and the hash matches hashlib."""
+    import hashlib
+
+    from mapreduce_paradigm_spark.operators.multimodal import (
+        binary_duplicate_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same-bytes"),
+            (2, "same-bytes"),
+            (7, "same-bytes"),
+            (3, "same-bytes "),  # trailing space: different blob, no group
+            (4, "Same-bytes"),  # case: different blob (no normalization)
+            (5, ""),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r["payload_md5"]: r
+        for r in binary_duplicate_groups(with_binary_payload(docs)).collect()
+    }
+    key = hashlib.md5(b"same-bytes").hexdigest()
+    assert got[key]["keep_doc_id"] == 1 and got[key]["n_copies"] == 3
+    assert len(got) == 4
+    assert sum(r["n_copies"] for r in got.values()) == 6
+    singles = [h for h, r in got.items() if r["n_copies"] == 1]
+    assert len(singles) == 3
+
+
 def test_arrow_featurizer_matches_pandas(spark):
     """mapInArrow twin must be row-identical to the mapInPandas featurizer."""
     from mapreduce_paradigm_spark.operators.multimodal import extract_features_arrow
