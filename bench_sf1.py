@@ -402,11 +402,15 @@ def main() -> None:
             # two_level=False pins the FLAT counterfactual explicitly:
             # since round 11 the operator's default DERIVES two-level at
             # nlist >= 1200 (n >= 720k), which would silently change what
-            # this op measures at ladder sizes. Wall is recorded so
-            # assignment-cost regressions show up next to the counts.
+            # this op measures at ladder sizes — and train_sample_size =
+            # corpus pins FULL-corpus training the same way (round 12:
+            # the default now derives a training slice past the same
+            # crossover). Wall is recorded so assignment-cost regressions
+            # show up next to the counts.
             t0 = time.perf_counter()
             sd_stats = semdedup_stats(
-                emb, corpus_size=sizes[tag], two_level=False
+                emb, corpus_size=sizes[tag], two_level=False,
+                train_sample_size=sizes[tag],
             )
             sd_stats["wall_s"] = round(time.perf_counter() - t0, 2)
             notes.setdefault("semdedup_cluster_stats", {}).update(
@@ -422,9 +426,14 @@ def main() -> None:
             # 10M would be ~4x that) — same derived nlist, same verify
             # geometry counts, approximate child choice (recall-vs-flat
             # pinned at fixture scale in pytest)
+            # train_sample_size >= corpus pins FULL-corpus training
+            # explicitly (round 12: the default now DERIVES a training
+            # slice past the crossover, which would silently change what
+            # this full-training counterfactual measures)
             t0 = time.perf_counter()
             sd2 = semdedup_stats(
-                emb, corpus_size=sizes[tag], two_level=True
+                emb, corpus_size=sizes[tag], two_level=True,
+                train_sample_size=sizes[tag],
             )
             sd2["wall_s"] = round(time.perf_counter() - t0, 2)
             notes.setdefault("semdedup_cluster_stats_2l", {}).update(
@@ -452,6 +461,28 @@ def main() -> None:
                 {f"{tag}_{k}": v for k, v in sd3.items()}
             )
             print(f"{'semdedup_cluster_stats_2l_sub':40s} {tag:>4s}: {sd3}",
+                  flush=True)
+        if want("semdedup_cluster_stats_2l_dtrain"):
+            # round 12: train_sample_size left at the DEFAULT (None) so the
+            # operator DERIVES the training slice — max(500k, 39·nlist)
+            # capped at the corpus, auto-enabled past the same crossover
+            # as two_level. At 2M the derivation lands exactly on the
+            # explicit 500k the r11 _sub ladder trained on, so this row's
+            # counts must be BYTE-IDENTICAL to the committed
+            # semdedup_cluster_stats_2l_sub 400x row
+            # (.gates/sf1_zipf_semdedup_counts_2l_sub_r11.json) — the
+            # derived == explicit receipt the round-12 verdict asks for.
+            # The resolved slice is reported in the row itself
+            # (train_sample_size key, round 12).
+            t0 = time.perf_counter()
+            sd4 = semdedup_stats(
+                emb, corpus_size=sizes[tag], two_level=True
+            )
+            sd4["wall_s"] = round(time.perf_counter() - t0, 2)
+            notes.setdefault("semdedup_cluster_stats_2l_dtrain", {}).update(
+                {f"{tag}_{k}": v for k, v in sd4.items()}
+            )
+            print(f"{'semdedup_cluster_stats_2l_dtrain':40s} {tag:>4s}: {sd4}",
                   flush=True)
         if sizes[tag] <= 50_000 and want("semantic_cluster_dedup_nlist8_forced"):
             # counterfactual: superlinear by design
