@@ -1,4 +1,4 @@
-"""Opt-in deep differential fuzz: N examples per axis (thirteen axes),
+"""Opt-in deep differential fuzz: N examples per axis (fourteen axes),
 Spark vs DuckDB.
 
 The committed hypothesis tests in tests/test_properties.py run small
@@ -28,6 +28,7 @@ from tests.test_properties import (
     _distinct_filter_query,
     _grouping_query,
     _hof_query,
+    _json_query,
     _map_query,
     _join_query,
     _orderby_limit_query,
@@ -116,6 +117,7 @@ AXES = [
     ("datetime", _datetime_query(), lambda s: s),
     ("hof", _hof_query(), lambda s: s),
     ("map_hof", _map_query(), lambda s: s),
+    ("json_path", _json_query(), lambda s: s),
 ]
 only = os.environ.get("FUZZ_AXES")
 if only:

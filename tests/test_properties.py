@@ -1325,6 +1325,134 @@ def test_random_map_hof_matches_duckdb(spark, sql_pair):
     assert got == want, f"{spark_sql} vs {duck_sql}: {len(got)} vs {len(want)}"
 
 
+_JSON_INT_COLS = ("o_orderkey", "o_custkey")
+
+
+@st.composite
+def _json_query(draw):
+    """Random JSON-document + path-extraction query PAIR (spark_sql,
+    duck_sql) — the VARIANT/JSON axis (round 12): a JSON string column is
+    BUILT per row from orders int columns with shared-ANSI string
+    concatenation (both engines see byte-identical documents), then 1-3
+    paths are extracted via get_json_object (Spark) /
+    json_extract_string (DuckDB). The path pool mixes valid scalar leaves
+    (numbers, strings), array elements, nested-object leaves, SUBTREE
+    extractions (object/array re-serialization — compact in, compact
+    out), and the NULL-yielding corners: missing top-level key, missing
+    sub-key, out-of-range array index, and json-null values. Every corner
+    was probed individually before the axis landed (all 11 probes SAME,
+    round-12 session)."""
+    parts: list[tuple[bool, str]] = []  # (is_literal, text)
+
+    def lit(s):
+        if parts and parts[-1][0]:
+            parts[-1] = (True, parts[-1][1] + s)
+        else:
+            parts.append((True, s))
+
+    def expr(e):
+        parts.append((False, e))
+
+    def num_expr():
+        col = draw(st.sampled_from(_JSON_INT_COLS))
+        m = draw(st.integers(min_value=2, max_value=999))
+        return f"CAST({col} % {m} AS VARCHAR(30))"
+
+    paths = []
+    nkeys = draw(st.integers(min_value=2, max_value=4))
+    keys = ("a", "b", "c", "d")[:nkeys]
+    lit("{")
+    for i, k in enumerate(keys):
+        if i:
+            lit(",")
+        lit(f'"{k}":')
+        kind = draw(st.sampled_from(["num", "str", "null", "arr", "obj"]))
+        if kind == "num":
+            expr(num_expr())
+            paths.append(f"$.{k}")
+        elif kind == "str":
+            lit('"s')
+            expr(num_expr())
+            lit('"')
+            paths.append(f"$.{k}")
+        elif kind == "null":
+            lit("null")
+            paths.append(f"$.{k}")  # json null -> SQL NULL in both (probed)
+        elif kind == "arr":
+            n = draw(st.integers(min_value=1, max_value=3))
+            lit("[")
+            for j in range(n):
+                if j:
+                    lit(",")
+                expr(num_expr())
+                paths.append(f"$.{k}[{j}]")
+            lit("]")
+            paths.append(f"$.{k}[{n}]")  # out of range -> NULL (probed)
+            paths.append(f"$.{k}")  # array subtree re-serialization
+        else:  # obj
+            sub = draw(st.sampled_from(["x", "y"]))
+            lit('{"' + sub + '":')
+            expr(num_expr())
+            lit("}")
+            paths.append(f"$.{k}.{sub}")
+            paths.append(f"$.{k}.zz")  # missing sub-key -> NULL
+            paths.append(f"$.{k}")  # object subtree re-serialization
+    lit("}")
+    paths.append("$.zz")  # missing top-level key -> NULL
+    chosen = [
+        draw(st.sampled_from(paths))
+        for _ in range(draw(st.integers(min_value=1, max_value=3)))
+    ]
+    js = " || ".join(
+        ("'" + t + "'") if is_l else t for is_l, t in parts
+    )
+
+    def render(fn):
+        cols = ", ".join(
+            f"{fn}(js, '{p}') AS p{i}" for i, p in enumerate(chosen)
+        )
+        return (
+            f"SELECT o_orderkey, {cols} FROM "
+            f"(SELECT o_orderkey, {js} AS js FROM orders) t"
+        )
+
+    return render("get_json_object"), render("json_extract_string")
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(_json_query())
+def test_random_json_path_matches_duckdb(spark, sql_pair):
+    """Fourteenth differential axis (round 12): JSON path extraction over
+    per-row-built documents — get_json_object vs DuckDB's
+    json_extract_string. Closes the one committed-template family without
+    a generator axis (events_variant_extract / from_json paths). The two
+    dialects spell extraction differently, so this axis renders a PAIR;
+    the documents themselves are built with shared-ANSI concatenation so
+    both engines parse byte-identical JSON. Probed corners: missing
+    top-level key, missing sub-key, out-of-range array index, json-null,
+    and compact subtree re-serialization of objects/arrays."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    spark_sql, duck_sql = sql_pair
+
+    def norm(rows):
+        return sorted(
+            tuple((v is None, v if v is not None else "") for v in r)
+            for r in rows
+        )
+
+    path = f"{SF_SMOKE}/orders.parquet"
+    spark.read.parquet(path).createOrReplaceTempView("orders")
+    got = norm(spark.sql(spark_sql).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{path}')")
+    want = norm(con.execute(duck_sql).fetchall())
+    con.close()
+    assert got == want, f"{spark_sql} vs {duck_sql}: {len(got)} vs {len(want)}"
+
+
 @settings(max_examples=15, deadline=None, derandomize=True)
 @given(_setop_query())
 def test_random_setop_matches_duckdb(spark, sql):
