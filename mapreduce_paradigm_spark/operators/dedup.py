@@ -2133,13 +2133,15 @@ def _semantic_cluster_assignments(
     norm = base.select(
         "id", F.transform(F.col("e"), lambda x: x * inv).alias("emb_d")
     )
-    cs = (
-        norm.withColumn("_h", F.xxhash64(F.col("id")))
-        .orderBy("_h")
-        .limit(nlist)
-        .select("emb_d")
-        .collect()
+    # two-pass lowest-hash seed pick (round 12): the naive
+    # orderBy(_h).limit(nlist).collect() TakeOrdered ships P·nlist FULL
+    # vector rows to the driver — see similarity._lowest_hash_rows for
+    # the cliff arithmetic and the cutoff-pass plan shape
+    from mapreduce_paradigm_spark.operators.similarity import (
+        _lowest_hash_rows,
     )
+
+    cs = _lowest_hash_rows(norm, nlist, "id")
     cmat = np.array([r[0] for r in cs], dtype=np.float64)
     train = norm
     if train_sample_size is not None:

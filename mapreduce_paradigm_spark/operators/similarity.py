@@ -53,6 +53,43 @@ def _unit_normalized(df: DataFrame, col: str = "embedding") -> DataFrame:
     return d.withColumn("emb_d", F.transform(F.col("emb_d"), lambda x: x * inv))
 
 
+def _lowest_hash_rows(unit: DataFrame, k: int, id_col: str) -> list:
+    """Deterministic lowest-``xxhash64(id)`` row pick (the seedless
+    sample/seed convention shared by IVF/PQ/SQ8 training and the SemDeDup
+    quantizer), TWO-PASS (round 12, the 10M wall decomposition's 81 s
+    seed-pick term): pass 1 computes the k-th-smallest hash CUTOFF with
+    the sort+limit UNDER an aggregate — a MID-PLAN TakeOrderedAndProject
+    executes per-partition top-k + a single-partition exchange
+    (doExecute), so the P·k candidate hashes merge EXECUTOR-side at 8
+    bytes each — and pass 2 collects only the ≈k cutoff-passing vector
+    rows. The naive ``orderBy(h).limit(k).collect()`` is a TERMINAL
+    TakeOrdered whose executeCollect merges P·k FULL vector rows on the
+    driver — Θ(P·k·dim) transfer, a maxResultSize cliff at cluster scale
+    (1000 partitions × 16,667 seeds × ~550 B/row ≈ 9 GB) — while the
+    two-pass drivers exactly ≈k vectors at any partition count. Output
+    is ascending-hash ordered, byte-identical in set AND order to the
+    naive pick whenever no hash collision straddles the cutoff
+    (P ≈ n²/2⁶⁴; ties at the cutoff stay exactly as arbitrary as the
+    naive shape's)."""
+    hd = unit.withColumn("_h", F.xxhash64(F.col(id_col)))
+    cut = (
+        hd.select("_h")
+        .orderBy("_h")
+        .limit(k)
+        .agg(F.max("_h").alias("m"))
+        .collect()[0]["m"]
+    )
+    if cut is None:
+        return []
+    return (
+        hd.filter(F.col("_h") <= cut)
+        .orderBy("_h")
+        .limit(k)
+        .select("emb_d")
+        .collect()
+    )
+
+
 def topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -257,14 +294,7 @@ def ivf_topk_cosine(
     import numpy as np
 
     spark = corpus.sparkSession
-    cs = (
-        _unit_normalized(corpus, emb_col)
-        .withColumn("_h", F.xxhash64(F.col(id_col)))
-        .orderBy("_h")
-        .limit(nlist)
-        .select("emb_d")
-        .collect()
-    )
+    cs = _lowest_hash_rows(_unit_normalized(corpus, emb_col), nlist, id_col)
     cmat = np.array([r[0] for r in cs], dtype=np.float64)  # (nlist, dim)
     cmat = _lloyd_refine(
         _unit_normalized(corpus, emb_col).select("emb_d"), cmat, lloyd_iters
@@ -381,13 +411,8 @@ def pq_topk_cosine(
     spark = corpus.sparkSession
     dim_row = corpus.select(F.size(emb_col).alias("d")).first()
     dim = int(dim_row["d"])
-    sample_rows = (
-        _unit_normalized(corpus, emb_col)
-        .withColumn("_h", F.xxhash64(F.col(id_col)))
-        .orderBy("_h")
-        .limit(train_sample)
-        .select("emb_d")
-        .collect()
+    sample_rows = _lowest_hash_rows(
+        _unit_normalized(corpus, emb_col), train_sample, id_col
     )
     sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
     books = _train_pq_codebooks(sample, m, ksub)  # (m, ksub, dsub)
@@ -602,13 +627,8 @@ def sq8_topk_cosine(
     Rows-only driver check, like the other approximate tiers.
     """
     spark = corpus.sparkSession
-    sample_rows = (
-        _unit_normalized(corpus, emb_col)
-        .withColumn("_h", F.xxhash64(F.col(id_col)))
-        .orderBy("_h")
-        .limit(train_sample)
-        .select("emb_d")
-        .collect()
+    sample_rows = _lowest_hash_rows(
+        _unit_normalized(corpus, emb_col), train_sample, id_col
     )
     qrows = (
         _unit_normalized(queries, emb_col)

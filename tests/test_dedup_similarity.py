@@ -780,6 +780,57 @@ def test_semdedup_train_sample_auto_derivation(spark, monkeypatch):
     assert st2["train_sample_size"] == 250 and _derive_warns(w)
 
 
+def test_lowest_hash_seed_pick_two_pass(spark):
+    """Round-12 seed-pick rework: the shared lowest-xxhash64 sample/seed
+    pick is now two-pass (executor-side cutoff, then collect exactly ≈k
+    vectors) instead of a TakeOrdered shipping P·k full vector rows to
+    the driver. Pins: (a) byte-identical output — same rows, same
+    ascending-hash ORDER (cluster ids key off seed order) — vs the naive
+    shape on the fixture at several k; (b) empty input yields []; (c)
+    the cutoff pass plans the limit UNDER the aggregate — a mid-plan
+    TakeOrderedAndProject executes per-partition top-k + single-
+    partition shuffle merge (executor-side doExecute), unlike the
+    TERMINAL TakeOrdered of the naive collect whose executeCollect
+    merges P·k full rows on the driver."""
+    from mapreduce_paradigm_spark.operators.similarity import (
+        _lowest_hash_rows,
+        _unit_normalized,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    unit = _unit_normalized(emb).select("vec_id", "emb_d")
+    for k in (1, 16, 100, 10_000_000):
+        naive = (
+            unit.withColumn("_h", F.xxhash64(F.col("vec_id")))
+            .orderBy("_h")
+            .limit(k)
+            .select("emb_d")
+            .collect()
+        )
+        got = _lowest_hash_rows(unit, k, "vec_id")
+        assert got == naive, k
+    assert _lowest_hash_rows(unit.filter("vec_id < 0"), 5, "vec_id") == []
+    cut_plan = (
+        unit.withColumn("_h", F.xxhash64(F.col("vec_id")))
+        .select("_h")
+        .orderBy("_h")
+        .limit(16)
+        .agg(F.max("_h"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the aggregate must sit ABOVE the limit: that is what flips
+    # TakeOrderedAndProject from executeCollect (driver merge of P·k
+    # rows) to doExecute (per-partition top-k + 1-partition exchange)
+    assert "HashAggregate" in cut_plan, cut_plan
+    assert cut_plan.index("HashAggregate") < cut_plan.index(
+        "TakeOrderedAndProject"
+    ), cut_plan
+    # and the limit pass carries ONLY the 8-byte hash column
+    assert "output=[_h#" in cut_plan, cut_plan
+
+
 def test_lsh_derived_params_claim_verified(spark):
     """Round-12 advisor item: on the DERIVED path (nbits=None) a caller
     ``corpus_size`` is probe-verified BEFORE it feeds the nbits/bands
