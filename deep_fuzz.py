@@ -1,4 +1,4 @@
-"""Opt-in deep differential fuzz: N examples per axis (fourteen axes),
+"""Opt-in deep differential fuzz: N examples per axis (fifteen axes),
 Spark vs DuckDB.
 
 The committed hypothesis tests in tests/test_properties.py run small
@@ -29,6 +29,7 @@ from tests.test_properties import (
     _grouping_query,
     _hof_query,
     _json_query,
+    _lateral_query,
     _map_query,
     _join_query,
     _orderby_limit_query,
@@ -118,6 +119,7 @@ AXES = [
     ("hof", _hof_query(), lambda s: s),
     ("map_hof", _map_query(), lambda s: s),
     ("json_path", _json_query(), lambda s: s),
+    ("lateral", _lateral_query(), lambda s: s),
 ]
 only = os.environ.get("FUZZ_AXES")
 if only:

@@ -1453,6 +1453,109 @@ def test_random_json_path_matches_duckdb(spark, sql_pair):
     assert got == want, f"{spark_sql} vs {duck_sql}: {len(got)} vs {len(want)}"
 
 
+@st.composite
+def _lateral_query(draw):
+    """Random row-GENERATING lateral query PAIR (spark_sql, duck_sql) —
+    the explode/unnest axis (round 12): an array column is built per row
+    from orders int columns (elements are ``col % m`` or typed NULL
+    literals — never NULL first, so the dialect-specific empty-array
+    spelling can type itself off the first element), optionally wrapped in
+    a CASE that routes some rows to an EMPTY array and some to a NULL
+    array, then exploded three ways. Spark spells the lateral as
+    LATERAL VIEW [OUTER] explode/posexplode; DuckDB has no lateral-view
+    clause, so the pair renders unnest-in-SELECT (inner), the row-aligned
+    ``generate_subscripts(arr,1)-1`` zip (positional — DuckDB zips
+    same-SELECT unnesting functions row-wise, probed), and a CASE that
+    substitutes ``[NULL]`` for NULL/empty arrays (OUTER — one padded row,
+    exactly Spark's OUTER semantics, probed). Both engines drop NULL and
+    empty arrays in the inner forms and emit NULL-element rows as NULL
+    (probed individually before the axis landed, round-12 session)."""
+    n = draw(st.integers(min_value=1, max_value=4))
+    elems = []
+    for i in range(n):
+        if i > 0 and draw(st.integers(min_value=0, max_value=3)) == 0:
+            elems.append("CAST(NULL AS BIGINT)")
+        else:
+            col = draw(st.sampled_from(_JSON_INT_COLS))
+            m = draw(st.integers(min_value=2, max_value=99))
+            elems.append(f"{col} % {m}")
+    s_arr = "array(" + ", ".join(elems) + ")"
+    d_arr = "[" + ", ".join(elems) + "]"
+    first = elems[0]
+    p = draw(st.integers(min_value=3, max_value=7))
+    with_empty = draw(st.booleans())
+    with_null = draw(st.booleans())
+    if with_empty or with_null:
+        s_branches, d_branches = [], []
+        if with_empty:
+            s_branches.append(
+                f"WHEN o_orderkey % {p} = 0 THEN slice(array({first}), 1, 0)"
+            )
+            d_branches.append(
+                f"WHEN o_orderkey % {p} = 0 THEN list_slice([{first}], 1, 0)"
+            )
+        if with_null:
+            s_branches.append(f"WHEN o_orderkey % {p} = 1 THEN NULL")
+            d_branches.append(f"WHEN o_orderkey % {p} = 1 THEN NULL")
+        s_case = f"CASE {' '.join(s_branches)} ELSE {s_arr} END"
+        d_case = f"CASE {' '.join(d_branches)} ELSE {d_arr} END"
+    else:
+        s_case, d_case = s_arr, d_arr
+    s_inner = f"(SELECT o_orderkey AS k, {s_case} AS arr FROM orders) t"
+    d_inner = f"(SELECT o_orderkey AS k, {d_case} AS arr FROM orders) t"
+    mode = draw(st.sampled_from(["explode", "posexplode", "outer"]))
+    if mode == "explode":
+        return (
+            f"SELECT k, x FROM {s_inner} LATERAL VIEW explode(arr) v AS x",
+            f"SELECT k, unnest(arr) AS x FROM {d_inner}",
+        )
+    if mode == "posexplode":
+        return (
+            f"SELECT k, pos, x FROM {s_inner} "
+            f"LATERAL VIEW posexplode(arr) v AS pos, x",
+            f"SELECT k, generate_subscripts(arr, 1) - 1 AS pos, "
+            f"unnest(arr) AS x FROM {d_inner}",
+        )
+    return (
+        f"SELECT k, x FROM {s_inner} LATERAL VIEW OUTER explode(arr) v AS x",
+        f"SELECT k, unnest(CASE WHEN arr IS NULL OR length(arr) = 0 "
+        f"THEN [CAST(NULL AS BIGINT)] ELSE arr END) AS x FROM {d_inner}",
+    )
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(_lateral_query())
+def test_random_lateral_explode_matches_duckdb(spark, sql_pair):
+    """Fifteenth differential axis (round 12): row-generating laterals —
+    explode / posexplode / OUTER explode over randomly-built array columns
+    with NULL elements, NULL arrays, and empty arrays — vs DuckDB's
+    unnest-in-SELECT family. The one structural query shape (rows OUT >
+    rows IN) no other axis generates, and the engine's own hot construct
+    (the flagship tokenizer, every shingle/posting explode in the dedup
+    tier). Probed corners: NULL array dropped (both), empty array dropped
+    (both), NULL element emitted (both), 0-based position alignment, and
+    OUTER's single padded NULL row on NULL/empty arrays."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    spark_sql, duck_sql = sql_pair
+
+    def norm(rows):
+        return sorted(
+            tuple((v is None, 0 if v is None else v) for v in r) for r in rows
+        )
+
+    path = f"{SF_SMOKE}/orders.parquet"
+    spark.read.parquet(path).createOrReplaceTempView("orders")
+    got = norm(spark.sql(spark_sql).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{path}')")
+    want = norm(con.execute(duck_sql).fetchall())
+    con.close()
+    assert got == want, f"{spark_sql} vs {duck_sql}: {len(got)} vs {len(want)}"
+
+
 @settings(max_examples=15, deadline=None, derandomize=True)
 @given(_setop_query())
 def test_random_setop_matches_duckdb(spark, sql):
