@@ -23,6 +23,7 @@ import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # in-array unordered pair combinations of a sorted id list ``ds`` — the
 # no-self-join bucket-explode shared by the MinHash banding, its stats
@@ -2001,7 +2002,19 @@ def _semantic_cluster_assignments(
         # scan-side (same guard as _sign_band_signatures, round 9)
         .filter(F.col("e").isNotNull())
         .withColumn("n", l2_norm("e"))
-        .localCheckpoint(eager=True)
+        # DISK_ONLY (round 12): the default MEMORY_AND_DISK level unrolls
+        # each partition DESERIALIZED in the executor heap before deciding
+        # to spill — 32 concurrent ~700 MB unrolls OOM-killed the 48 g JVM
+        # at 80M vectors (the first scale where n·dim doubles outgrow the
+        # heap; stage-2 `java.lang.OutOfMemoryError` inside
+        # BlockManager.doPutIterator → DiskStore.put). DISK_ONLY streams
+        # values through the serializer to disk with a bounded buffer —
+        # per-task transient memory independent of partition size — and
+        # the OS page cache keeps warm reads memory-fast at every fixture
+        # scale, so the level costs nothing below the cliff. Same posture
+        # a 100 TB deployment needs: the corpus frame is never assumed to
+        # fit executor memory.
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     # corpus size is COUNTED unconditionally (round 11; supersedes the
     # round-9/10 trust-the-claim contract): this operator is already eager
@@ -2277,10 +2290,12 @@ def _semantic_cluster_assignments(
     # cluster self-join consumes it on BOTH sides, and without the
     # checkpoint each side re-runs the Arrow assignment pass twice.
     # localCheckpoint blocks are reaped by the ContextCleaner on GC, so no
-    # cache-scope bookkeeping is needed.
+    # cache-scope bookkeeping is needed. DISK_ONLY for the same reason as
+    # the base frame: n·nassign rows is "tiny" relative to the corpus but
+    # still Θ(n) — never assume it fits executor memory.
     assigned = (
         norm.mapInPandas(assign, schema="id BIGINT, cluster_id INT")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     # the RESOLVED training-slice target (explicit, derived, or the full
     # corpus when neither slices) — reported by semdedup_stats so receipts
