@@ -37,6 +37,14 @@ from mapreduce_paradigm_spark.functions import dot_product
 # nlist ≤ 2048 (every repo fixture) the single block IS the unblocked
 # computation, bit for bit.
 _LLOYD_SCORE_BLOCK = 2048
+# collect-path budget for Lloyd partials: when the worst case
+# nlist · npartitions · (8·dim + 64) bytes exceeds this, partials merge
+# executor-side per list instead of collecting (round 12 — the 80M probe's
+# derived nlist=133,334 × 64 partitions aborted on the 1 GiB
+# spark.driver.maxResultSize). 256 MiB keeps a 4× margin under the default
+# maxResultSize while leaving every repo fixture (nlist ≤ 2048, P = 32:
+# ~37 MB worst case) on the shuffle-free straight collect.
+_LLOYD_PARTIALS_COLLECT_MAX = 256 << 20
 
 
 def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
@@ -189,12 +197,29 @@ def _lloyd_refine(c_norm: DataFrame, cmat: "np.ndarray", iters: int) -> "np.ndar
     within a partition is deterministic, so the accumulated partials —
     and everything downstream — stay rerun-stable; partitions small
     enough for one batch (every repo fixture) emit bit-identical
-    partials to the per-batch form. At deployment scale (10k+ partitions,
-    nlist ≥ 100k) the collect is Θ(nlist · npartitions) — coalesce the
-    corpus pass or tree-reduce the partials before the driver if that
-    product outgrows the driver; the driver-side SORTED reduce is what
-    buys FP determinism, so a distributed double-sum (task-order
-    dependent) is not a drop-in replacement."""
+    partials to the per-batch form.
+
+    The Θ(nlist · npartitions) partials COLLECT is itself a cliff
+    (round 12, measured): at 80M vectors the derived nlist=133,334 ×
+    64 partitions put ~2 GB of partial rows through
+    ``spark.driver.maxResultSize`` — a clean abort at 1032.9 MiB of the
+    first 31 task results. When the worst-case estimate
+    ``nlist · P · (8·dim + 64)`` exceeds ``_LLOYD_PARTIALS_COLLECT_MAX``
+    the partials are instead merged EXECUTOR-SIDE per list
+    (``groupBy(list_id).applyInPandas``): each group left-folds its
+    partials from ``np.zeros`` in the SAME (n, vec_sum) sort order the
+    driver reduce uses, so the per-list sums — and therefore the
+    centroids — are BIT-IDENTICAL to the collect path (a naive
+    distributed double-sum is task-order nondeterministic, which is why
+    the fold ORDER is pinned, not just the partition of work). The
+    driver then collects ≤ nlist merged rows — Θ(nlist · dim),
+    independent of the partition count — and ASSIGNS each list's folded
+    sum (zeros + the same fold sequence == the fold, bit-for-bit).
+    Below the threshold the straight collect is kept: zero extra
+    shuffle at fixture scale, and the distributed path is pinned
+    bit-identical to it in pytest. At nlist ≳ 1M the merged collect
+    itself approaches maxResultSize — collect in list_id ranges if a
+    deployment ever derives that far."""
     import pandas as pd
 
     if iters <= 0:
@@ -245,15 +270,46 @@ def _lloyd_refine(c_norm: DataFrame, cmat: "np.ndarray", iters: int) -> "np.ndar
                 }
             )
 
-        rows = c_norm.mapInPandas(
+        part_df = c_norm.mapInPandas(
             partials, schema="list_id INT, n BIGINT, vec_sum ARRAY<DOUBLE>"
-        ).collect()
-        rows.sort(key=lambda r: (r["list_id"], r["n"], tuple(r["vec_sum"])))
+        )
         sums = np.zeros((nlist, dim))
         counts = np.zeros(nlist, dtype=np.int64)
-        for r in rows:
-            sums[r["list_id"]] += np.asarray(r["vec_sum"])
-            counts[r["list_id"]] += r["n"]
+        npart = c_norm.rdd.getNumPartitions()
+        if nlist * npart * (8 * dim + 64) > _LLOYD_PARTIALS_COLLECT_MAX:
+            # executor-side per-list merge (see docstring): fold each
+            # list's partials from zeros in the exact (n, vec_sum) order
+            # the driver reduce below uses — bit-identical centroids,
+            # driver transfer Θ(nlist·dim) independent of npartitions
+            def merge_list(pdf):
+                recs = sorted(
+                    zip(pdf["n"], (tuple(v) for v in pdf["vec_sum"]))
+                )
+                s = np.zeros(dim)
+                ntot = 0
+                for nn, vec in recs:
+                    s += np.asarray(vec, dtype=np.float64)
+                    ntot += int(nn)
+                return pd.DataFrame(
+                    {
+                        "list_id": [int(pdf["list_id"].iloc[0])],
+                        "n": [ntot],
+                        "vec_sum": [s.tolist()],
+                    }
+                )
+
+            merged = part_df.groupBy("list_id").applyInPandas(
+                merge_list, schema="list_id INT, n BIGINT, vec_sum ARRAY<DOUBLE>"
+            ).collect()
+            for r in merged:
+                sums[r["list_id"]] = np.asarray(r["vec_sum"])
+                counts[r["list_id"]] = r["n"]
+        else:
+            rows = part_df.collect()
+            rows.sort(key=lambda r: (r["list_id"], r["n"], tuple(r["vec_sum"])))
+            for r in rows:
+                sums[r["list_id"]] += np.asarray(r["vec_sum"])
+                counts[r["list_id"]] += r["n"]
         nxt = cmat.copy()
         for l in range(nlist):
             if counts[l] > 0:

@@ -511,6 +511,51 @@ def test_semdedup_blocked_scoring_matches_unblocked(spark, monkeypatch):
     assert pairs(ties, threshold=0.9, nlist=8, lloyd_iters=0) == base_tie
 
 
+def test_lloyd_partials_distributed_merge_bit_identical(spark, monkeypatch):
+    """Round 12: the Θ(nlist·npartitions) Lloyd-partials collect is
+    itself a cliff — the 80M probe's derived nlist=133,334 × 64
+    partitions aborted on spark.driver.maxResultSize (1032.9 MiB of the
+    first 31 task results). Past ``_LLOYD_PARTIALS_COLLECT_MAX`` the
+    partials now merge EXECUTOR-side per list, left-folding from zeros
+    in the exact (n, vec_sum) sort order the driver reduce uses — so
+    the refined centroids must be BIT-identical, not merely close. This
+    pin forces the distributed path (threshold 0) and requires
+    ``tobytes()`` equality with the collect path across two Lloyd
+    iterations (any FP reorder in iteration 1 would compound through
+    iteration 2's assignments), plus operator-level pair-set equality
+    through semantic_cluster_near_dups."""
+    import mapreduce_paradigm_spark.operators.similarity as sim
+    from mapreduce_paradigm_spark.operators.dedup import (
+        semantic_cluster_near_dups,
+    )
+    from mapreduce_paradigm_spark.operators.similarity import (
+        _lloyd_refine,
+        _lowest_hash_rows,
+        _unit_normalized,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    norm = _unit_normalized(emb, "embedding")
+    cmat0 = np.array(
+        [r[0] for r in _lowest_hash_rows(norm, 16, "vec_id")],
+        dtype=np.float64,
+    )
+    c_norm = norm.select("emb_d")
+    base_cmat = _lloyd_refine(c_norm, cmat0.copy(), 2)
+    base_pairs = {
+        (r["d1"], r["d2"])
+        for r in semantic_cluster_near_dups(emb, nlist=16).collect()
+    }
+    monkeypatch.setattr(sim, "_LLOYD_PARTIALS_COLLECT_MAX", 0)
+    dist_cmat = _lloyd_refine(c_norm, cmat0.copy(), 2)
+    assert dist_cmat.tobytes() == base_cmat.tobytes()
+    dist_pairs = {
+        (r["d1"], r["d2"])
+        for r in semantic_cluster_near_dups(emb, nlist=16).collect()
+    }
+    assert dist_pairs == base_pairs
+
+
 def test_semdedup_tie_break_exact_under_tied_scores(spark):
     """Round-11 advisor item: the exhaustive-probe ``two_level == flat``
     equality must hold even when child cosine scores TIE exactly — both
