@@ -224,13 +224,26 @@ def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame
 # --- shingles + exact Jaccard ------------------------------------------------
 
 
-def hashed_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+def hashed_shingles(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    distinct_in_doc: bool = False,
+) -> DataFrame:
     """``(doc_id, sid)`` stream: k-gram word shingles keyed by their 64-bit
     xxhash, not the string — exchanges carry 8-byte keys (~30% faster here,
     far more at 100 TB where shuffle volume is the bill). A hash collision
     merges two shingles — P ≈ n²/2⁶⁵, immaterial for near-dup *semantics*
     even at 10¹⁰ shingles (perturbs one Jaccard by ~1/|set|); flip to string
-    keys if an application needs collision-free shingle identity."""
+    keys if an application needs collision-free shingle identity.
+
+    ``distinct_in_doc=True`` dedups each document's shingle MULTISET to a
+    set IN-ARRAY before the explode (round 12): the emitted rows are
+    exactly ``explode(...).distinct()``'s — (doc_id, sid) unique — but the
+    dedup is a per-row ``array_distinct`` in the scan projection instead
+    of a corpus-scale shuffle, so consumers that need set semantics (e.g.
+    the decontamination semi-join counting distinct hits per doc) skip a
+    full exchange of the token stream (guide §2.4)."""
     arr = docs.select(
         "doc_id",
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
@@ -243,17 +256,15 @@ def hashed_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
     # consumer (only pair/membership outputs leave), so the id scheme is
     # free to choose the cheap one.
     token_args = ", ".join(f"toks[i + {j}]" for j in range(-1, k - 1))
-    return arr.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(toks) >= {k} THEN "
-                f"transform(sequence(1, size(toks) - {k - 1}), "
-                f"i -> xxhash64({token_args})) "
-                f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
-            )
-        ).alias("sid"),
+    sid_array = (
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> xxhash64({token_args})) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
+    if distinct_in_doc:
+        sid_array = f"array_distinct({sid_array})"
+    return arr.select("doc_id", F.explode(F.expr(sid_array)).alias("sid"))
 
 
 def hashed_shingles_pos(
@@ -344,7 +355,13 @@ def jaccard_pairs(
     # feeds two branches (sizes + pairs): persist instead of recomputing the
     # corpus scan + shuffle per branch. MEMORY_AND_DISK → spills, never OOMs.
     postings = _tracked_persist(postings)
-    sizes = (
+    # sizes itself feeds BOTH join sides (s1, s2) under different aliases —
+    # Catalyst plans them as independent subtrees, so without its own
+    # persist the postings explode + per-doc count (a full Σ df-element
+    # pass + exchange) runs TWICE (round-12 before-plan: two identical
+    # HashAggregate+Exchange chains over the postings cache). One row per
+    # doc, spill-safe.
+    sizes = _tracked_persist(
         postings.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("sz"))
@@ -406,7 +423,9 @@ def delta_jaccard_pairs(
         .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = (
+    # persisted: consumed by both join sides (same double-compute hazard as
+    # jaccard_pairs' sizes — see the comment there)
+    sizes = _tracked_persist(
         postings.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("sz"))
@@ -442,7 +461,12 @@ def benchmark_contamination(
     shingles; the plumbing is unchanged. Hash-keyed shingles as everywhere
     (8-byte keys; collision odds immaterial, see ``hashed_shingles``)."""
     bench_sids = hashed_shingles(benchmark, k, text_col).select("sid").distinct()
-    corpus_sids = hashed_shingles(corpus, k, text_col).distinct()
+    # per-doc set semantics via the in-array dedup, NOT explode().distinct()
+    # — the old row-level distinct was a full corpus-scale exchange of the
+    # (doc_id, sid) stream sitting exactly where this operator's docstring
+    # promises zero corpus shuffle (round-12 plan audit; guide §2.4). Rows
+    # are identical by construction, so the hit counts are unchanged.
+    corpus_sids = hashed_shingles(corpus, k, text_col, distinct_in_doc=True)
     return (
         corpus_sids.join(F.broadcast(bench_sids), "sid", "left_semi")
         .groupBy("doc_id")
@@ -495,8 +519,9 @@ def benchmark_contamination_bloom(
         for i in range(4)
     )
     candidates = (
-        hashed_shingles(corpus, k, text_col)
-        .distinct()
+        # in-array per-doc dedup replaces the corpus-scale explode().distinct()
+        # exchange — same rows, zero corpus shuffle (see benchmark_contamination)
+        hashed_shingles(corpus, k, text_col, distinct_in_doc=True)
         .join(F.broadcast(bits_row))  # one-row broadcast: the filter itself
         .filter(F.expr(probe))
         .drop("bits")
@@ -1820,6 +1845,13 @@ def simhash_near_pairs(
     bucketed = grouped
     exact_pairs = None
     if max_chunk_df is not None:
+        # grouped feeds TWO branches here (normal buckets + the megabucket
+        # routing tier) — without a persist the C(m,d)-way chunk-key
+        # explode and its bucket aggregation (the corpus-scale exchange of
+        # this operator) execute once PER branch (round-12 before-plan:
+        # two identical Generate+ObjectHashAggregate+Exchange chains,
+        # nodes 8-12 and 19-23).
+        grouped = _tracked_persist(grouped)
         bucketed = grouped.filter(F.size("ds") <= max_chunk_df)
         # megabucket members → exact-fingerprint tier: one grouped pass at
         # member scale (distinct first — a doc can sit in up to
@@ -1856,11 +1888,21 @@ def simhash_near_pairs(
     )
     if exact_pairs is not None:
         pairs = pairs.unionByName(exact_pairs)
+    # hamming verify BELOW the dedup exchange (round 12, guide §2.3/§2.4:
+    # filter before you shuffle): bucket-colocated candidates are mostly
+    # far pairs, so computing bit_count(xor) map-side and filtering first
+    # shrinks the distinct's shuffle to true-result rows only. hamming is
+    # a pure function of (h1, h2), so filter∘distinct == distinct∘filter
+    # and the emitted set is identical; the distinct key (d1, d2, hamming)
+    # dedups exactly as (d1, d2, h1, h2) did — a pair's fingerprints are
+    # fixed, so duplicates across subset tables collapse the same way.
     return _scoped(
-        pairs.distinct()
-        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
+        .distinct()
     )
 
 
@@ -2742,7 +2784,9 @@ def containment_pairs(
     if max_shingle_df is not None:
         postings = postings.filter(F.col("df") <= max_shingle_df)
     postings = _tracked_persist(postings)
-    sizes = (
+    # persisted: consumed by both join sides (same double-compute hazard as
+    # jaccard_pairs' sizes — see the comment there)
+    sizes = _tracked_persist(
         postings.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("sz"))
@@ -2755,20 +2799,30 @@ def containment_pairs(
     )
     c12 = F.col("n_common") / F.col("s1.sz")
     c21 = F.col("n_common") / F.col("s2.sz")
-    fwd = both.select(
-        F.col("d1").alias("src"),
-        F.col("d2").alias("dst"),
-        F.col("s1.sz").alias("src_sz"),
-        F.col("s2.sz").alias("dst_sz"),
-        c12.alias("containment"),
+    # both directions via ONE in-plan explode, not a union of two selects
+    # over ``both`` — a union plans its branches as independent subtrees,
+    # so the whole candidate join tree (and the sizes aggregation under
+    # it) would execute twice for one logical pass (round-12 plan audit).
+    # Same rows, same values; row order within the unordered result is
+    # not part of the contract.
+    directed = F.array(
+        F.struct(
+            F.col("d1").alias("src"),
+            F.col("d2").alias("dst"),
+            F.col("s1.sz").alias("src_sz"),
+            F.col("s2.sz").alias("dst_sz"),
+            c12.alias("containment"),
+        ),
+        F.struct(
+            F.col("d2").alias("src"),
+            F.col("d1").alias("dst"),
+            F.col("s2.sz").alias("src_sz"),
+            F.col("s1.sz").alias("dst_sz"),
+            c21.alias("containment"),
+        ),
     )
-    rev = both.select(
-        F.col("d2").alias("src"),
-        F.col("d1").alias("dst"),
-        F.col("s2.sz").alias("src_sz"),
-        F.col("s1.sz").alias("dst_sz"),
-        c21.alias("containment"),
+    return _scoped(
+        both.select(F.explode(directed).alias("e"))
+        .select("e.src", "e.dst", "e.src_sz", "e.dst_sz", "e.containment")
+        .filter(F.col("containment") >= threshold)
     )
-    return _scoped(fwd.unionByName(rev).filter(
-        F.col("containment") >= threshold
-    ))

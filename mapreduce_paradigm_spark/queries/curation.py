@@ -72,39 +72,49 @@ FROM j GROUP BY doc_id
     tags=("llm", "quality", "dedup"),
 )
 def q_doc_segment_boilerplate(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
     )
-    segs = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, CAST(ceil(size(toks)/{_SEG_W}.0) AS INT) - 1),"
-                f" i -> array_join(slice(toks, i*{_SEG_W}+1, {_SEG_W}), ' '))"
-            )
-        ).alias("pos", "seg"),
-    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "seg")
+    # segs feeds BOTH the df aggregate and the flag join — independent
+    # subtrees, so unpersisted the corpus scan + tokenize + segment
+    # explode executed twice (round-12 before-plan: two identical
+    # Scan→Generate chains). Persisted spill-safe; one corpus pass.
+    segs = _tracked_persist(
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(toks)/{_SEG_W}.0) AS INT) - 1),"
+                    f" i -> array_join(slice(toks, i*{_SEG_W}+1, {_SEG_W}), ' '))"
+                )
+            ).alias("pos", "seg"),
+        ).select("doc_id", F.col("pos").cast("long").alias("pos"), "seg")
+    )
     df = segs.groupBy("seg").agg(
         F.countDistinct("doc_id").cast("long").alias("seg_df")
     )
     j = segs.join(df, "seg")
     boiler = F.col("seg_df") >= _DF_MIN
-    return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_segments"),
-        F.sum(boiler.cast("long")).alias("n_boiler"),
-        F.round(
-            F.sum(boiler.cast("double")) / F.count(F.lit(1)), 4
-        ).alias("boiler_frac"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.when(~boiler, F.struct("pos", "seg")))
+    return _scoped(
+        j.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(boiler.cast("long")).alias("n_boiler"),
+            F.round(
+                F.sum(boiler.cast("double")) / F.count(F.lit(1)), 4
+            ).alias("boiler_frac"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(~boiler, F.struct("pos", "seg")))
+                    ),
+                    lambda x: x["seg"],
                 ),
-                lambda x: x["seg"],
-            ),
-            " ",
-        ).alias("clean_text"),
+                " ",
+            ).alias("clean_text"),
+        )
     )
 
 

@@ -490,6 +490,8 @@ FROM terms
     tags=("statistics", "drift", "events"),
 )
 def q_events_value_wasserstein_drift(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
         F.round(F.col("value") * 1e6, 0).cast("long").alias("vm"),
@@ -497,13 +499,23 @@ def q_events_value_wasserstein_drift(spark, sf_dir):
         .otherwise(0)
         .alias("is_ref"),
     )
-    grid = v.groupBy("vm").agg(
-        F.sum("is_ref").cast("long").alias("c_ref"),
-        F.sum(1 - F.col("is_ref")).cast("long").alias("c_cur"),
+    # grid feeds the cdf window AND both ``tot`` cross-join broadcasts —
+    # Catalyst plans each as an independent subtree, so without the
+    # persists the full events scan + grid aggregation executed THREE
+    # times (round-12 before-plan: three identical Scan→HashAggregate
+    # chains, nodes 1-5, 11-15, 24-28). grid is distinct-value-sized,
+    # tot is one row.
+    grid = _tracked_persist(
+        v.groupBy("vm").agg(
+            F.sum("is_ref").cast("long").alias("c_ref"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("c_cur"),
+        )
     )
-    tot = grid.agg(
-        F.sum("c_ref").cast("long").alias("n_ref"),
-        F.sum("c_cur").cast("long").alias("n_cur"),
+    tot = _tracked_persist(
+        grid.agg(
+            F.sum("c_ref").cast("long").alias("n_ref"),
+            F.sum("c_cur").cast("long").alias("n_cur"),
+        )
     )
     wcdf = Window.orderBy("vm")
     cdf = grid.select(
@@ -525,7 +537,7 @@ def q_events_value_wasserstein_drift(spark, sf_dir):
             ).alias("t")
         )
     )
-    return (
+    return _scoped(
         terms.agg(F.sum("t").alias("st"))
         .crossJoin(F.broadcast(tot))
         .select(

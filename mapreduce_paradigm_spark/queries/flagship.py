@@ -477,12 +477,20 @@ def q_bm25_ranking(spark, sf_dir):
     # is scoped to the returned plan (weakref finalizer), so composers like
     # hybrid_rrf_fusion keep it alive exactly as long as their own plan
     dw = _tracked_persist(doc_words(docs))
-    dl = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl feeds both the collection-stats aggregate (n) and the scoring
+    # join; tf feeds both df and the scoring join — each pair plans as
+    # independent subtrees, so unpersisted they re-aggregate the cached
+    # token stream once per consumer (round-12 plan audit: the dl and tf
+    # HashAggregate+Exchange chains each appeared twice). Both frames are
+    # per-doc / per-(doc,term) sized, far smaller than the token stream.
+    dl = _tracked_persist(
+        dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    )
     n = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    tf = (
+    tf = _tracked_persist(
         dw.filter(F.col("word").isin(*terms_wanted))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -79,7 +79,12 @@ def q_word_cooccurrence_pmi(spark, sf_dir):
     )
     dw = words_per_doc.select("doc_id", F.explode("ws").alias("w"))
     n = words_per_doc.agg(F.count(F.lit(1)).alias("n_docs"))
-    df = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # df feeds BOTH broadcast sides (d1, d2) under different aliases, and
+    # the renamed projections defeat ReuseExchange — without its own
+    # persist the vocabulary explode + groupBy (a full pass over the
+    # cached word arrays) executes once per side (round-12 plan audit).
+    # One row per distinct word, spill-safe.
+    df = _tracked_persist(dw.groupBy("w").agg(F.count(F.lit(1)).alias("df")))
     words_per_doc = words_per_doc.select(
         "doc_id", F.sort_array("ws").alias("ws")
     )
@@ -176,7 +181,12 @@ def q_word_collocation_llr(spark, sf_dir):
     )
     dw = words_per_doc.select("doc_id", F.explode("ws").alias("w"))
     n = words_per_doc.agg(F.count(F.lit(1)).alias("n_docs"))
-    df = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # df feeds BOTH broadcast sides (d1, d2) under different aliases, and
+    # the renamed projections defeat ReuseExchange — without its own
+    # persist the vocabulary explode + groupBy (a full pass over the
+    # cached word arrays) executes once per side (round-12 plan audit).
+    # One row per distinct word, spill-safe.
+    df = _tracked_persist(dw.groupBy("w").agg(F.count(F.lit(1)).alias("df")))
     sorted_ws = words_per_doc.select("doc_id", F.sort_array("ws").alias("ws"))
     pair_expr = F.expr(
         "flatten(transform(ws, (x, i) -> "

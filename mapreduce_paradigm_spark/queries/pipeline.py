@@ -195,12 +195,25 @@ GROUP BY 1
     tags=("dedup", "textstats", "llm"),
 )
 def q_duplicated_span_fraction(spark, sf_dir):
-    from mapreduce_paradigm_spark.operators.dedup import hashed_shingles
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _scoped,
+        _tracked_persist,
+        hashed_shingles,
+    )
 
-    sh = hashed_shingles(load_table(spark, sf_dir, "documents"), k=5).distinct()
+    # round 12: per-doc span-set semantics via the in-array dedup (same
+    # rows as explode().distinct(), minus the corpus-scale distinct
+    # exchange — see hashed_shingles), and persisted because BOTH the df
+    # aggregate and the rollup join consume the stream (unpersisted, the
+    # scan + tokenize + explode ran twice).
+    sh = _tracked_persist(
+        hashed_shingles(
+            load_table(spark, sf_dir, "documents"), k=5, distinct_in_doc=True
+        )
+    )
     sdf = sh.groupBy("sid").agg(F.count("*").alias("sdf"))
     dup = F.sum(F.when(F.col("sdf") >= 2, 1).otherwise(0)).cast("long")
-    return (
+    return _scoped(
         sh.join(sdf, "sid")
         .groupBy("doc_id")
         .agg(
@@ -248,9 +261,19 @@ FROM dup GROUP BY doc_id, grp
     tags=("dedup", "textstats", "llm"),
 )
 def q_duplicate_span_extraction(spark, sf_dir):
-    from mapreduce_paradigm_spark.operators.dedup import hashed_shingles_pos
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _scoped,
+        _tracked_persist,
+        hashed_shingles_pos,
+    )
 
-    sh = hashed_shingles_pos(load_table(spark, sf_dir, "documents"), k=5)
+    # sh feeds BOTH the window-df aggregate and the dup-sid semi-join —
+    # independent subtrees, so unpersisted the corpus scan + tokenize +
+    # position explode executed twice (round-12 before-plan: two identical
+    # Scan→Generate chains). One corpus pass, spill-safe.
+    sh = _tracked_persist(
+        hashed_shingles_pos(load_table(spark, sf_dir, "documents"), k=5)
+    )
     dup_sids = (
         sh.groupBy("sid")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -259,7 +282,7 @@ def q_duplicate_span_extraction(spark, sf_dir):
     )
     dup = sh.join(dup_sids, "sid", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
+    return _scoped(
         dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
         .groupBy("doc_id", "grp")
         .agg(
@@ -849,11 +872,18 @@ GROUP BY 1, 2
     tags=("llm", "pipeline", "dedup", "quality", "packing"),
 )
 def q_training_corpus_pipeline(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
     wdd = Window.partitionBy(
         F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     ).orderBy("doc_id")
-    kept = (
+    # kept feeds BOTH the quality-metrics path and the packer join —
+    # independent subtrees, so unpersisted the corpus scan + the dedup
+    # window's full-text shuffle executed twice (round-12 before-plan:
+    # two identical Scan→Exchange→Window chains), contradicting the
+    # "without a rescan" design this composition demonstrates.
+    kept = _tracked_persist(
         docs.withColumn("rn", F.row_number().over(wdd))
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "text")
@@ -881,11 +911,13 @@ def q_training_corpus_pipeline(spark, sf_dir):
         q.join(kept.select("doc_id", "source"), "doc_id")
         .withColumn("cum_before", F.coalesce(F.sum("n_words").over(wp), F.lit(0)))
     )
-    return cum.groupBy(
-        "source", F.expr("cum_before DIV 512").alias("bin_id")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_words").cast("long").alias("bin_tokens"),
+    return _scoped(
+        cum.groupBy(
+            "source", F.expr("cum_before DIV 512").alias("bin_id")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("bin_tokens"),
+        )
     )
 
 

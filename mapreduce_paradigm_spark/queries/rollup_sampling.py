@@ -58,13 +58,27 @@ FROM events GROUP BY 2
     tags=("timeseries", "rollup", "events"),
 )
 def q_events_multigrain_rollup(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     ev = load_table(spark, sf_dir, "events")
-    minute = ev.groupBy(F.date_trunc("minute", "ts").alias("g")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("micros"),
+    # minute feeds its own output branch AND the hour re-aggregation (which
+    # in turn feeds day) — union branches are planned as independent
+    # subtrees, so without the persists the raw events scan + minute
+    # aggregation executed THREE times (round-12 before-plan: three
+    # identical Scan→HashAggregate chains), contradicting the
+    # scanned-exactly-once design this query demonstrates. minute is
+    # minute-cardinality, hour is smaller still — both bounded by time
+    # span, not data volume.
+    minute = _tracked_persist(
+        ev.groupBy(F.date_trunc("minute", "ts").alias("g")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("micros"),
+        )
     )
-    hour = minute.groupBy(F.date_trunc("hour", "g").alias("g")).agg(
-        F.sum("n").alias("n"), F.sum("micros").alias("micros")
+    hour = _tracked_persist(
+        minute.groupBy(F.date_trunc("hour", "g").alias("g")).agg(
+            F.sum("n").alias("n"), F.sum("micros").alias("micros")
+        )
     )
     day = hour.groupBy(F.date_trunc("day", "g").alias("g")).agg(
         F.sum("n").alias("n"), F.sum("micros").alias("micros")
@@ -80,8 +94,10 @@ def q_events_multigrain_rollup(spark, sf_dir):
             .alias("val"),
         )
 
-    return out(minute, "minute").unionAll(out(hour, "hour")).unionAll(
-        out(day, "day")
+    return _scoped(
+        out(minute, "minute").unionAll(out(hour, "hour")).unionAll(
+            out(day, "day")
+        )
     )
 
 

@@ -415,12 +415,17 @@ def incremental_index_foreachbatch(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         existing = _read_state(s, state_dir)
-        merged = batch_df if existing is None else existing.unionByName(batch_df)
-        (
-            merged.distinct()
-            .write.mode("overwrite")
-            .parquet(state_dir + "_next")
+        # first batch: batch_df is already row-unique (the streaming
+        # .distinct() upstream is the stateful dedup), so the regroup
+        # distinct would be a redundant full shuffle of the batch
+        # (round 12, guide §2.4) — only the MERGE with prior state needs
+        # the dedup-regroup.
+        merged = (
+            batch_df
+            if existing is None
+            else existing.unionByName(batch_df).distinct()
         )
+        merged.write.mode("overwrite").parquet(state_dir + "_next")
         _promote_state(state_dir)
 
     q = (
