@@ -186,11 +186,20 @@ FROM h
     tags=("statistics",),
 )
 def q_qty_kruskal_wallis_h(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     li = load_table(spark, sf_dir, "lineitem")
-    v = li.select(
-        F.col("l_returnflag").alias("flag"), F.col("l_quantity").cast("long").alias("q")
+    # v feeds the rank grid AND the per-group join; grid feeds ranked and
+    # the tie correction; pergroup feeds tot and the final assembly —
+    # unpersisted, each consumer re-ran its upstream back to the lineitem
+    # scan (round-12 plan audit: 5 scans in this one plan). grid/pergroup
+    # are distinct-value / group sized; v is two pruned columns.
+    v = _tracked_persist(
+        li.select(
+            F.col("l_returnflag").alias("flag"), F.col("l_quantity").cast("long").alias("q")
+        )
     )
-    grid = v.groupBy("q").agg(F.count(F.lit(1)).alias("cnt"))
+    grid = _tracked_persist(v.groupBy("q").agg(F.count(F.lit(1)).alias("cnt")))
     wcum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
     ranked = grid.select(
         "q",
@@ -199,7 +208,7 @@ def q_qty_kruskal_wallis_h(spark, sf_dir):
             "r2"
         ),
     )
-    pergroup = (
+    pergroup = _tracked_persist(
         v.join(F.broadcast(ranked.select("q", "r2")), "q")
         .groupBy("flag")
         .agg(
@@ -231,7 +240,7 @@ def q_qty_kruskal_wallis_h(spark, sf_dir):
         .select("n", "k", F.round(F.col("h_raw"), 6).alias("h_uncorrected"),
                 F.round(F.col("h_raw") / c_tie, 6).alias("h_stat"))
     )
-    return h
+    return _scoped(h)
 
 
 # --- Jensen-Shannon divergence between corpus sources ------------------------
@@ -294,9 +303,18 @@ GROUP BY 1, 2
     tags=("statistics", "drift", "llm"),
 )
 def q_source_unigram_js_divergence(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    dw = doc_words(docs, doc_id_col="source").select(
-        F.col("doc_id").alias("source"), "word"
+    # round-12 plan audit: dw feeds vocab + sc, sc feeds totals + the grid
+    # join, and grid feeds both sides of the pair self-join — unpersisted,
+    # the corpus tokenization re-executed once per consumer chain (5 scans
+    # of documents in the before-plan). dw is the one corpus-scale cache;
+    # sc and grid are (sources x vocab)-sized.
+    dw = _tracked_persist(
+        doc_words(docs, doc_id_col="source").select(
+            F.col("doc_id").alias("source"), "word"
+        )
     )
     vocab = (
         dw.groupBy("word")
@@ -305,13 +323,13 @@ def q_source_unigram_js_divergence(spark, sf_dir):
         .limit(_JS_VOCAB)
         .select("word")
     )
-    sc = (
+    sc = _tracked_persist(
         dw.join(F.broadcast(vocab), "word")
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     totals = sc.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
-    grid = (
+    grid = _tracked_persist(
         totals.crossJoin(F.broadcast(vocab))
         .join(sc, ["source", "word"], "left")
         .select(
@@ -344,10 +362,12 @@ def q_source_unigram_js_divergence(spark, sf_dir):
             .alias("js_micro"),
         )
     )
-    return terms.groupBy("source_a", "source_b").agg(
-        (F.sum("js_micro").cast("decimal(24,6)") / 1000000)
-        .cast("double")
-        .alias("js_div")
+    return _scoped(
+        terms.groupBy("source_a", "source_b").agg(
+            (F.sum("js_micro").cast("decimal(24,6)") / 1000000)
+            .cast("double")
+            .alias("js_div")
+        )
     )
 
 
@@ -890,13 +910,26 @@ FROM chi CROSS JOIN tot CROSS JOIN dims
     tags=("statistics", "drift"),
 )
 def q_priority_status_cramers_v(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     orders = load_table(spark, sf_dir, "orders")
-    o = orders.groupBy(
-        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("st")
-    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
-    tot = o.agg(F.sum("obs").cast("long").alias("n"))
-    rp = o.groupBy("p").agg(F.sum("obs").cast("long").alias("rp"))
-    cs = o.groupBy("st").agg(F.sum("obs").cast("long").alias("cs"))
+    # o (the contingency table) feeds tot/rp/cs and the chi2 join — four
+    # independent subtrees, so unpersisted the full orders scan + grouping
+    # re-ran per consumer (round-12 plan audit: 7 scans in this one plan);
+    # rp/cs/tot each feed two consumers themselves. All are
+    # contingency-table sized.
+    o = _tracked_persist(
+        orders.groupBy(
+            F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("st")
+        ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    tot = _tracked_persist(o.agg(F.sum("obs").cast("long").alias("n")))
+    rp = _tracked_persist(
+        o.groupBy("p").agg(F.sum("obs").cast("long").alias("rp"))
+    )
+    cs = _tracked_persist(
+        o.groupBy("st").agg(F.sum("obs").cast("long").alias("cs"))
+    )
     e = F.col("rp").cast("double") * F.col("cs") / F.col("n")
     chi = (
         o.join(F.broadcast(rp), "p")
@@ -913,7 +946,7 @@ def q_priority_status_cramers_v(spark, sf_dir):
     dims = rp.agg(F.count(F.lit(1)).cast("long").alias("r")).crossJoin(
         cs.agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    return (
+    return _scoped(
         chi.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(dims))
         .select(

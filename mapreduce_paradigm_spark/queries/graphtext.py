@@ -275,6 +275,8 @@ JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
     tags=("graph", "join", "documents"),
 )
 def q_doc_graph_triangles(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
@@ -290,7 +292,11 @@ def q_doc_graph_triangles(spark, sf_dir):
             )
         ).alias("b"),
     )
-    e = (
+    # e feeds all three triangle-join roles — unpersisted, the edge
+    # derivation (scan + explode + distinct exchange) re-ran once per
+    # role (round-12 plan audit: 6 scans in this one plan). Edge-list
+    # sized.
+    e = _tracked_persist(
         e0.filter(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
@@ -300,7 +306,9 @@ def q_doc_graph_triangles(spark, sf_dir):
     e1 = e.select(F.col("a").alias("v1"), F.col("b").alias("v2"))
     e2 = e.select(F.col("a").alias("v2"), F.col("b").alias("v3"))
     e3 = e.select(F.col("a").alias("v1"), F.col("b").alias("v3"))
-    return e1.join(e2, "v2").join(e3, ["v1", "v3"]).select("v1", "v2", "v3")
+    return _scoped(
+        e1.join(e2, "v2").join(e3, ["v1", "v3"]).select("v1", "v2", "v3")
+    )
 
 
 # --- Markov event transitions ------------------------------------------------
@@ -1390,11 +1398,18 @@ WHERE e.a IS NULL AND s.common_neighbors >= 2
     tags=("graph", "documents", "similarity"),
 )
 def q_doc_graph_adamic_adar(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
     ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    e = (
+    # e feeds both adj union branches AND the final left-anti join, and adj
+    # feeds deg plus both wedge sides — unpersisted, every consumer re-ran
+    # the edge derivation from the raw scan (round-12 plan audit: 14
+    # parquet scans of documents in this one plan). Both frames are
+    # edge-list sized.
+    e = _tracked_persist(
         docs.crossJoin(F.broadcast(ncnt))
         .select(
             F.col("node").alias("x"),
@@ -1413,8 +1428,10 @@ def q_doc_graph_adamic_adar(spark, sf_dir):
         )
         .distinct()
     )
-    adj = e.select(F.col("a").alias("z"), F.col("b").alias("v")).unionByName(
-        e.select(F.col("b").alias("z"), F.col("a").alias("v"))
+    adj = _tracked_persist(
+        e.select(F.col("a").alias("z"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("z"), F.col("a").alias("v"))
+        )
     )
     deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     n1 = adj.select("z", F.col("v").alias("u"))
@@ -1428,7 +1445,7 @@ def q_doc_graph_adamic_adar(spark, sf_dir):
             F.round(F.sum(1.0 / F.log(F.col("deg"))), 6).alias("adamic_adar"),
         )
     )
-    return (
+    return _scoped(
         scored.join(
             e,
             (e.a == scored.u) & (e.b == scored.w),

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mapreduce_paradigm_spark.operators.dedup import (
+    _scoped,
+    _tracked_persist,
     delta_jaccard_pairs,
     exact_duplicate_groups,
     jaccard_pairs,
@@ -1964,7 +1966,10 @@ def q_source_kmv_overlap(spark, sf_dir):
         F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("hv"),
     ).distinct()
     w = Window.partitionBy("source").orderBy("hv")
-    sk = (
+    # sk feeds srcs, both m branches and the s1/s2 semi-joins — unpersisted,
+    # each consumer re-ran the corpus tokenize + distinct + window (round-12
+    # plan audit: 14 parquet scans in this one plan). n_sources x K rows.
+    sk = _tracked_persist(
         hvs.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= K)
         .select("source", "hv")
@@ -1990,7 +1995,9 @@ def q_source_kmv_overlap(spark, sf_dir):
     )
     wp = Window.partitionBy("src_a", "src_b").orderBy("hv")
     wn = Window.partitionBy("src_a", "src_b")
-    topk = (
+    # topk feeds the union-size aggregate and the intersection semi-joins;
+    # sketch-sized, so persist beats recomputing the merge windows
+    topk = _tracked_persist(
         m.withColumn("r", F.row_number().over(wp))
         .withColumn("m_n", F.count(F.lit(1)).over(wn))
         .filter(F.col("r") <= K)
@@ -2012,7 +2019,7 @@ def q_source_kmv_overlap(spark, sf_dir):
         F.col("m_n") >= K, (K - 1) / (F.col("kv").cast("double") / F.lit(hspace))
     ).otherwise(F.col("m_n").cast("double"))
     jac = F.coalesce(F.col("ki"), F.lit(0)).cast("double") / F.col("kn")
-    return (
+    return _scoped(
         agg.join(icount, ["src_a", "src_b"], "left")
         .select(
             "src_a",
@@ -2424,16 +2431,21 @@ def q_doc_bigram_interp_nll(spark, sf_dir):
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "word"),
+    # toks feeds seq/uni/tot, seq feeds bi and the scoring join, bi feeds
+    # pre and the same join — unpersisted, the corpus tokenize re-ran once
+    # per consumer chain (round-12 plan audit: 5 scans in this one plan).
+    toks = _tracked_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "word"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    seq = toks.withColumn("prev", F.lag("word").over(w))
+    seq = _tracked_persist(toks.withColumn("prev", F.lag("word").over(w)))
     uni = toks.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cw"))
     tot = toks.agg(F.count(F.lit(1)).cast("long").alias("t"))
-    bi = (
+    bi = _tracked_persist(
         seq.filter(F.col("prev").isNotNull())
         .groupBy("prev", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("cbw"))
@@ -2455,7 +2467,7 @@ def q_doc_bigram_interp_nll(spark, sf_dir):
             F.round(-F.log(p) * 1e6, 0).cast("long").alias("nll_micro"),
         )
     )
-    return scored.groupBy("source").agg(
+    return _scoped(scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(
             F.sum(F.col("nll_micro").cast("decimal(38,0)")).cast("double")
@@ -2463,7 +2475,7 @@ def q_doc_bigram_interp_nll(spark, sf_dir):
             / 1e6,
             6,
         ).alias("avg_nll"),
-    )
+    ))
 
 
 _DSIR_SQL_BODY = """
@@ -2551,12 +2563,16 @@ def _dsir_doc_scores(spark, sf_dir):
         + F.length("word"),
         F.lit(B),
     )
-    feats = (
+    # feats feeds the bucket totals AND the scoring join; bt feeds tot and
+    # lr — unpersisted, each consumer re-ran the corpus tokenize + bucket
+    # aggregation (round-12 plan audit: 5 scans in this one plan). feats
+    # is (doc x bucket)-sized, bt is B rows.
+    feats = _tracked_persist(
         dw.select("doc_id", bucket.alias("b"))
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    bt = (
+    bt = _tracked_persist(
         feats.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("b")
         .agg(
@@ -2581,12 +2597,14 @@ def _dsir_doc_scores(spark, sf_dir):
         "n",
         F.round(F.col("n") * F.col("lr") * 1_000_000, 0).cast("long").alias("micro"),
     )
-    return terms.groupBy("doc_id").agg(
-        F.sum("n").alias("n_tokens"),
-        (F.sum("micro").cast("decimal(24,6)") / F.lit(1_000_000))
-        .cast("double")
-        .alias("log_importance"),
-        F.when(F.sum("micro") > 0, 1).otherwise(0).cast("long").alias("keep_flag"),
+    return _scoped(
+        terms.groupBy("doc_id").agg(
+            F.sum("n").alias("n_tokens"),
+            (F.sum("micro").cast("decimal(24,6)") / F.lit(1_000_000))
+            .cast("double")
+            .alias("log_importance"),
+            F.when(F.sum("micro") > 0, 1).otherwise(0).cast("long").alias("keep_flag"),
+        )
     )
 
 

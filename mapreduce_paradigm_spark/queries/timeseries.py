@@ -281,20 +281,26 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
     tags=("funnel", "events", "join"),
 )
 def q_user_funnel_stages(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     ev = load_table(spark, sf_dir, "events")
-    v = (
+    # each stage frame feeds the NEXT stage's gate join AND the final
+    # wide join — independent subtrees, so unpersisted every stage
+    # re-ran its whole upstream chain back to the events scan (round-12
+    # plan audit: 6 scans in this one plan). All three are per-user sized.
+    v = _tracked_persist(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
     )
-    c = (
+    c = _tracked_persist(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") >= F.col("first_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
     )
-    p = (
+    p = _tracked_persist(
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
         .filter(F.col("ts") >= F.col("first_click"))
@@ -306,7 +312,7 @@ def q_user_funnel_stages(spark, sf_dir):
         + F.when(F.col("first_click").isNull(), 0).otherwise(1)
         + F.when(F.col("first_purchase").isNull(), 0).otherwise(1)
     )
-    return (
+    return _scoped(
         v.join(c, "user_id", "left")
         .join(p, "user_id", "left")
         .select(
@@ -416,8 +422,13 @@ def _pagerank_oracle() -> str:
     tags=("graph", "iterative", "documents"),
 )
 def q_doc_graph_pagerank(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("node")
+    # node list persisted: it feeds the count, the edge build, the rank
+    # init and every round's left join — one pruned scan instead of one
+    # per consumer (round-12 plan audit)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("node"))
+        .persist()
     )
     ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     edges = (
@@ -443,17 +454,30 @@ def q_doc_graph_pagerank(spark, sf_dir):
                 .groupBy("dst")
                 .agg(F.sum(F.expr("r DIV 3")).alias("s"))
             )
-            ranks = docs.join(
-                contrib, docs.node == contrib.dst, "left"
-            ).select(
-                "node",
-                F.expr(
-                    "150000 + (850000 * coalesce(s, 0)) DIV 1000000"
-                ).alias("r"),
+            ranks = (
+                docs.join(contrib, docs.node == contrib.dst, "left")
+                .select(
+                    "node",
+                    F.expr(
+                        "150000 + (850000 * coalesce(s, 0)) DIV 1000000"
+                    ).alias("r"),
+                )
+                # eager per-round checkpoint (round 12) — the HITS/components
+                # loop contract this query's docstring already prescribes.
+                # The old fully-lazy nesting meant (a) the finally-block
+                # unpersist dropped the edges cache BEFORE the returned plan
+                # ever executed, so the persist never served a single read,
+                # and (b) each round's plan re-embedded docs and re-derived
+                # edges — 16 parquet scans of documents in the round-12
+                # before-plan. Checkpointing makes each round read the
+                # previous round's materialized blocks and the edges cache
+                # while it is actually alive; lineage stays O(1) per round.
+                .localCheckpoint(eager=True)
             )
         return ranks.select("node", F.col("r").alias("rank_ppm"))
     finally:
         edges.unpersist()
+        docs.unpersist()
 
 
 # --- HITS hubs/authorities (exact fixed-point, 5 rounds) ---------------------
@@ -528,8 +552,13 @@ def _hits_oracle() -> str:
     tags=("graph", "iterative", "documents"),
 )
 def q_doc_graph_hits(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("node")
+    # node list persisted: it feeds the count, the edge build, the score
+    # init and every half-round's left join — one pruned scan instead of
+    # one per consumer (round-12 plan audit)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("node"))
+        .persist()
     )
     ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     edges = (
@@ -589,6 +618,7 @@ def q_doc_graph_hits(spark, sf_dir):
         )
     finally:
         edges.unpersist()
+        docs.unpersist()
 
 
 # --- interval overlap join (campaign attribution) ----------------------------
@@ -1293,14 +1323,29 @@ def q_hourly_counts_acf(spark, sf_dir):
     lagged = h.select(
         "y", *[F.lag("y", k).over(w).alias(f"x{k}") for k in range(1, 7)]
     )
-    pairs = None
-    for k in range(1, 7):
-        part = lagged.filter(F.col(f"x{k}").isNotNull()).select(
-            F.lit(k).cast("long").alias("lag_k"),
-            F.col(f"x{k}").alias("x"),
-            "y",
+    # unpivot the six lag columns with ONE in-plan explode, not a 6-way
+    # union — union branches plan as independent subtrees, so the old
+    # form re-ran the events scan + hourly aggregate + lag window once
+    # per lag (round-12 plan audit: 6 scans in this one plan). Same
+    # (lag_k, x, y) rows.
+    pairs = (
+        lagged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("lag_k"),
+                            F.col(f"x{k}").alias("x"),
+                            F.col("y").alias("y"),
+                        )
+                        for k in range(1, 7)
+                    ]
+                )
+            ).alias("e")
         )
-        pairs = part if pairs is None else pairs.unionByName(part)
+        .filter(F.col("e.x").isNotNull())
+        .select("e.lag_k", "e.x", "e.y")
+    )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = pairs.groupBy("lag_k").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2000,6 +2045,8 @@ FROM m
     tags=("timeseries", "events", "correlation"),
 )
 def q_click_purchase_cross_correlation(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
@@ -2010,7 +2057,11 @@ def q_click_purchase_cross_correlation(spark, sf_dir):
             F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
         ).alias("hr")
     )
-    cnt = (
+    # cnt feeds the x and y slices, and xy feeds both lag-join sides —
+    # unpersisted, each consumer re-ran the events scan + hourly
+    # aggregate (round-12 plan audit: 6 scans in this one plan). Both
+    # frames are series-length.
+    cnt = _tracked_persist(
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy(
             F.date_trunc("hour", "ts").alias("hr"), "event_type"
@@ -2023,7 +2074,7 @@ def q_click_purchase_cross_correlation(spark, sf_dir):
     y = cnt.filter(F.col("event_type") == "purchase").select(
         "hr", F.col("c").alias("y")
     )
-    xy = (
+    xy = _tracked_persist(
         spine.join(F.broadcast(x), "hr", "left")
         .join(F.broadcast(y), "hr", "left")
         .select(
@@ -2051,7 +2102,7 @@ def q_click_purchase_cross_correlation(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    return m.select(
+    return _scoped(m.select(
         F.col("lag").cast("long").alias("lag_hours"),
         "n",
         F.round(
@@ -2064,7 +2115,7 @@ def q_click_purchase_cross_correlation(spark, sf_dir):
             ),
             6,
         ).alias("ccf"),
-    )
+    ))
 
 
 # --- Granger-lite: does click lead purchase? ----------------------------------
@@ -2142,6 +2193,8 @@ FROM p
     tags=("timeseries", "events", "statistics", "correlation"),
 )
 def q_click_purchase_granger_lite(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
@@ -2150,7 +2203,10 @@ def q_click_purchase_granger_lite(spark, sf_dir):
     spine = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr")
     )
-    cnt = (
+    # cnt feeds the x and y slices, and xy feeds both lag-join sides —
+    # same multi-consumer recompute as the cross-correlation query
+    # (round-12 plan audit); both frames are series-length.
+    cnt = _tracked_persist(
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -2161,7 +2217,7 @@ def q_click_purchase_granger_lite(spark, sf_dir):
     y = cnt.filter(F.col("event_type") == "purchase").select(
         "hr", F.col("c").alias("y")
     )
-    xy = (
+    xy = _tracked_persist(
         spine.join(F.broadcast(x), "hr", "left")
         .join(F.broadcast(y), "hr", "left")
         .select(
@@ -2218,12 +2274,14 @@ def q_click_purchase_granger_lite(spark, sf_dir):
     rp = (r13 - r12 * r23) / F.sqrt(
         (1.0 - r12 * r12) * (1.0 - r23 * r23)
     )
-    return m.select(
-        "n",
-        F.round(rp, 6).alias("r_partial"),
-        F.round(rp * rp * (F.col("n") - 3) / (1.0 - rp * rp), 4).alias(
-            "f_stat"
-        ),
+    return _scoped(
+        m.select(
+            "n",
+            F.round(rp, 6).alias("r_partial"),
+            F.round(rp * rp * (F.col("n") - 3) / (1.0 - rp * rp), 4).alias(
+                "f_stat"
+            ),
+        )
     )
 
 
