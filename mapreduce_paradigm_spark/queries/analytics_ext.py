@@ -1350,9 +1350,14 @@ FROM scored
     tags=("analytics", "events", "segmentation"),
 )
 def q_user_rfm_segments(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("maxts"))
-    rfm = (
+    # rfm feeds the percentile-bounds aggregate AND the scoring pass —
+    # unpersisted, the events scan + per-user rollup ran twice (round-12
+    # plan audit). Per-user sized.
+    rfm = _tracked_persist(
         ev.crossJoin(F.broadcast(mx))
         .groupBy("user_id")
         .agg(
@@ -1396,13 +1401,15 @@ def q_user_rfm_segments(spark, sf_dir):
         band("frequency", "fb").cast("long").alias("f_score"),
         band("monetary_micros", "mb").cast("long").alias("m_score"),
     )
-    return scored.select(
-        "*",
-        F.concat(
-            F.col("r_score").cast("string"),
-            F.col("f_score").cast("string"),
-            F.col("m_score").cast("string"),
-        ).alias("segment"),
+    return _scoped(
+        scored.select(
+            "*",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment"),
+        )
     )
 
 

@@ -167,6 +167,8 @@ FROM shares s CROSS JOIN denom d
     tags=("llm", "sampling"),
 )
 def q_source_temperature_mixture(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "source",
@@ -178,12 +180,18 @@ def q_source_temperature_mixture(spark, sf_dir):
         .cast("long")
         .alias("n_tok"),
     )
-    per_source = tok.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").alias("n_tokens"),
+    # per_source feeds the grand total AND the shares projection; shares
+    # feeds the normalizer and the output — unpersisted, each consumer
+    # re-ran the corpus token-count scan (round-12 plan audit). Both are
+    # per-source sized.
+    per_source = _tracked_persist(
+        tok.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
     )
     tot = per_source.agg(F.sum("n_tokens").alias("total_tokens"))
-    shares = per_source.crossJoin(F.broadcast(tot)).select(
+    shares = _tracked_persist(per_source.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_tokens",
@@ -191,9 +199,9 @@ def q_source_temperature_mixture(spark, sf_dir):
         F.pow(
             F.col("n_tokens").cast("double") / F.col("total_tokens"), F.lit(_ALPHA)
         ).alias("p_alpha"),
-    )
+    ))
     denom = shares.agg(F.sum("p_alpha").alias("z"))
-    return shares.crossJoin(F.broadcast(denom)).select(
+    return _scoped(shares.crossJoin(F.broadcast(denom)).select(
         "source",
         "n_docs",
         "n_tokens",
@@ -202,7 +210,7 @@ def q_source_temperature_mixture(spark, sf_dir):
         F.round(F.col("p_alpha") / F.col("z") / F.col("p_raw"), 4).alias(
             "sample_factor"
         ),
-    )
+    ))
 
 
 # --- CMS inner-product join-size estimate ------------------------------------
@@ -830,14 +838,22 @@ GROUP BY w, f_w, t
     tags=("text", "llm", "curation"),
 )
 def q_word_dispersion_dp(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    # toks feeds ts and fws; fws feeds fw and the grid join — unpersisted,
+    # the corpus tokenize re-ran per consumer (round-12 plan audit).
+    toks = _tracked_persist(
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+        )
     )
     ts = toks.groupBy("source").agg(F.count(F.lit(1)).alias("t_s"))
     tt = ts.agg(F.sum("t_s").alias("t"))
-    fws = toks.groupBy("w", "source").agg(F.count(F.lit(1)).alias("f_ws"))
+    fws = _tracked_persist(
+        toks.groupBy("w", "source").agg(F.count(F.lit(1)).alias("f_ws"))
+    )
     fw = (
         fws.groupBy("w")
         .agg(F.sum("f_ws").alias("f_w"))
@@ -850,7 +866,7 @@ def q_word_dispersion_dp(spark, sf_dir):
             "w", "f_w", "t_s", F.coalesce(F.col("f_ws"), F.lit(0)).alias("f_ws")
         )
     )
-    return (
+    return _scoped(
         grid.crossJoin(F.broadcast(tt))
         .groupBy("w", "f_w", "t")
         .agg(

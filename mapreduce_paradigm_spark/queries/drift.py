@@ -675,9 +675,16 @@ FROM parts
     tags=("statistics", "drift"),
 )
 def q_qty_brown_forsythe(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     li = load_table(spark, sf_dir, "lineitem")
-    v = li.select(
-        F.col("l_returnflag").alias("flag"), F.col("l_quantity").cast("long").alias("q")
+    # v feeds the median grid AND the deviation join; s feeds tot and the
+    # assembly — unpersisted, each consumer re-ran its upstream back to
+    # the lineitem scan (round-12 plan audit).
+    v = _tracked_persist(
+        li.select(
+            F.col("l_returnflag").alias("flag"), F.col("l_quantity").cast("long").alias("q")
+        )
     )
     grid = v.groupBy("flag", "q").agg(F.count(F.lit(1)).alias("cnt"))
     wc = Window.partitionBy("flag").orderBy("q")
@@ -696,10 +703,12 @@ def q_qty_brown_forsythe(spark, sf_dir):
     z = v.join(F.broadcast(med), "flag").select(
         "flag", F.abs(F.col("q") - F.col("med")).alias("z")
     )
-    s = z.groupBy("flag").agg(
-        F.count(F.lit(1)).alias("n_g"),
-        F.sum(F.col("z").cast("decimal(38,0)")).alias("s1"),
-        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("s2"),
+    s = _tracked_persist(
+        z.groupBy("flag").agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(F.col("z").cast("decimal(38,0)")).alias("s1"),
+            F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("s2"),
+        )
     )
     tot = s.agg(
         F.sum("n_g").cast("long").alias("n"),
@@ -728,15 +737,17 @@ def q_qty_brown_forsythe(spark, sf_dir):
             "within_ss",
         )
     )
-    return parts.select(
-        "n",
-        "k",
-        F.round(
-            F.col("between_ss")
-            / (F.col("k") - 1)
-            / (F.col("within_ss") / (F.col("n") - F.col("k"))),
-            6,
-        ).alias("f_stat"),
+    return _scoped(
+        parts.select(
+            "n",
+            "k",
+            F.round(
+                F.col("between_ss")
+                / (F.col("k") - 1)
+                / (F.col("within_ss") / (F.col("n") - F.col("k"))),
+                6,
+            ).alias("f_stat"),
+        )
     )
 
 

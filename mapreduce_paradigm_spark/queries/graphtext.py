@@ -974,6 +974,8 @@ FROM c2 GROUP BY 1
     tags=("graph", "iterative", "documents"),
 )
 def q_doc_graph_wl_colors(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     ncnt = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     e0 = (
@@ -1000,7 +1002,10 @@ def q_doc_graph_wl_colors(spark, sf_dir):
     deg = sym.groupBy(F.col("a").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    colors = (
+    # each WL round consumes colors TWICE (the neighbor-color stream and
+    # the refinement join) — unpersisted, the recompute doubled per round
+    # (round-12 plan audit). Node-sized frame, persisted per round.
+    colors = _tracked_persist(
         docs.join(deg, docs["doc_id"] == deg["v"], "left")
         .select(
             F.col("doc_id").alias("v"),
@@ -1026,9 +1031,12 @@ def q_doc_graph_wl_colors(spark, sf_dir):
                 ).alias("c"),
             )
         )
-    return colors.groupBy(F.col("c").alias("wl_color")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.min("v").cast("long").alias("min_doc"),
+        colors = _tracked_persist(colors)
+    return _scoped(
+        colors.groupBy(F.col("c").alias("wl_color")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("v").cast("long").alias("min_doc"),
+        )
     )
 
 

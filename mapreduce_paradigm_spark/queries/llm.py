@@ -1201,8 +1201,12 @@ def q_source_distinctive_terms(spark, sf_dir):
         "source",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("wd"),
     )
-    sc = w.groupBy("source", "wd").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    # sc feeds stot/g/gtot and the scoring join — unpersisted, the corpus
+    # tokenize + grouping re-ran per consumer (round-12 plan audit).
+    sc = _tracked_persist(
+        w.groupBy("source", "wd").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_s")
+        )
     )
     stot = sc.groupBy("source").agg(
         F.sum("n_s").cast("bigint").alias("t_s")
@@ -1228,7 +1232,7 @@ def q_source_distinctive_terms(spark, sf_dir):
             F.row_number().over(wrank).cast("bigint").alias("rnk"),
         )
     )
-    return scored.filter(F.col("rnk") <= 5)
+    return _scoped(scored.filter(F.col("rnk") <= 5))
 
 
 @register(
@@ -1642,9 +1646,14 @@ def q_embedding_mutual_top1_pairs(spark, sf_dir):
         )
     )
     w = Window.partitionBy("src").orderBy(F.col("cos_micro").desc(), F.col("dst").asc())
-    best = directed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # best feeds BOTH sides of the mutuality self-join — unpersisted, the
+    # O(n^2) directed scoring pass + window ran twice (round-12 plan
+    # audit). One row per vector after the rn=1 filter.
+    best = _tracked_persist(
+        directed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
     x, y = best.alias("x"), best.alias("y")
-    return (
+    return _scoped(
         x.join(y, (F.col("x.dst") == F.col("y.src")) & (F.col("x.src") == F.col("y.dst")))
         .filter(F.col("x.src") < F.col("x.dst"))
         .select(

@@ -505,17 +505,27 @@ GROUP BY 1, 2, t.total
     tags=("quality", "privacy"),
 )
 def q_customer_t_closeness(spark, sf_dir):
+    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+
     cust = load_table(spark, sf_dir, "customer")
-    cls_nat = cust.groupBy(
-        "c_mktsegment",
-        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
-        "c_nationkey",
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # cls_nat feeds the class sizes, the global distribution and the grid
+    # join; glob feeds tot and the grid — unpersisted, each consumer
+    # re-ran the customer scan + grouping (round-12 plan audit). Both are
+    # (class x nation) sized.
+    cls_nat = _tracked_persist(
+        cust.groupBy(
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+            "c_nationkey",
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
     cls = cls_nat.groupBy("c_mktsegment", "acctbal_band").agg(
         F.sum("cnt").cast("long").alias("class_size")
     )
-    glob = cls_nat.groupBy("c_nationkey").agg(
-        F.sum("cnt").cast("long").alias("gcnt")
+    glob = _tracked_persist(
+        cls_nat.groupBy("c_nationkey").agg(
+            F.sum("cnt").cast("long").alias("gcnt")
+        )
     )
     tot = glob.agg(F.sum("gcnt").cast("long").alias("total"))
     grid = (
@@ -537,10 +547,12 @@ def q_customer_t_closeness(spark, sf_dir):
     dist = F.sum(
         F.abs(F.col("cnt") * F.col("total") - F.col("gcnt") * F.col("class_size"))
     ) / (F.lit(2.0) * F.max("class_size") * F.max("total"))
-    return grid.groupBy("c_mktsegment", "acctbal_band").agg(
-        F.max("class_size").cast("long").alias("class_size"),
-        F.round(dist, 4).alias("t_closeness"),
-        (dist > 0.25).alias("breach"),
+    return _scoped(
+        grid.groupBy("c_mktsegment", "acctbal_band").agg(
+            F.max("class_size").cast("long").alias("class_size"),
+            F.round(dist, 4).alias("t_closeness"),
+            (dist > 0.25).alias("breach"),
+        )
     )
 
 
