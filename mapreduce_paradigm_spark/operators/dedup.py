@@ -1845,13 +1845,17 @@ def simhash_near_pairs(
     bucketed = grouped
     exact_pairs = None
     if max_chunk_df is not None:
-        # grouped feeds TWO branches here (normal buckets + the megabucket
-        # routing tier) — without a persist the C(m,d)-way chunk-key
-        # explode and its bucket aggregation (the corpus-scale exchange of
-        # this operator) execute once PER branch (round-12 before-plan:
-        # two identical Generate+ObjectHashAggregate+Exchange chains,
-        # nodes 8-12 and 19-23).
-        grouped = _tracked_persist(grouped)
+        # grouped feeds TWO branches (normal buckets + megabucket routing),
+        # so the chunk-key explode + bucket aggregation executes once per
+        # branch. A _tracked_persist(grouped) was tried in round 12 and
+        # REVERTED on measurement: building the cache (row-format
+        # serialization of the array-of-struct bucket lists) cost more at
+        # bench scale than the duplicated codegen aggregation it saved
+        # (isolated min-of-3: 5.99 s persisted vs 2.6-3.4 s recomputed at
+        # sf0.1). At 100 TB the trade reverses — the duplicate branch is a
+        # full corpus exchange — and the right shape there is a DISK_ONLY
+        # persist (the SemDeDup checkpoint convention), worth flipping only
+        # with a cluster measurement in hand.
         bucketed = grouped.filter(F.size("ds") <= max_chunk_df)
         # megabucket members → exact-fingerprint tier: one grouped pass at
         # member scale (distinct first — a doc can sit in up to

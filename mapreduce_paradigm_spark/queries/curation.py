@@ -78,11 +78,13 @@ def q_doc_segment_boilerplate(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
     )
-    # segs feeds BOTH the df aggregate and the flag join — independent
-    # subtrees, so unpersisted the corpus scan + tokenize + segment
-    # explode executed twice (round-12 before-plan: two identical
-    # Scan→Generate chains). Persisted spill-safe; one corpus pass.
-    segs = _tracked_persist(
+    # segs feeds BOTH the df aggregate and the flag join, so the tokenize
+    # + segment explode executes once per consumer. A _tracked_persist was
+    # tried in round 12 and REVERTED on measurement — caching the exploded
+    # segment-string stream cost more than the duplicated codegen pass it
+    # saved (isolated A/B at sf0.1: ~1.9-2.1 s persisted vs ~1.2-1.5 s
+    # recomputed; same class as duplicate_span_extraction).
+    segs = (
         toks.select(
             "doc_id",
             F.posexplode(

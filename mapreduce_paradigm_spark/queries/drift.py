@@ -307,14 +307,13 @@ def q_source_unigram_js_divergence(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     # round-12 plan audit: dw feeds vocab + sc, sc feeds totals + the grid
-    # join, and grid feeds both sides of the pair self-join — unpersisted,
-    # the corpus tokenization re-executed once per consumer chain (5 scans
-    # of documents in the before-plan). dw is the one corpus-scale cache;
-    # sc and grid are (sources x vocab)-sized.
-    dw = _tracked_persist(
-        doc_words(docs, doc_id_col="source").select(
-            F.col("doc_id").alias("source"), "word"
-        )
+    # join, and grid feeds both sides of the pair self-join. sc and grid
+    # are (sources x vocab)-sized and persisted; dw itself is NOT — the
+    # corpus-stream persist class measured ~2x slower than recompute at
+    # bench scale (see duplicate_span_extraction), so the tokenize runs
+    # twice (vocab + sc) and everything downstream reads the small caches.
+    dw = doc_words(docs, doc_id_col="source").select(
+        F.col("doc_id").alias("source"), "word"
     )
     vocab = (
         dw.groupBy("word")

@@ -2440,18 +2440,18 @@ def q_doc_bigram_interp_nll(spark, sf_dir):
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    # toks feeds seq/uni/tot, seq feeds bi and the scoring join, bi feeds
-    # pre and the same join — unpersisted, the corpus tokenize re-ran once
-    # per consumer chain (round-12 plan audit: 5 scans in this one plan).
-    toks = _tracked_persist(
-        docs.select(
-            "doc_id",
-            "source",
-            F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "word"),
-        )
+    # toks feeds seq/uni/tot and seq feeds bi + the scoring join; only the
+    # AGGREGATED bigram counts (bi) are persisted — the corpus-stream
+    # persist class (toks/seq) measured ~2x slower than recompute at bench
+    # scale (see duplicate_span_extraction), while bi is vocab-pair sized
+    # and its recompute chain includes the per-doc lag window.
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "word"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    seq = _tracked_persist(toks.withColumn("prev", F.lag("word").over(w)))
+    seq = toks.withColumn("prev", F.lag("word").over(w))
     uni = toks.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cw"))
     tot = toks.agg(F.count(F.lit(1)).cast("long").alias("t"))
     bi = _tracked_persist(

@@ -203,13 +203,13 @@ def q_duplicated_span_fraction(spark, sf_dir):
 
     # round 12: per-doc span-set semantics via the in-array dedup (same
     # rows as explode().distinct(), minus the corpus-scale distinct
-    # exchange — see hashed_shingles), and persisted because BOTH the df
-    # aggregate and the rollup join consume the stream (unpersisted, the
-    # scan + tokenize + explode ran twice).
-    sh = _tracked_persist(
-        hashed_shingles(
-            load_table(spark, sf_dir, "documents"), k=5, distinct_in_doc=True
-        )
+    # exchange — see hashed_shingles). The stream feeds both the df
+    # aggregate and the rollup join; a persist was tried and REVERTED on
+    # measurement — caching an exploded corpus-scale stream costs more to
+    # build than the duplicated codegen tokenize it saves (the
+    # duplicate_span_extraction A/B measured ~2x at sf0.1).
+    sh = hashed_shingles(
+        load_table(spark, sf_dir, "documents"), k=5, distinct_in_doc=True
     )
     sdf = sh.groupBy("sid").agg(F.count("*").alias("sdf"))
     dup = F.sum(F.when(F.col("sdf") >= 2, 1).otherwise(0)).cast("long")
@@ -267,13 +267,15 @@ def q_duplicate_span_extraction(spark, sf_dir):
         hashed_shingles_pos,
     )
 
-    # sh feeds BOTH the window-df aggregate and the dup-sid semi-join —
-    # independent subtrees, so unpersisted the corpus scan + tokenize +
-    # position explode executed twice (round-12 before-plan: two identical
-    # Scan→Generate chains). One corpus pass, spill-safe.
-    sh = _tracked_persist(
-        hashed_shingles_pos(load_table(spark, sf_dir, "documents"), k=5)
-    )
+    # sh feeds BOTH the window-df aggregate and the dup-sid semi-join, so
+    # the tokenize + position explode executes once per consumer. A
+    # _tracked_persist(sh) was tried in round 12 and REVERTED on
+    # measurement: building the cache for the exploded corpus-scale
+    # stream cost more than the duplicated codegen pass it saved
+    # (isolated A/B at sf0.1: 2.1-3.1 s persisted vs 1.2-1.7 s
+    # recomputed). At 100 TB the duplicate pass is a real second corpus
+    # read — revisit with a DISK_ONLY persist and a cluster measurement.
+    sh = hashed_shingles_pos(load_table(spark, sf_dir, "documents"), k=5)
     dup_sids = (
         sh.groupBy("sid")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -878,12 +880,13 @@ def q_training_corpus_pipeline(spark, sf_dir):
     wdd = Window.partitionBy(
         F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     ).orderBy("doc_id")
-    # kept feeds BOTH the quality-metrics path and the packer join —
-    # independent subtrees, so unpersisted the corpus scan + the dedup
-    # window's full-text shuffle executed twice (round-12 before-plan:
-    # two identical Scan→Exchange→Window chains), contradicting the
-    # "without a rescan" design this composition demonstrates.
-    kept = _tracked_persist(
+    # kept feeds BOTH the quality-metrics path and the packer join, so
+    # the dedup window executes once per consumer. A _tracked_persist was
+    # tried in round 12 and REVERTED on measurement (caching the full-text
+    # rows cost more than the duplicated window at bench scale: 1.8 s vs
+    # 1.2 s isolated min-of-3); the packer join consumes only
+    # (doc_id, source), so the duplicated branch prunes text anyway.
+    kept = (
         docs.withColumn("rn", F.row_number().over(wdd))
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "text")

@@ -39,6 +39,13 @@ DEFAULT_CONF: dict[str, str] = {
     # the 10m default at bench scale; joins also carry explicit broadcast()
     # hints so this is belt-and-braces.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # scale-dependent: local default 32 keeps the driver's bench
+    # comparable across rounds; override via $SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # (see get_spark) for cluster runs, where the right value is
+    # sized so post-shuffle partitions land in the 100 MB-1 GB band
+    # (guide: ~total_shuffle_bytes / 256 MB) and AQE coalesces down.
+    # A constant tuned to either the laptop or the cluster is the
+    # documented footgun; the env override is the deployment knob.
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
@@ -63,6 +70,9 @@ def get_spark(
     )
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
+    env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env_sp:
+        conf["spark.sql.shuffle.partitions"] = env_sp
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     conf.update(extra_conf or {})
