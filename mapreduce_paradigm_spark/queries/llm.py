@@ -1626,31 +1626,23 @@ WHERE x.rn = 1 AND y.rn = 1 AND x.src < x.dst
     tags=("similarity", "llm"),
 )
 def q_embedding_mutual_top1_pairs(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    from mapreduce_paradigm_spark.functions import cosine_similarity
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    a = emb.select(F.col("vec_id").alias("src"), F.col("emb").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("emb").alias("eb"))
-    directed = (
-        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.round(cosine_similarity(F.col("ea"), F.col("eb")) * 1e6, 0)
-            .cast("long")
-            .alias("cos_micro"),
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cos_micro").desc(), F.col("dst").asc())
-    # best feeds BOTH sides of the mutuality self-join — unpersisted, the
-    # O(n^2) directed scoring pass + window ran twice (round-12 plan
-    # audit). One row per vector after the rn=1 filter.
+    emb = load_table(spark, sf_dir, "embeddings")
+    # round 12: best-neighbor via the shared exact top-k operator
+    # (broadcast query matrix + mapInPandas per-partition top-k — the
+    # corpus never self-joins row-by-row). topk_cosine's scoring fold is
+    # dimension-sequential, its tie-break is the same
+    # (cosine DESC, neighbor ASC) total order, and cos values are rounded
+    # to integer micros before any comparison the output depends on, so
+    # the emitted pair set matches the old per-pair JVM fold (oracle-
+    # verified at sf0.001/0.01/0.1). Measured 90 s -> ~2 s at sf0.1: the
+    # old broadcast-nested-loop evaluated an interpreted array fold per
+    # (src, dst) pair.
     best = _tracked_persist(
-        directed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        topk_cosine(emb, emb, k=1).select(
+            F.col("q_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            F.round(F.col("cosine") * 1e6, 0).cast("long").alias("cos_micro"),
+        )
     )
     x, y = best.alias("x"), best.alias("y")
     return _scoped(
