@@ -745,39 +745,76 @@ def embedding_near_dup_pairs(
     cosine ≥ threshold. The semantic-dedup tier — catches paraphrases
     that defeat the lexical tiers (Jaccard/MinHash/SimHash).
 
-    Exact all-pairs form (oracle-checkable): broadcast self-join, cosine in
-    codegen via ``zip_with``/``aggregate``. At 100 TB the identical verify
-    step runs over LSH candidates instead of all pairs: normalize each
-    vector ONCE scan-side (cosine → dot product), bucket with
-    ``similarity.hyperplane_buckets``, equi-join on bucket, rerank exact —
-    candidates drop 2^nbits-fold while this function's filter semantics
-    stay the verification step.
+    Exact all-pairs form (oracle-checkable). Round 12: the scoring pass is
+    the ``topk_cosine`` shape — the corpus matrix is broadcast once and
+    each partition scores its Arrow batches against it with
+    DIMENSION-SEQUENTIAL numpy accumulation, which reproduces the old
+    ``zip_with``/``aggregate`` left-to-right fold bit-for-bit (norms are
+    the same sequential sum-of-squares; cosine is the same
+    dot/(n_a·n_b) expression), so emitted pairs and 4dp-rounded values
+    are unchanged (oracle-verified at sf0.001/0.01/0.1). The old
+    broadcast-nested-loop self-join evaluated an INTERPRETED array fold
+    per (d1, d2) pair — measured 18.8 s at sf0.1 vs ~1.5 s for this pass,
+    and it is the shared exact tier under four *_check queries. At 100 TB
+    the identical verify step runs over LSH candidates instead of all
+    pairs (``embedding_near_dup_lsh``); this tier's broadcast of the full
+    matrix is the same requirement the old broadcast self-join had.
     """
-    from mapreduce_paradigm_spark.functions import dot_product, l2_norm
+    import numpy as np
 
-    # precompute each vector's l2 norm ONCE scan-side: the per-pair cosine
-    # is then a single zip_with/aggregate dot product instead of three
-    # (dot(a,b), dot(a,a), dot(b,b)) — 3x less per-pair arithmetic with
-    # BIT-IDENTICAL results, because l2_norm runs the exact same sequential
-    # expression over the same array either way (value hashes unchanged).
+    spark = emb.sparkSession
     d = emb.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).cast("array<double>").alias("e"),
-    ).withColumn("n", l2_norm("e"))
-    a, b = d.alias("a"), d.alias("b")
-
-    return (
-        a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
-        .withColumn(
-            "cosine", dot_product("a.e", "b.e") / (F.col("a.n") * F.col("b.n"))
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.id").alias("d1"),
-            F.col("b.id").alias("d2"),
-            F.round("cosine", 4).alias("cosine"),
-        )
+    ).filter(F.col("e").isNotNull())
+    rows = d.collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = (
+        np.array([r["e"] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 0))
     )
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def score(batches):
+        import pandas as pd
+
+        all_ids, M = bc.value
+        if M.size == 0:
+            return
+        dim = M.shape[1]
+        # norms via the same left-to-right fold the JVM expression used
+        nrm = M[:, 0] * M[:, 0]
+        for i in range(1, dim):
+            nrm = nrm + M[:, i] * M[:, i]
+        nrm = np.sqrt(nrm)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            B = np.vstack(pdf["e"].to_numpy())
+            b_ids = pdf["id"].to_numpy()
+            acc = B[:, 0][:, None] * M[:, 0][None, :]
+            for i in range(1, dim):
+                acc = acc + B[:, i][:, None] * M[:, i][None, :]
+            nb = B[:, 0] * B[:, 0]
+            for i in range(1, dim):
+                nb = nb + B[:, i] * B[:, i]
+            nb = np.sqrt(nb)
+            cos = acc / (nb[:, None] * nrm[None, :])
+            keep = (cos >= threshold) & (b_ids[:, None] < all_ids[None, :])
+            bi, ai = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "d1": b_ids[bi],
+                    "d2": all_ids[ai],
+                    "cosine": cos[bi, ai],
+                }
+            )
+
+    scored = d.mapInPandas(score, schema="d1 BIGINT, d2 BIGINT, cosine DOUBLE")
+    # rounding stays Spark-side so the emitted values go through the exact
+    # same HALF_UP double rounding as before (numpy rounds half-to-even)
+    return scored.select("d1", "d2", F.round("cosine", 4).alias("cosine"))
 
 
 def lsh_params(

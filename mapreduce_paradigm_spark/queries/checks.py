@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
 from mapreduce_paradigm_spark.registry import register
 from mapreduce_paradigm_spark.sources.tables import load_table
 
@@ -289,10 +290,17 @@ WHERE c / (s1.sz + s2.sz - c) >= 0.5
         )
 
         docs = load_table(spark, sf_dir, "documents")
-        true = jaccard_pairs(docs, k=3, threshold=0.5).select("d1", "d2")
-        lsh = minhash_lsh_pairs(
-            docs, k=3, num_hashes=32, bands=8, threshold=0.5
-        ).select("d1", "d2")
+        # both tier frames feed multiple count/anti-join consumers below —
+        # unpersisted, each consumer re-ran the whole pair pipeline
+        # (round-12 plan audit; same fix across every *_check builder)
+        true = _tracked_persist(
+            jaccard_pairs(docs, k=3, threshold=0.5).select("d1", "d2")
+        )
+        lsh = _tracked_persist(
+            minhash_lsh_pairs(
+                docs, k=3, num_hashes=32, bands=8, threshold=0.5
+            ).select("d1", "d2")
+        )
         n_true = _scalar(true, F.count(F.lit(1)), "n_true_pairs")
         n_missed = _scalar(
             true.join(lsh, ["d1", "d2"], "left_anti"), F.count(F.lit(1)), "m"
@@ -300,7 +308,7 @@ WHERE c / (s1.sz + s2.sz - c) >= 0.5
         n_extra = _scalar(
             lsh.join(true, ["d1", "d2"], "left_anti"), F.count(F.lit(1)), "x"
         )
-        return (
+        return _scoped(
             n_true.crossJoin(F.broadcast(n_missed))
             .crossJoin(F.broadcast(n_extra))
             .select(
@@ -341,8 +349,12 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         )
 
         emb = load_table(spark, sf_dir, "embeddings")
-        exact = embedding_near_dup_pairs(emb, threshold=0.42).select("d1", "d2")
-        sem = semantic_cluster_near_dups(emb, threshold=0.42).select("d1", "d2")
+        exact = _tracked_persist(
+            embedding_near_dup_pairs(emb, threshold=0.42).select("d1", "d2")
+        )
+        sem = _tracked_persist(
+            semantic_cluster_near_dups(emb, threshold=0.42).select("d1", "d2")
+        )
         n_exact = _scalar(exact, F.count(F.lit(1)), "n_exact_pairs")
         n_missed = _scalar(
             exact.join(sem, ["d1", "d2"], "left_anti"), F.count(F.lit(1)), "m"
@@ -350,7 +362,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         n_extra = _scalar(
             sem.join(exact, ["d1", "d2"], "left_anti"), F.count(F.lit(1)), "x"
         )
-        return (
+        return _scoped(
             n_exact.crossJoin(F.broadcast(n_missed))
             .crossJoin(F.broadcast(n_extra))
             .select(
@@ -413,7 +425,10 @@ def q_ann_recall_check(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    exact = topk_cosine(emb, queries, k=5).select("q_id", "neighbor_id")
+    # exact feeds every tier's match join (5 consumers) — persist
+    exact = _tracked_persist(
+        topk_cosine(emb, queries, k=5).select("q_id", "neighbor_id")
+    )
     n_q = _scalar(queries, F.count(F.lit(1)), "n_queries")
 
     def _matches(approx):
@@ -462,7 +477,7 @@ def q_ann_recall_check(spark, sf_dir):
             (F.col("m2") >= F.col("matches")).alias("recall_ok"),
         )
     )
-    return out.unionByName(lsh_row)
+    return _scoped(out.unionByName(lsh_row))
 
 
 @register(
@@ -692,7 +707,7 @@ def q_simhash_exact_dup_check(spark, sf_dir):
     h = docs.select(
         "doc_id", F.md5(normalized_text(F.col("text"))).alias("th")
     )
-    dup_pairs = (
+    dup_pairs = _tracked_persist(
         h.alias("a")
         .join(h.alias("b"), F.col("a.th") == F.col("b.th"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -711,9 +726,11 @@ def q_simhash_exact_dup_check(spark, sf_dir):
         F.count(F.lit(1)),
         "m",
     )
-    return n_dup.crossJoin(F.broadcast(missed)).select(
-        "n_exact_dup_pairs",
-        (F.col("m") == 0).alias("simhash_zero_hamming_ok"),
+    return _scoped(
+        n_dup.crossJoin(F.broadcast(missed)).select(
+            "n_exact_dup_pairs",
+            (F.col("m") == 0).alias("simhash_zero_hamming_ok"),
+        )
     )
 
 
@@ -742,8 +759,12 @@ def q_embedding_lsh_near_dup_check(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = embedding_near_dup_pairs(emb, threshold=0.42).select("d1", "d2")
-    lsh = embedding_near_dup_lsh(emb, threshold=0.42).select("d1", "d2")
+    exact = _tracked_persist(
+        embedding_near_dup_pairs(emb, threshold=0.42).select("d1", "d2")
+    )
+    lsh = _tracked_persist(
+        embedding_near_dup_lsh(emb, threshold=0.42).select("d1", "d2")
+    )
     n_exact = _scalar(exact, F.count(F.lit(1)), "n_exact_pairs")
     missed = _scalar(
         exact.join(lsh, ["d1", "d2"], "left_anti"), F.count(F.lit(1)), "m"
@@ -751,7 +772,7 @@ def q_embedding_lsh_near_dup_check(spark, sf_dir):
     extra = _scalar(
         lsh.join(exact, ["d1", "d2"], "left_anti"), F.count(F.lit(1)), "x"
     )
-    return (
+    return _scoped(
         n_exact.crossJoin(F.broadcast(missed))
         .crossJoin(F.broadcast(extra))
         .select(
@@ -804,10 +825,14 @@ def q_embedding_lsh_t090_recall_check(spark, sf_dir):
     from mapreduce_paradigm_spark.queries.llm import _planted_twin_embeddings
 
     aug = _planted_twin_embeddings(spark, sf_dir)
-    exact = embedding_near_dup_pairs(aug, threshold=0.90, emb_col="e").select(
-        "d1", "d2"
+    exact = _tracked_persist(
+        embedding_near_dup_pairs(aug, threshold=0.90, emb_col="e").select(
+            "d1", "d2"
+        )
     )
-    lsh = embedding_near_dup_lsh(aug, threshold=0.90, emb_col="e").select("d1", "d2")
+    lsh = _tracked_persist(
+        embedding_near_dup_lsh(aug, threshold=0.90, emb_col="e").select("d1", "d2")
+    )
     n_exact = _scalar(exact, F.count(F.lit(1)), "n_exact_pairs")
     missed = _scalar(
         exact.join(lsh, ["d1", "d2"], "left_anti"), F.count(F.lit(1)), "m"
@@ -815,7 +840,7 @@ def q_embedding_lsh_t090_recall_check(spark, sf_dir):
     extra = _scalar(
         lsh.join(exact, ["d1", "d2"], "left_anti"), F.count(F.lit(1)), "x"
     )
-    return (
+    return _scoped(
         n_exact.crossJoin(F.broadcast(missed))
         .crossJoin(F.broadcast(extra))
         .select(
