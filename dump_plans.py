@@ -3,10 +3,11 @@
 Usage:
     python dump_plans.py <suffix> [name ...]
 
-Writes plans/r12/<name>_<suffix>.txt for each query (default: the bench
-set). Plans are pre-execution (AQE isFinalPlan=false) — the shape audit
-targets Exchange count, join strategy, PushedFilters/ReadSchema and
-Python-eval nodes, all visible in the initial physical plan.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<suffix>.txt (default round:
+r13) for each query (default: the bench set). Plans are pre-execution (AQE
+isFinalPlan=false) — the shape audit targets Exchange count, join strategy,
+PushedFilters/ReadSchema and Python-eval nodes, all visible in the initial
+physical plan.
 """
 
 from __future__ import annotations
@@ -32,7 +33,9 @@ def main() -> None:
 
     spark = get_spark(app_name="plan-dump", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(_REPO, "plans", "r12")
+    out_dir = os.path.join(
+        _REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     for name in names:
