@@ -150,28 +150,45 @@ def _bands_for_recall(p: float, nbits: int, target_recall: float) -> float:
 
 _CACHE_LOCK = threading.RLock()
 _PENDING: list[DataFrame] = []  # persists made by the builder call in progress
+_PENDING_BC: list = []  # sc.broadcast handles made by the call in progress
 _FINALIZERS: list[weakref.finalize] = []  # live scopes, for eager release
 
 
-def _release_jdfs(jdfs) -> None:
+def _release_handles(jdfs, bcs=()) -> None:
     for j in jdfs:
         try:
             j.unpersist(False)
         except Exception:
             pass  # session stopped / gateway down — nothing left to free
+    for b in bcs:
+        # unpersist, NEVER destroy: a derived plan that outlives the scoped
+        # result still references the broadcast, and Spark transparently
+        # re-ships an unpersisted broadcast on next use — so this frees the
+        # executor blocks without making any plan unrunnable (round-13,
+        # the r12 advisor's broadcast-leak item)
+        try:
+            b.unpersist(False)
+        except Exception:
+            pass
+
+
+# back-compat alias (the docstrings and older scopes reference this name)
+_release_jdfs = _release_handles
 
 
 def release_caches() -> None:
     """Eagerly unpersist every intermediate cached by live dedup-family
     plans (benchmark/test hygiene). Normally unnecessary: each plan's
     caches are released automatically when its result DataFrame is
-    garbage-collected. Cost of an early release is only recompute."""
+    garbage-collected. Cost of an early release is only recompute (and a
+    re-shipped broadcast on next use)."""
     with _CACHE_LOCK:
         fins, _FINALIZERS[:] = list(_FINALIZERS), []
         pend, _PENDING[:] = list(_PENDING), []
+        bcs, _PENDING_BC[:] = list(_PENDING_BC), []
     for f in fins:
-        f()  # idempotent; runs _release_jdfs for that scope
-    _release_jdfs([d._jdf for d in pend])
+        f()  # idempotent; runs _release_handles for that scope
+    _release_handles([d._jdf for d in pend], bcs)
 
 
 def _tracked_persist(df: DataFrame) -> DataFrame:
@@ -181,14 +198,29 @@ def _tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _tracked_broadcast(bc):
+    """Register a ``sc.broadcast`` handle with the in-progress call's scope
+    so ``_scoped`` frees its executor blocks (unpersist, not destroy) when
+    the result plan is garbage-collected — the same lifetime discipline as
+    ``_tracked_persist`` (round-13; closes the r12 advisor's never-released
+    broadcast item)."""
+    with _CACHE_LOCK:
+        _PENDING_BC.append(bc)
+    return bc
+
+
 def _scoped(result: DataFrame) -> DataFrame:
-    """Adopt the in-progress call's persisted intermediates into ``result``'s
-    lifetime: a weakref finalizer unpersists them (via their JVM handles,
-    which the closure keeps alive) when ``result`` is garbage-collected."""
+    """Adopt the in-progress call's persisted intermediates and broadcasts
+    into ``result``'s lifetime: a weakref finalizer unpersists them (via
+    their JVM handles, which the closure keeps alive) when ``result`` is
+    garbage-collected."""
     with _CACHE_LOCK:
         mine, _PENDING[:] = list(_PENDING), []
-        if mine:
-            fin = weakref.finalize(result, _release_jdfs, [d._jdf for d in mine])
+        mine_bc, _PENDING_BC[:] = list(_PENDING_BC), []
+        if mine or mine_bc:
+            fin = weakref.finalize(
+                result, _release_handles, [d._jdf for d in mine], mine_bc
+            )
             # at interpreter exit the JVM is tearing down anyway — don't
             # race it from the atexit hook
             fin.atexit = False
@@ -1217,6 +1249,107 @@ def embedding_lsh_stats(
     }
 
 
+def _numpy_exact_rerank(
+    vec: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame | None:
+    """Regime 0 of ``_quantized_exact_rerank``: score the candidate pair
+    stream against a driver-collected corpus matrix in ONE ``mapInPandas``
+    pass — numpy replaces the two broadcast-hash probes plus the per-pair
+    INTERPRETED ``zip_with``/``aggregate`` fold (higher-order functions are
+    CodegenFallback, so regime 1 paid ~64 interpreted lambda steps and an
+    array allocation per candidate; round-13 A/B on
+    embedding_lsh_near_dup_check's 1.6M-candidate stream: see
+    OPTIMIZATION_r13.md). Memory posture is IDENTICAL to regime 1 — a
+    BroadcastHashJoin collects the build side to the driver anyway; this
+    collects the same ≤``_RERANK_VEC_BCAST_BYTES`` projection (guide §4:
+    hand whole Arrow batches to vectorized native code).
+
+    Bit-identity with regime 1: dots and norms use the same
+    dimension-sequential left-to-right fold the JVM expression evaluates
+    (the ``embedding_near_dup_pairs`` discipline, pinned in pytest), the
+    threshold filter keeps NaN cosines exactly like Spark's NaN-high
+    ordering (``cos >= t`` OR ``isnan``), missing ids drop like the inner
+    join, duplicate candidates keep their multiplicity, and rounding stays
+    Spark-side (same HALF_UP). Returns ``None`` — caller falls back to the
+    join-based regime 1, output-identical by the regime-equality pin —
+    when the corpus is empty or carries anything numpy would conflate
+    (NULL arrays/elements vs NaN components: Arrow turns both into NaN,
+    but regime 1 drops NULL-cosine pairs while EMITTING NaN ones), or when
+    ids are not integral (the join regimes are type-generic; int64
+    ``searchsorted`` is not)."""
+    import numpy as np
+
+    spark = vec.sparkSession
+    rows = vec.select("id", "e").collect()
+    if not rows:
+        return None
+    ids_raw = [r["id"] for r in rows]
+    if not all(isinstance(i, int) for i in ids_raw):
+        return None  # non-integral ids: keep the type-generic join regimes
+    mats = []
+    dim0 = None
+    for r in rows:
+        e = r["e"]
+        if e is None or (dim0 is not None and len(e) != dim0):
+            return None
+        dim0 = len(e) if dim0 is None else dim0
+        if any(x is None for x in e):
+            return None  # NULL element ≠ NaN component — regime 1 semantics
+        mats.append(e)
+    if not dim0:
+        return None  # zero-dim vectors: nothing to fold
+    ids = np.asarray(ids_raw, dtype=np.int64)
+    if len(np.unique(ids)) != len(ids):
+        return None  # duplicate ids: join multiplicity ≠ one-row gather
+    mat = np.asarray(mats, dtype=np.float64)
+    if not np.isfinite(mat).all():
+        return None  # NaN/Inf components: exact NaN semantics via regime 1
+    order = np.argsort(ids)
+    ids_s, mat_s = ids[order], mat[order]
+    # norms via the same left-to-right fold l2_norm's JVM aggregate uses
+    nrm = mat_s[:, 0] * mat_s[:, 0]
+    for i in range(1, mat_s.shape[1]):
+        nrm = nrm + mat_s[:, i] * mat_s[:, i]
+    nrm = np.sqrt(nrm)
+    bc = _tracked_broadcast(
+        spark.sparkContext.broadcast((ids_s, mat_s, nrm))
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        I, M, N = bc.value
+        n, dim_ = len(I), M.shape[1]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            d1 = pdf["d1"].to_numpy(dtype=np.int64)
+            d2 = pdf["d2"].to_numpy(dtype=np.int64)
+            i1 = np.searchsorted(I, d1).clip(0, n - 1)
+            i2 = np.searchsorted(I, d2).clip(0, n - 1)
+            ok = (I[i1] == d1) & (I[i2] == d2)  # inner-join semantics
+            if not ok.any():
+                continue
+            i1, i2, d1, d2 = i1[ok], i2[ok], d1[ok], d2[ok]
+            A, B = M[i1], M[i2]
+            acc = A[:, 0] * B[:, 0]
+            for i in range(1, dim_):
+                acc = acc + A[:, i] * B[:, i]
+            cos = acc / (N[i1] * N[i2])
+            # Spark orders NaN ABOVE every double, so `cosine >= t` EMITS
+            # NaN pairs (possible here only via zero norms → 0/0)
+            keep = (cos >= threshold) | np.isnan(cos)
+            yield pd.DataFrame(
+                {"d1": d1[keep], "d2": d2[keep], "cosine": cos[keep]}
+            )
+
+    scored = candidates.mapInPandas(
+        score, schema="d1 BIGINT, d2 BIGINT, cosine DOUBLE"
+    )
+    # rounding stays Spark-side: same HALF_UP as the join regimes
+    return scored.select("d1", "d2", F.round("cosine", 4).alias("cosine"))
+
+
 def _quantized_exact_rerank(
     vec: DataFrame,
     candidates: DataFrame,
@@ -1348,6 +1481,23 @@ def _quantized_exact_rerank(
             )
             bcast_codes = bcast_vec = False
     if bcast_vec:
+        # regime 0 (round 13): same ≤_RERANK_VEC_BCAST_BYTES memory posture
+        # as regime 1, but the candidate stream is scored in one vectorized
+        # mapInPandas pass instead of two hash probes + an interpreted
+        # per-pair HOF fold (guide §4). Falls back to regime 1 (None) on
+        # pathological corpora (NULL/NaN/dup/non-int ids) — output-identical
+        # either way (regime-equality pins in tests).
+        from pyspark.sql.types import IntegerType, LongType
+
+        int_ok = all(
+            isinstance(candidates.schema[c].dataType, (LongType, IntegerType))
+            for c in ("d1", "d2")
+            if c in candidates.columns
+        )
+        if int_ok:
+            np_plan = _numpy_exact_rerank(vec, candidates, threshold)
+            if np_plan is not None:
+                return np_plan
         # regime 1: the exchange-free direct plan — nothing to shrink. One
         # broadcast subtree probed twice (alias above the hint), so AQE's
         # stage cache materializes the corpus broadcast once for both joins

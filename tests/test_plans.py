@@ -139,15 +139,18 @@ def test_embedding_lsh_rerank_never_broadcasts_candidates(spark):
     from mapreduce_paradigm_spark.sources.tables import load_table
 
     # registered queries run the derived path at fixture scale: the corpus
-    # is known-small, so the vector sides broadcast — every BroadcastHashJoin
-    # build must be a BroadcastExchange fed by the corpus scan, and the plan
-    # has no SortMergeJoin at all (the candidate stream never shuffles)
+    # is known-small, so the rerank runs regime 0 (round 13) — the corpus
+    # matrix rides a broadcast variable into ONE vectorized mapInPandas
+    # pass and the candidate stream crosses NO join at all (stronger than
+    # the old regime-1 pin: not even a broadcast-hash probe), and the plan
+    # has no SortMergeJoin (the candidate stream never shuffles)
     from .conftest import rerank_regime_claims
 
     for name in ("embedding_near_dup_lsh", "embedding_near_dup_lsh_t090"):
         plan = formatted_plan(_df(spark, name))
-        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert plan.count("MapInPandas") >= 2, (name, plan)  # signatures + rerank
         assert "SortMergeJoin" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)  # candidates never join
     # claims derived from the regime constants (round-10: retuning the
     # bars for a deployment re-derives the pins): the smallest n past the
     # vec-broadcast bar (regime 2) and past the codes bar (regime 3)
