@@ -806,7 +806,7 @@ def embedding_near_dup_pairs(
         if rows
         else np.zeros((0, 0))
     )
-    bc = spark.sparkContext.broadcast((ids, mat))
+    bc = _tracked_broadcast(spark.sparkContext.broadcast((ids, mat)))
 
     def score(batches):
         import pandas as pd
@@ -1148,7 +1148,7 @@ def _sign_band_signatures(
     planes = np.vstack(
         [np.random.RandomState(seed + b).standard_normal((nbits, dim)) for b in range(bands)]
     )  # (bands*nbits, dim)
-    bp = emb.sparkSession.sparkContext.broadcast(planes)
+    bp = _tracked_broadcast(emb.sparkSession.sparkContext.broadcast(planes))
     weights = 1 << np.arange(nbits, dtype=np.int64)
 
     def sign_buckets(batches):

@@ -416,6 +416,7 @@ FROM embeddings
 )
 def q_ann_recall_check(spark, sf_dir):
     from mapreduce_paradigm_spark.operators.similarity import (
+        AnnSharedState,
         ivf_topk_cosine,
         lsh_topk_cosine,
         pq_topk_cosine,
@@ -425,9 +426,17 @@ def q_ann_recall_check(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
+    # shared trained state (round 13; VERDICT r12 ask #3): ONE query-matrix
+    # collect, ONE deterministic training-sample pick, ONE persisted
+    # unit-normalized corpus — previously each of the 6 tier invocations
+    # re-ran its own (12+ driver jobs of pure repetition). Tier outputs are
+    # bit-identical with/without sharing (pinned in
+    # tests/test_similarity_shared.py); the persisted frames adopt this
+    # plan's lifetime via _scoped below.
+    sh = AnnSharedState(emb, queries)
     # exact feeds every tier's match join (5 consumers) — persist
     exact = _tracked_persist(
-        topk_cosine(emb, queries, k=5).select("q_id", "neighbor_id")
+        topk_cosine(emb, queries, k=5, shared=sh).select("q_id", "neighbor_id")
     )
     n_q = _scalar(queries, F.count(F.lit(1)), "n_queries")
 
@@ -442,9 +451,12 @@ def q_ann_recall_check(spark, sf_dir):
         )
 
     tiers = {
-        "ivf": (ivf_topk_cosine(emb, queries, k=5, nlist=8, nprobe=4), 50),
-        "pq": (pq_topk_cosine(emb, queries, k=5), 25),
-        "sq8": (sq8_topk_cosine(emb, queries, k=5), 90),
+        "ivf": (
+            ivf_topk_cosine(emb, queries, k=5, nlist=8, nprobe=4, shared=sh),
+            50,
+        ),
+        "pq": (pq_topk_cosine(emb, queries, k=5, shared=sh), 25),
+        "sq8": (sq8_topk_cosine(emb, queries, k=5, shared=sh), 90),
     }
     out = None
     for tier, (approx, floor_pct) in sorted(tiers.items()):
@@ -463,10 +475,14 @@ def q_ann_recall_check(spark, sf_dir):
     # description) — probing the 2 least-confident bit flips can only add
     # candidate buckets, so its true-pair haul must dominate single-probe
     mp2 = _matches(
-        lsh_topk_cosine(emb, queries, dim=64, k=5, nbits=8, multiprobe=2)
+        lsh_topk_cosine(
+            emb, queries, dim=64, k=5, nbits=8, multiprobe=2, shared=sh
+        )
     ).withColumnRenamed("matches", "m2")
     mp0 = _matches(
-        lsh_topk_cosine(emb, queries, dim=64, k=5, nbits=8, multiprobe=0)
+        lsh_topk_cosine(
+            emb, queries, dim=64, k=5, nbits=8, multiprobe=0, shared=sh
+        )
     )
     lsh_row = (
         n_q.crossJoin(F.broadcast(mp2))
