@@ -117,6 +117,12 @@ _TRAIN_SAMPLE_PER_CENTROID = 39
 _DEFAULT_BAND_BUDGET = 128
 _AUTO_BAND_FACTOR = 8
 
+# driver-side collect chunk for the exact all-pairs tier (round 13): past
+# this many rows the corpus matrix is collected/broadcast in deterministic
+# pmod(xxhash64(id)) chunks — Θ(chunk) driver memory per collect. 16384
+# rows × dim 64 float64 ≈ 8.4 MB, the similarity._TOPK_QUERY_CHUNK posture.
+_EXACT_PAIRS_CHUNK = 16384
+
 
 def _bands_for_recall(p: float, nbits: int, target_recall: float) -> float:
     """Band count meeting P(candidate) = 1−(1−p^nbits)^bands ≥ target_recall
@@ -789,8 +795,24 @@ def embedding_near_dup_pairs(
     per (d1, d2) pair — measured 18.8 s at sf0.1 vs ~1.5 s for this pass,
     and it is the shared exact tier under four *_check queries. At 100 TB
     the identical verify step runs over LSH candidates instead of all
-    pairs (``embedding_near_dup_lsh``); this tier's broadcast of the full
-    matrix is the same requirement the old broadcast self-join had.
+    pairs (``embedding_near_dup_lsh``); the EXECUTOR-side requirement —
+    every worker sees the whole matrix — is the same one the old
+    broadcast self-join had. Integral ids required (int64 output schema;
+    the pre-r12 join form was type-generic — r12 advisor note, now
+    documented).
+
+    Round 13 (VERDICT r12 ask #5 — bound the driver-side collect): past
+    ``_EXACT_PAIRS_CHUNK`` rows the matrix is collected and broadcast in
+    deterministic ``pmod(xxhash64(id))`` chunks, so the driver holds
+    Θ(chunk) rows at a time instead of the full table (a bounded
+    LocalLimit probe decides smallness — O(chunk) cost however large the
+    corpus, the ``_quantized_exact_rerank`` probe pattern). Chunks
+    partition the corpus, each batch scores against every chunk with the
+    identical per-pair fold, and the ``d1 < d2`` filter is chunk-local —
+    the emitted pair set and values are bit-identical to the
+    single-broadcast form (pinned in pytest with a forced small chunk).
+    Executors still materialize every chunk's matrix: this is the
+    documented oracle/verify tier, not the 100 TB path.
     """
     import numpy as np
 
@@ -799,49 +821,70 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(emb_col).cast("array<double>").alias("e"),
     ).filter(F.col("e").isNotNull())
-    rows = d.collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = (
-        np.array([r["e"] for r in rows], dtype=np.float64)
-        if rows
-        else np.zeros((0, 0))
-    )
-    bc = _tracked_broadcast(spark.sparkContext.broadcast((ids, mat)))
+    # bounded smallness probe (LocalLimit caps the scan at chunk+1 rows
+    # per partition): small corpora keep the single-collect fast path
+    probe = d.limit(_EXACT_PAIRS_CHUNK + 1).count()
+    if probe <= _EXACT_PAIRS_CHUNK:
+        chunk_frames = [d]
+    else:
+        n = d.count()
+        n_chunks = -(-n // _EXACT_PAIRS_CHUNK)
+        chunk_frames = [
+            d.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(n_chunks)) == i)
+            for i in range(n_chunks)
+        ]
+    bcs = []
+    for df_i in chunk_frames:
+        rows = df_i.collect()
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        mat = (
+            np.array([r["e"] for r in rows], dtype=np.float64)
+            if rows
+            else np.zeros((0, 0))
+        )
+        bcs.append(_tracked_broadcast(spark.sparkContext.broadcast((ids, mat))))
+        del rows  # driver holds one chunk's rows at a time
 
     def score(batches):
         import pandas as pd
 
-        all_ids, M = bc.value
-        if M.size == 0:
-            return
-        dim = M.shape[1]
+        chunks = [b.value for b in bcs]
         # norms via the same left-to-right fold the JVM expression used
-        nrm = M[:, 0] * M[:, 0]
-        for i in range(1, dim):
-            nrm = nrm + M[:, i] * M[:, i]
-        nrm = np.sqrt(nrm)
+        norms = []
+        for _, M in chunks:
+            if M.size == 0:
+                norms.append(None)
+                continue
+            nrm = M[:, 0] * M[:, 0]
+            for i in range(1, M.shape[1]):
+                nrm = nrm + M[:, i] * M[:, i]
+            norms.append(np.sqrt(nrm))
         for pdf in batches:
             if pdf.empty:
                 continue
             B = np.vstack(pdf["e"].to_numpy())
             b_ids = pdf["id"].to_numpy()
-            acc = B[:, 0][:, None] * M[:, 0][None, :]
-            for i in range(1, dim):
-                acc = acc + B[:, i][:, None] * M[:, i][None, :]
+            dim = B.shape[1]
             nb = B[:, 0] * B[:, 0]
             for i in range(1, dim):
                 nb = nb + B[:, i] * B[:, i]
             nb = np.sqrt(nb)
-            cos = acc / (nb[:, None] * nrm[None, :])
-            keep = (cos >= threshold) & (b_ids[:, None] < all_ids[None, :])
-            bi, ai = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "d1": b_ids[bi],
-                    "d2": all_ids[ai],
-                    "cosine": cos[bi, ai],
-                }
-            )
+            for (all_ids, M), nrm in zip(chunks, norms):
+                if M.size == 0:
+                    continue
+                acc = B[:, 0][:, None] * M[:, 0][None, :]
+                for i in range(1, dim):
+                    acc = acc + B[:, i][:, None] * M[:, i][None, :]
+                cos = acc / (nb[:, None] * nrm[None, :])
+                keep = (cos >= threshold) & (b_ids[:, None] < all_ids[None, :])
+                bi, ai = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "d1": b_ids[bi],
+                        "d2": all_ids[ai],
+                        "cosine": cos[bi, ai],
+                    }
+                )
 
     scored = d.mapInPandas(score, schema="d1 BIGINT, d2 BIGINT, cosine DOUBLE")
     # rounding stays Spark-side so the emitted values go through the exact

@@ -89,6 +89,20 @@ def test_half_up_micros_matches_spark_round(spark):
         assert s == n, (v, s, n)
 
 
+def test_exact_pairs_chunked_collect_equal_single(spark, monkeypatch):
+    """embedding_near_dup_pairs' bounded chunked collect (round 13) must be
+    output-invisible: chunks partition the corpus and the d1<d2 filter is
+    chunk-local, so the merged pair set and 4dp cosines equal the
+    single-broadcast form exactly."""
+    import mapreduce_paradigm_spark.operators.dedup as dd
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    single = _rows(dd.embedding_near_dup_pairs(emb, threshold=0.42))
+    monkeypatch.setattr(dd, "_EXACT_PAIRS_CHUNK", 64)  # 500 rows → 8 chunks
+    chunked = _rows(dd.embedding_near_dup_pairs(emb, threshold=0.42))
+    assert chunked == single and len(single) > 0
+
+
 def test_rank_micros_follows_rounded_argmax(spark):
     # two corpus vectors whose cosines to the query differ sub-micro but
     # round to the same integer micro: raw argmax picks the higher raw
