@@ -412,6 +412,7 @@ FROM embeddings
     "rarely collide), and an absolute pin there would test the fixture, "
     "not the operator. Companion to the four rows-only embedding_*_topk "
     "specs.",
+    bench=True,  # round 13: bench addition (VERDICT r12 ask #1)
     tags=("similarity", "approx", "check"),
 )
 def q_ann_recall_check(spark, sf_dir):
@@ -766,6 +767,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
     "LSH pairs ⊆ exact pairs), and `recall_ge_095_ok` is the pytest "
     "recall floor in integer arithmetic (20·found ≥ 19·true). Companion "
     "to rows-only embedding_near_dup_lsh.",
+    bench=True,  # round 13: bench addition (VERDICT r12 ask #1)
     tags=("dedup", "similarity", "approx", "check"),
 )
 def q_embedding_lsh_near_dup_check(spark, sf_dir):

