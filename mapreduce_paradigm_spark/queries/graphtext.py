@@ -62,20 +62,27 @@ WHERE n_both >= 5
     tags=("text", "llm", "cooccurrence"),
 )
 def q_word_cooccurrence_pmi(spark, sf_dir):
-    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _persist_if_input_ge,
+        _scoped,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # ONE scan of the text column: the per-doc vocabulary arrays feed all
     # three consumers (pairs, df, N) — without the persist each subtree
-    # re-reads and re-tokenizes the corpus (4 parquet scans in the plan);
-    # cache scoped to the returned plan
-    words_per_doc = _tracked_persist(
+    # re-reads and re-tokenizes the corpus (4 parquet scans in the plan).
+    # Round 13: SIZE-GATED — the driver's cold bench measured the r12
+    # unconditional persists at 0.73× (1.37 s r11 → 1.88 s r12): at sf0.1
+    # the cache-entry build costs more than re-tokenizing megabytes from
+    # page cache. Above the input floor the one-scan design is unchanged.
+    words_per_doc = _persist_if_input_ge(
         docs.select(
             "doc_id",
             F.array_distinct(
                 F.split(F.lower(F.trim("text")), r"\s+")
             ).alias("ws"),
-        )
+        ),
+        docs,
     )
     dw = words_per_doc.select("doc_id", F.explode("ws").alias("w"))
     n = words_per_doc.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -83,8 +90,10 @@ def q_word_cooccurrence_pmi(spark, sf_dir):
     # the renamed projections defeat ReuseExchange — without its own
     # persist the vocabulary explode + groupBy (a full pass over the
     # cached word arrays) executes once per side (round-12 plan audit).
-    # One row per distinct word, spill-safe.
-    df = _tracked_persist(dw.groupBy("w").agg(F.count(F.lit(1)).alias("df")))
+    # One row per distinct word, spill-safe; same size gate as above.
+    df = _persist_if_input_ge(
+        dw.groupBy("w").agg(F.count(F.lit(1)).alias("df")), docs
+    )
     words_per_doc = words_per_doc.select(
         "doc_id", F.sort_array("ws").alias("ws")
     )
@@ -168,16 +177,23 @@ FROM cells
     tags=("text", "llm", "cooccurrence", "statistics"),
 )
 def q_word_collocation_llr(spark, sf_dir):
-    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _persist_if_input_ge,
+        _scoped,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    words_per_doc = _tracked_persist(
+    # size-gated like q_word_cooccurrence_pmi (same frames, same r13
+    # cold-bench evidence): one-scan design above the input floor, no
+    # cache-entry overhead below it
+    words_per_doc = _persist_if_input_ge(
         docs.select(
             "doc_id",
             F.array_distinct(
                 F.split(F.lower(F.trim("text")), r"\s+")
             ).alias("ws"),
-        )
+        ),
+        docs,
     )
     dw = words_per_doc.select("doc_id", F.explode("ws").alias("w"))
     n = words_per_doc.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -185,8 +201,10 @@ def q_word_collocation_llr(spark, sf_dir):
     # the renamed projections defeat ReuseExchange — without its own
     # persist the vocabulary explode + groupBy (a full pass over the
     # cached word arrays) executes once per side (round-12 plan audit).
-    # One row per distinct word, spill-safe.
-    df = _tracked_persist(dw.groupBy("w").agg(F.count(F.lit(1)).alias("df")))
+    # One row per distinct word, spill-safe; same size gate as above.
+    df = _persist_if_input_ge(
+        dw.groupBy("w").agg(F.count(F.lit(1)).alias("df")), docs
+    )
     sorted_ws = words_per_doc.select("doc_id", F.sort_array("ws").alias("ws"))
     pair_expr = F.expr(
         "flatten(transform(ws, (x, i) -> "

@@ -58,27 +58,35 @@ FROM events GROUP BY 2
     tags=("timeseries", "rollup", "events"),
 )
 def q_events_multigrain_rollup(spark, sf_dir):
-    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+    from mapreduce_paradigm_spark.operators.dedup import (
+        _persist_if_input_ge,
+        _scoped,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     # minute feeds its own output branch AND the hour re-aggregation (which
     # in turn feeds day) — union branches are planned as independent
     # subtrees, so without the persists the raw events scan + minute
-    # aggregation executed THREE times (round-12 before-plan: three
+    # aggregation executes THREE times (round-12 before-plan: three
     # identical Scan→HashAggregate chains), contradicting the
-    # scanned-exactly-once design this query demonstrates. minute is
-    # minute-cardinality, hour is smaller still — both bounded by time
-    # span, not data volume.
-    minute = _tracked_persist(
+    # scanned-exactly-once design this query demonstrates. Round 13: the
+    # persist is SIZE-GATED — the driver's cold bench measured the r12
+    # unconditional persist 0.84× (fixed cache-entry cost > megabytes of
+    # page-cache re-scan at sf0.1); above the input floor the single-scan
+    # design holds unchanged. minute is minute-cardinality, hour smaller
+    # still — both bounded by time span, not data volume.
+    minute = _persist_if_input_ge(
         ev.groupBy(F.date_trunc("minute", "ts").alias("g")).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("micros"),
-        )
+        ),
+        ev,
     )
-    hour = _tracked_persist(
+    hour = _persist_if_input_ge(
         minute.groupBy(F.date_trunc("hour", "g").alias("g")).agg(
             F.sum("n").alias("n"), F.sum("micros").alias("micros")
-        )
+        ),
+        ev,
     )
     day = hour.groupBy(F.date_trunc("day", "g").alias("g")).agg(
         F.sum("n").alias("n"), F.sum("micros").alias("micros")

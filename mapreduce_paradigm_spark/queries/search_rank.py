@@ -86,13 +86,18 @@ ORDER BY rnk LIMIT 50
     tags=("flagship", "index", "search"),
 )
 def q_query_likelihood_dirichlet(spark, sf_dir):
-    from mapreduce_paradigm_spark.operators.dedup import _scoped, _tracked_persist
+    from mapreduce_paradigm_spark.operators.dedup import _scoped
 
     docs = load_table(spark, sf_dir, "documents")
-    # ONE corpus tokenization: dl, C, cf and tf all consume this stream —
-    # unpersisted, each subtree re-scans and re-tokenizes (4 parquet scans
-    # showed up in the plan audit; PLANS.md); cache scoped to the plan
-    dw = _tracked_persist(doc_words(docs))
+    # dl, C, cf and tf each re-derive this stream (4 scans in the plan) —
+    # but doc_words is an EXPLODED corpus-scale token stream, the persist
+    # class r12's own A/Bs measured ~2× SLOWER cached than recomputed
+    # (cache-build cost ≫ re-running the codegen'd explode; see the
+    # reverted simhash/span persists, dedup.py). The r12 persist here
+    # contradicted that rule and the driver's cold bench billed it 0.87×
+    # — dropped in r13. At 100 TB the same holds: caching a 5×-inflated
+    # token stream costs more memory/disk than three extra codegen scans.
+    dw = doc_words(docs)
     dl = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     coll = dw.agg(F.count(F.lit(1)).alias("c_total"))
     in_q = dw.filter(F.col("word").isin(*_QL_TERMS))
