@@ -159,8 +159,71 @@ _PENDING: list[DataFrame] = []  # persists made by the builder call in progress
 _PENDING_BC: list = []  # sc.broadcast handles made by the call in progress
 _FINALIZERS: list[weakref.finalize] = []  # live scopes, for eager release
 
+# Builder-level scope (round 13). The per-operator _scoped finalizer has a
+# sharp edge: a call chain like `_tracked_persist(op(...).select("d1","d2"))`
+# drops the operator's returned frame IMMEDIATELY (it is an unnamed
+# temporary), so its finalizer fires and unpersists the operator's INTERNAL
+# caches before any consumer ever reads them — the downstream plans then
+# silently degrade to raw re-scans (round-13 audit: minhash_lsh_recall_check
+# planned 12 document scans where the fully-scoped plan needs 1). Fix:
+# registry-registered builders run inside a scope (see registry.register);
+# while a scope is active, _scoped ALSO pins the intermediate result into
+# _PENDING_KEEPALIVE, and the scope's exit transfers those strong
+# references into the FINAL result's finalizer — so every operator-internal
+# cache lives exactly as long as the returned plan, however the builder
+# derived it. Direct operator calls (tests, library use) see depth 0 and
+# keep the old per-result behavior.
+_SCOPE_DEPTH = 0
+_PENDING_KEEPALIVE: list[DataFrame] = []
 
-def _release_handles(jdfs, bcs=()) -> None:
+
+def _scope_begin() -> None:
+    global _SCOPE_DEPTH
+    with _CACHE_LOCK:
+        _SCOPE_DEPTH += 1
+
+
+def _scope_end(result):
+    """Close the current builder scope. At the outermost exit, adopt every
+    leftover pending persist/broadcast AND every intermediate _scoped frame
+    (strong refs) into ``result``'s finalizer; at nested exits, pin
+    ``result`` itself for the enclosing scope. ``result=None`` (builder
+    raised) releases nothing extra — the intermediates' own finalizers
+    still fire on GC exactly as before."""
+    global _SCOPE_DEPTH
+    with _CACHE_LOCK:
+        _SCOPE_DEPTH = max(0, _SCOPE_DEPTH - 1)
+        if _SCOPE_DEPTH > 0:
+            if result is not None:
+                _PENDING_KEEPALIVE.append(result)
+            return result
+        keep, _PENDING_KEEPALIVE[:] = list(_PENDING_KEEPALIVE), []
+        mine, _PENDING[:] = list(_PENDING), []
+        mine_bc, _PENDING_BC[:] = list(_PENDING_BC), []
+        if result is None:
+            # builder failed: release the orphaned pendings now; keepalives
+            # just drop (their own finalizers own their caches)
+            _release_handles([d._jdf for d in mine], mine_bc)
+            return result
+        keep = [k for k in keep if k is not result]  # no self-reference
+        if keep or mine or mine_bc:
+            fin = weakref.finalize(
+                result,
+                _release_handles,
+                [d._jdf for d in mine],
+                mine_bc,
+                keep,  # strong refs: intermediates outlive derived plans
+            )
+            fin.atexit = False
+            _FINALIZERS.append(fin)
+            _FINALIZERS[:] = [f for f in _FINALIZERS if f.alive]
+    return result
+
+
+def _release_handles(jdfs, bcs=(), keep=()) -> None:
+    # ``keep`` is not released here — it exists purely so the finalizer
+    # closure holds strong references to intermediate _scoped frames;
+    # dropping them after this call lets THEIR finalizers cascade.
     for j in jdfs:
         try:
             j.unpersist(False)
@@ -192,6 +255,7 @@ def release_caches() -> None:
         fins, _FINALIZERS[:] = list(_FINALIZERS), []
         pend, _PENDING[:] = list(_PENDING), []
         bcs, _PENDING_BC[:] = list(_PENDING_BC), []
+        _PENDING_KEEPALIVE[:] = []
     for f in fins:
         f()  # idempotent; runs _release_handles for that scope
     _release_handles([d._jdf for d in pend], bcs)
@@ -214,6 +278,35 @@ def _tracked_persist(df: DataFrame) -> DataFrame:
 _PERSIST_INPUT_FLOOR = 256 << 20
 
 
+def _input_bytes_ge(src: DataFrame, floor_bytes: int | None = None) -> bool:
+    """True when ``src``'s scan inputs total at least ``floor_bytes``, or
+    cannot be inspected from the driver (remote storage / no file list —
+    the conservative big-corpus answer), False for small local inputs and
+    sourceless in-memory frames. The shared size gate behind
+    ``_persist_if_input_ge`` and the scale-shape switches (round 13)."""
+    import os
+    from urllib.parse import urlparse
+
+    if floor_bytes is None:
+        floor_bytes = _PERSIST_INPUT_FLOOR
+    try:
+        files = src.inputFiles()
+    except Exception:
+        return True  # can't inspect: assume big
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return True  # remote storage: assume big
+        try:
+            total += os.path.getsize(parsed.path or uri)
+        except OSError:
+            return True
+        if total >= floor_bytes:
+            return True
+    return False
+
+
 def _persist_if_input_ge(
     df: DataFrame, src: DataFrame, floor_bytes: int | None = None
 ) -> DataFrame:
@@ -225,26 +318,8 @@ def _persist_if_input_ge(
     persist is the documented scanned-once design. Non-local inputs
     (object stores: size not statable from the driver) persist
     conservatively; sourceless frames (in-memory test fixtures) do not."""
-    import os
-    from urllib.parse import urlparse
-
-    if floor_bytes is None:
-        floor_bytes = _PERSIST_INPUT_FLOOR
-    try:
-        files = src.inputFiles()
-    except Exception:
-        return _tracked_persist(df)  # can't inspect: keep the plan win
-    total = 0
-    for uri in files:
-        parsed = urlparse(uri)
-        if parsed.scheme not in ("", "file"):
-            return _tracked_persist(df)  # remote storage: assume big
-        try:
-            total += os.path.getsize(parsed.path or uri)
-        except OSError:
-            return _tracked_persist(df)
-        if total >= floor_bytes:
-            return _tracked_persist(df)
+    if _input_bytes_ge(src, floor_bytes):
+        return _tracked_persist(df)
     return df
 
 
@@ -263,7 +338,10 @@ def _scoped(result: DataFrame) -> DataFrame:
     """Adopt the in-progress call's persisted intermediates and broadcasts
     into ``result``'s lifetime: a weakref finalizer unpersists them (via
     their JVM handles, which the closure keeps alive) when ``result`` is
-    garbage-collected."""
+    garbage-collected. Inside a builder scope (round 13), ``result`` is
+    additionally pinned until the builder's FINAL result dies, so caches
+    survive derivation chains like ``op(...).select(...)`` (see
+    _scope_begin/_scope_end)."""
     with _CACHE_LOCK:
         mine, _PENDING[:] = list(_PENDING), []
         mine_bc, _PENDING_BC[:] = list(_PENDING_BC), []
@@ -276,6 +354,8 @@ def _scoped(result: DataFrame) -> DataFrame:
             fin.atexit = False
             _FINALIZERS.append(fin)
             _FINALIZERS[:] = [f for f in _FINALIZERS if f.alive]
+        if _SCOPE_DEPTH > 0:
+            _PENDING_KEEPALIVE.append(result)
     return result
 
 

@@ -472,11 +472,16 @@ def q_bm25_ranking(spark, sf_dir):
 
     terms_wanted = ("hash", "join", "batch")
     docs = load_table(spark, sf_dir, "documents")
-    # (doc_id, word), normalized, non-empty, NOT distinct; persisted so the
-    # dl and tf subtrees share ONE tokenization scan; the cache's lifetime
-    # is scoped to the returned plan (weakref finalizer), so composers like
-    # hybrid_rrf_fusion keep it alive exactly as long as their own plan
-    dw = _tracked_persist(doc_words(docs))
+    # (doc_id, word), normalized, non-empty, NOT distinct. NOT persisted
+    # (round 13): an exploded corpus-scale token stream is the persist
+    # class r12's own A/Bs measured ~2× slower cached than recomputed —
+    # the r12 persist here only LOOKED free because the pre-r13 scope bug
+    # unpersisted it before composers (hybrid_rrf_fusion) ever read it;
+    # once the builder scope made it real, hybrid's bench row paid ~1.3 s
+    # of cache build for one saved tokenize pass (interleaved A/B,
+    # OPTIMIZATION_r13.md §6). dl and tf below stay persisted — small
+    # aggregated frames, the class that wins.
+    dw = doc_words(docs)
     # dl feeds both the collection-stats aggregate (n) and the scoring
     # join; tf feeds both df and the scoring join — each pair plans as
     # independent subtrees, so unpersisted they re-aggregate the cached

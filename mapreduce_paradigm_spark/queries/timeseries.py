@@ -415,10 +415,15 @@ def _pagerank_oracle() -> str:
     "classic MapReduce PageRank reshaped for DataFrames: contributions "
     "= edges⋈ranks grouped by dst, each round one shuffle on dst; "
     "edges are computed once and persisted; the driver never touches "
-    "row data (pure loop control). At 100 TB pre-partition edges and "
-    "ranks on the node key so every round's join is co-located, and "
-    "checkpoint lineage every few rounds exactly as the components "
-    "operators here already do.",
+    "row data (pure loop control). CAVEATS (r12 advisor): the per-round "
+    "eager localCheckpoint means (a) this builder is not side-effect-"
+    "free — explain/plan dumps execute the full iteration — and (b) "
+    "checkpoint blocks are NON-REPLICATED executor state, so on a real "
+    "cluster an executor loss makes the returned plan unrecoverable; "
+    "at 100 TB use reliable checkpoint() (or persist+count to HDFS-"
+    "backed storage) every few rounds instead, pre-partition edges and "
+    "ranks on the node key so every round's join is co-located — "
+    "exactly as the components operators here already do.",
     bench=True,  # round 13: bench addition (VERDICT r12 ask #1)
     tags=("graph", "iterative", "documents"),
 )

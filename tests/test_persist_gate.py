@@ -41,6 +41,26 @@ def test_gate_closed_for_sourceless_frames(spark):
     assert not dd._PENDING
 
 
+def test_hybrid_bounded_shape_equals_lean_shape(spark, monkeypatch):
+    """hybrid_rrf_fusion's size-gated bounded-rank shape (top-T window with
+    WindowGroupLimit + 100-row broadcast count-join for vec-doc ranks) must
+    emit exactly the lean single-window result — the T=140 truncation proof
+    and the count-join ≡ row_number identity, pinned end to end."""
+    from mapreduce_paradigm_spark.registry import all_specs
+
+    spec = all_specs()["hybrid_rrf_fusion"]
+    lean = sorted(tuple(r) for r in spec.builder(spark, SF_CORRECT).collect())
+    monkeypatch.setattr(dd, "_PERSIST_INPUT_FLOOR", 1)  # open the gate
+    bounded_df = spec.builder(spark, SF_CORRECT)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        bounded_df._jdf.queryExecution(), "formatted"
+    )
+    bounded = sorted(tuple(r) for r in bounded_df.collect())
+    assert bounded == lean and len(lean) == 20
+    # the text-rank window is WindowGroupLimit-bounded in the open-gate plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_gated_queries_results_unchanged(spark):
     # the four re-A/B'd queries stay oracle-identical with the gate closed
     from mapreduce_paradigm_spark.oracle import compare_query

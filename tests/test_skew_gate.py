@@ -305,6 +305,18 @@ def test_embedding_cluster_tier_beats_exact_on_hot_direction_cluster(spark):
             "sem32_recall": round(n_sem32 / n_exact, 4),
         },
     )
+    # Derivation of the 1.5 floor (r12 advisor ask — so a future failure is
+    # diagnosable as fixture drift vs regression): with 30% of vectors in
+    # the hot cone and the rest spread over nlist=8 clusters, candidate
+    # mass is Σ|c|²/2 ≈ (0.3n)²/2 + 7·(0.1n)²/2 = 0.08n² vs all-pairs
+    # n²/2 → a ~6× ideal ratio; multi-assignment (nassign=2) up to
+    # quadruples candidate mass (×4 → 1.56×) in the worst case where
+    # every vector's two clusters both collide. 1.5 is therefore the
+    # conservative bound the GEOMETRY guarantees regardless of how Lloyd
+    # refinement splits the cone; the measured value is ~1.65×. A failure
+    # below 1.5 means assignment stopped respecting cluster geometry (a
+    # real regression), not fixture noise — counts are deterministic for
+    # fixed inputs.
     assert cand_ratio8 >= 1.5, (
         f"cluster-scoped tier must score >=1.5x fewer candidates than "
         f"all-pairs on a hot direction cluster; got {cand_ratio8:.2f}x "
