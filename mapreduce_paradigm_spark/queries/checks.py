@@ -426,7 +426,10 @@ def q_ann_recall_check(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    # the query slice feeds every tier's query side (bucket frames ×2,
+    # rerank qvec ×2, the n_queries scalar, the shared collect) — persist
+    # the tiny filtered projection so each consumer reads the cache
+    queries = _tracked_persist(emb.filter(F.col("vec_id") % 25 == 0))
     # shared trained state (round 13; VERDICT r12 ask #3): ONE query-matrix
     # collect, ONE deterministic training-sample pick, ONE persisted
     # unit-normalized corpus — previously each of the 6 tier invocations
@@ -660,13 +663,16 @@ LIMIT 3
 )
 def q_topk_sketch_exact_check(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
-    exact = (
+    # both 3-row frames feed two anti-joins AND the final crossJoin —
+    # unpersisted, the exact aggregate and the sketch pass each re-scanned
+    # orders once per consumer (round-13 audit: 5 scans in this one plan)
+    exact = _tracked_persist(
         orders.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("o_orderpriority").asc())
         .limit(3)
     )
-    sk = (
+    sk = _tracked_persist(
         orders.agg(F.expr("approx_top_k(o_orderpriority, 3)").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(
